@@ -1,0 +1,179 @@
+"""Model / engine configuration dataclasses.
+
+Shapes mirror the reference checkpoints (LLaVA-1.5-7B/13B; draft heads
+``lucylyn/MSD-LLaVA1.5-7B``) but every config is constructible at tiny sizes
+for CPU tests. Reference anchors: LLaVA config in
+/root/reference/LLaVA/llava/model/language_model/llava_llama.py and the draft
+EConfig in /root/reference/EAGLE/eagle/model/configs.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+IMAGE_TOKEN_INDEX = -200  # reference: LLaVA/llava/constants.py:1-13
+DEFAULT_IMAGE_TOKEN = "<image>"
+IGNORE_INDEX = -100
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """LLaMA decoder config (target LM and draft decoder share this)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def llava_7b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def llava_13b() -> "LlamaConfig":
+        return LlamaConfig(
+            hidden_size=5120,
+            intermediate_size=13824,
+            num_hidden_layers=40,
+            num_attention_heads=40,
+            num_key_value_heads=40,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 256, hidden_size: int = 64, layers: int = 2,
+             heads: int = 4, kv_heads: Optional[int] = None,
+             intermediate_size: int = 128, max_pos: int = 512) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=vocab_size,
+            hidden_size=hidden_size,
+            intermediate_size=intermediate_size,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            num_key_value_heads=kv_heads if kv_heads is not None else heads,
+            max_position_embeddings=max_pos,
+        )
+
+
+@dataclass(frozen=True)
+class ClipVisionConfig:
+    """CLIP ViT vision tower (openai/clip-vit-large-patch14-336 shapes).
+
+    Reference consumer: LLaVA/llava/model/multimodal_encoder/clip_encoder.py.
+    """
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    image_size: int = 336
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-5
+    # layer to read features from, counted like HF hidden_states index.
+    # LLaVA uses mm_vision_select_layer=-2.
+    select_layer: int = -2
+    select_feature: str = "patch"  # drop CLS
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @staticmethod
+    def tiny(hidden_size: int = 32, layers: int = 2, heads: int = 4,
+             image_size: int = 28, patch_size: int = 14,
+             intermediate_size: int = 64) -> "ClipVisionConfig":
+        return ClipVisionConfig(
+            hidden_size=hidden_size,
+            intermediate_size=intermediate_size,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            image_size=image_size,
+            patch_size=patch_size,
+        )
+
+
+@dataclass(frozen=True)
+class LlavaConfig:
+    """Full LLaVA-1.5 VLM: vision tower + projector + LM."""
+
+    text: LlamaConfig = dataclasses.field(default_factory=LlamaConfig.llava_7b)
+    vision: ClipVisionConfig = dataclasses.field(default_factory=ClipVisionConfig)
+    mm_projector_type: str = "mlp2x_gelu"
+    # number of image feature tokens spliced at the -200 placeholder
+    # (576 for ViT-L/14-336 patch features).
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.vision.num_patches
+
+    @staticmethod
+    def tiny() -> "LlavaConfig":
+        return LlavaConfig(text=LlamaConfig.tiny(), vision=ClipVisionConfig.tiny())
+
+
+@dataclass(frozen=True)
+class DraftConfig:
+    """EAGLE-style one-layer draft head.
+
+    Reference: EAGLE/eagle/model/cnets.py:94-133 — embedding + 1 decoder layer
+    (input_layernorm skipped on layer 0) + fc: Linear(2*hidden -> hidden).
+    """
+
+    text: LlamaConfig = dataclasses.field(default_factory=LlamaConfig.llava_7b)
+    num_layers: int = 1
+    fc_bias: bool = True
+
+    @staticmethod
+    def tiny() -> "DraftConfig":
+        return DraftConfig(text=LlamaConfig.tiny())
+
+
+@dataclass(frozen=True)
+class TreeConfig:
+    """Static-shape budget for OPT-Tree drafting on TPU.
+
+    The reference uses dynamic node counts (total_token auto-tuned in
+    {40,48,50,56,60}, ea_model.py:156-179; OPT-Tree kwargs nodes=500,
+    threshold=0.2, max_depth=10, cnets.py:944-947). On TPU everything is a
+    fixed budget; dead nodes carry weight -inf and are masked in verification.
+    """
+
+    top_k: int = 10              # frontier width per depth
+    max_depth: int = 10          # drafting depth bound (while_loop bound)
+    num_nodes: int = 60          # total draft tokens incl. root sample token
+    early_stop_threshold: float = 0.2  # weight-sum increment threshold
+
+    @property
+    def num_draft(self) -> int:
+        """Draft tokens excluding the root (already-sampled) token."""
+        return self.num_nodes - 1
+
+    @property
+    def max_path_len(self) -> int:
+        """Path length incl. root; verification logits rows have this length."""
+        return self.max_depth + 1
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Decode-engine budgets (all static for XLA)."""
+
+    max_seq_len: int = 4096      # KV cache capacity (post image expansion)
+    max_new_tokens: int = 512
+    prompt_pad_multiple: int = 128  # prefill length bucketing to limit recompiles
+    tree: TreeConfig = dataclasses.field(default_factory=TreeConfig)
+    param_dtype: str = "bfloat16"
+    # greedy when temperature == 0.0
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k_sampling: int = 0

@@ -1,0 +1,117 @@
+"""Host-side convenience wrapper around the jitted prefill/decode programs.
+
+Owns prompt-length bucketing (static shapes per bucket -> bounded recompiles),
+result extraction, and per-request stats — the role the reference spreads over
+EaModel.msdgenerate / naivegenerate (ea_model.py:235-487) and the adapter's
+stat accumulation (llava_msd_calibrated.py:606-618).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msd_tpu.configs import (DraftConfig, EngineConfig, LlamaConfig,
+                             IMAGE_TOKEN_INDEX)
+from msd_tpu.engine import spec_engine as SE
+from msd_tpu.models import llama as L
+from msd_tpu.ops.sampling import SamplingParams
+
+
+@dataclass
+class GenResult:
+    tokens: np.ndarray          # generated ids (prompt excluded, EOS trimmed)
+    accept_steps: int = 0
+    accept_len_sum: int = 0     # sum of tokens-per-step over verify steps
+    alpha_hist: Optional[np.ndarray] = None
+
+    @property
+    def avg_accept_len(self) -> float:
+        return self.accept_len_sum / max(self.accept_steps, 1)
+
+
+class MSDGenerator:
+    """Speculative + AR generation over one model bundle."""
+
+    def __init__(self, target_params: Dict, draft_params: Dict,
+                 tcfg: LlamaConfig, dcfg: DraftConfig,
+                 eng: EngineConfig = EngineConfig(), *,
+                 n_img: int = 0, eos_id: int = 2,
+                 sp: SamplingParams = SamplingParams()):
+        self.tcfg, self.dcfg, self.eng = tcfg, dcfg, eng
+        self.n_img, self.eos_id = n_img, eos_id
+        max_pos = eng.max_seq_len + eng.tree.num_nodes + 64
+        cos_t, sin_t = L.make_rope(tcfg, max_pos)
+        self.params = {"target": target_params, "draft": draft_params,
+                       "cos_t": cos_t, "sin_t": sin_t}
+        self.sp = sp
+        self._eng_dtype = jax.tree.leaves(target_params)[0].dtype
+
+    def _statics(self, max_new: int, sp: SamplingParams) -> SE.Statics:
+        return SE.Statics(tcfg=self.tcfg, dcfg=self.dcfg, tree=self.eng.tree,
+                          eng=self.eng, sp=sp, n_img=self.n_img,
+                          eos_id=self.eos_id, max_new=max_new)
+
+    def _pad(self, ids: np.ndarray) -> np.ndarray:
+        m = self.eng.prompt_pad_multiple
+        p = ((len(ids) + m - 1) // m) * m
+        out = np.zeros((p,), np.int32)
+        out[:len(ids)] = ids
+        return out
+
+    def _img_pos(self, ids: np.ndarray) -> int:
+        pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+        return int(pos[0]) if len(pos) else len(ids)
+
+    def generate(self, ids: np.ndarray, img_feats: Optional[jnp.ndarray] = None,
+                 max_new_tokens: Optional[int] = None, seed: int = 0,
+                 sp: Optional[SamplingParams] = None) -> GenResult:
+        """Speculative (MSD) generation; lossless wrt the target model."""
+        ids = np.asarray(ids, np.int32)
+        sp = sp if sp is not None else self.sp
+        max_new = max_new_tokens or self.eng.max_new_tokens
+        st = self._statics(max_new, sp)
+        padded = jnp.asarray(self._pad(ids))
+        key = jax.random.PRNGKey(seed)
+        state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
+                           img_feats, jnp.int32(self._img_pos(ids)), key)
+        state = SE.decode(st, self.params, state)
+
+        e0 = len(ids) + max(self.n_img - 1, 0)
+        cur = int(state.cur_len)
+        out = np.asarray(state.ids[e0:cur + 1])
+        out = _trim(out, self.eos_id, max_new)
+        return GenResult(tokens=out, accept_steps=int(state.steps),
+                         accept_len_sum=int(state.acc_sum),
+                         alpha_hist=np.asarray(state.alpha_hist))
+
+    def naive_generate(self, ids: np.ndarray,
+                       img_feats: Optional[jnp.ndarray] = None,
+                       max_new_tokens: Optional[int] = None, seed: int = 0,
+                       sp: Optional[SamplingParams] = None) -> GenResult:
+        """Plain AR baseline with the same kernels/KV cache."""
+        ids = np.asarray(ids, np.int32)
+        sp = sp if sp is not None else self.sp
+        max_new = max_new_tokens or self.eng.max_new_tokens
+        st = self._statics(max_new, sp)
+        padded = jnp.asarray(self._pad(ids))
+        key = jax.random.PRNGKey(seed)
+        carry = SE.ar_prefill(st, self.params, padded, jnp.int32(len(ids)),
+                              img_feats, jnp.int32(self._img_pos(ids)), key)
+        ids_buf, cur, n_new = SE.ar_decode(st, self.params, carry)
+        e0 = len(ids) + max(self.n_img - 1, 0)
+        out = np.asarray(ids_buf[e0:int(cur) + 1])
+        out = _trim(out, self.eos_id, max_new)
+        return GenResult(tokens=out)
+
+
+def _trim(out: np.ndarray, eos_id: int, max_new: int) -> np.ndarray:
+    eos = np.nonzero(out == eos_id)[0]
+    if len(eos):
+        out = out[:eos[0]]
+    return out[:max_new]

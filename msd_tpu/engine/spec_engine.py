@@ -1,0 +1,449 @@
+"""The TPU-native MSD decode engine.
+
+Replaces the reference's eager Python drive loop
+(EAGLE/eagle/model/ea_model.py:235-400 ``msdgenerate`` +
+cnets.py:929-1574 ``topK_genrate`` + utils.py ``tree_decoding``/
+``evaluate_posterior``/``update_inference_inputs``) with two compiled
+programs and zero per-token host round-trips:
+
+  prefill : fused multimodal embedding -> target prefill -> first token ->
+            draft prefill (EAGLE shift-by-one pairing, image rows bypassing
+            the fusion fc) — one jit per prompt-length bucket.
+  decode  : a single ``lax.while_loop``; each iteration drafts an OPT-Tree
+            (inner while_loop with early stopping), verifies all branches in
+            one tree-masked target forward, accepts losslessly (greedy
+            cumprod or speculative sampling), gathers the accepted path's KV
+            in place, and re-drafts — all fixed shapes.
+
+Position/layout conventions (post image expansion everywhere):
+  E            committed expanded length (= target KV length).
+  bonus        the sampled-but-uncommitted next token; it sits at position E
+               and becomes tree node 0 of the next draft tree.
+  draft row j  pairs emb(token at j+1) with the target hidden at j, so draft
+               rows/positions are the token's expanded position minus one
+               (cnets.py:950-957 shift; len_posi bookkeeping :994-996,1194).
+The reference's scattered +575/-575 offsets (utils.py:334-335,477-482;
+cnets.py:995-1001) vanish under this convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, TreeConfig
+from msd_tpu.engine import tree as tree_mod
+from msd_tpu.engine.tree import Tree
+from msd_tpu.models import draft as draft_mod
+from msd_tpu.models import llama as L
+from msd_tpu.models.llava import expand_ids, fuse_embeddings
+from msd_tpu.ops.attention import (NEG_INF, causal_prefill_bias,
+                                   length_mask_bias, tree_bias)
+from msd_tpu.ops.sampling import SamplingParams, process_logits, sample_token
+
+
+@dataclass(frozen=True)
+class Statics:
+    """Hashable static configuration closed over by the jitted programs."""
+
+    tcfg: LlamaConfig
+    dcfg: DraftConfig
+    tree: TreeConfig
+    eng: EngineConfig
+    sp: SamplingParams
+    n_img: int          # 0 (text-only) or vision.num_patches (e.g. 576)
+    eos_id: int
+    max_new: int
+
+    @property
+    def s_target(self) -> int:
+        """Target KV capacity: room for the prompt + generation + one tree."""
+        return self.eng.max_seq_len + self.tree.num_nodes
+
+    @property
+    def s_draft(self) -> int:
+        """Draft KV capacity: stable prefix + suffix pad + frontier scratch."""
+        t = self.tree
+        return self.eng.max_seq_len + t.max_path_len + t.max_depth * t.top_k + 8
+
+
+class EngineState(NamedTuple):
+    ids: jnp.ndarray            # [S_t] int32 expanded committed ids
+    cur_len: jnp.ndarray        # E
+    bonus: jnp.ndarray          # pending token at position E
+    suffix_tokens: jnp.ndarray  # [MAX_PATH] tokens for the next draft suffix rows
+    suffix_hidden: jnp.ndarray  # [MAX_PATH, H] target hidden for those rows
+    suffix_len: jnp.ndarray
+    last_draft_hidden: jnp.ndarray  # [H]
+    target_kv: Dict
+    draft_kv: Dict
+    draft_len: jnp.ndarray      # draft stable KV length (== E after expand)
+    new_tokens: jnp.ndarray
+    steps: jnp.ndarray
+    acc_sum: jnp.ndarray        # sum of (accept_len + 1) per verify step
+    alpha_hist: jnp.ndarray     # [16] histogram of tokens-per-step
+    done: jnp.ndarray
+    key: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Draft tree expansion (OPT-Tree + early stop), all on device
+# ---------------------------------------------------------------------------
+
+def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
+                  last_hidden: jnp.ndarray, root_token: jnp.ndarray,
+                  cos_t, sin_t) -> Tuple[Tree, Dict]:
+    """Expand the draft tree from the last draft hidden state.
+
+    Mirrors cnets.py:1066-1427: layer 0 = top-k of head(last_hidden); depth
+    loop forwards the k-node frontier (identity tree mask: each node sees the
+    stable prefix, all previously written frontier KV, and itself —
+    cnets.py:1183-1202), path weight = parent weight x child prob, global
+    top-k over the flattened [K, K] candidates, early stop when the top-
+    ``num_draft`` weight-sum increment <= threshold (:1401-1418, the newest
+    layer is discarded on stop, :1429-1437).
+    """
+    t = st.tree
+    K, D, n_draft = t.top_k, t.max_depth, t.num_draft
+    dp = params["draft"]
+    head = params["target"]["lm_head"]
+    s_d = st.s_draft
+
+    logits0 = (last_hidden @ head).astype(jnp.float32)
+    probs0 = jax.nn.softmax(logits0)
+    w0, ids0 = jax.lax.top_k(probs0, K)
+
+    wm = jnp.zeros((D, K), jnp.float32).at[0].set(w0)
+    tm = jnp.zeros((D, K), jnp.int32).at[0].set(ids0.astype(jnp.int32))
+    pm = jnp.zeros((D, K), jnp.int32).at[0].set(jnp.arange(K, dtype=jnp.int32))
+
+    frontier_tok = ids0.astype(jnp.int32)
+    frontier_hid = jnp.broadcast_to(last_hidden, (K,) + last_hidden.shape)
+
+    def cond(c):
+        layer, stop = c[3], c[5]
+        return (layer < D) & (~stop)
+
+    def body(c):
+        wm, tm, pm, layer, s_prev, stop, use_depth, f_tok, f_hid, dkv, _ = c
+        d = layer - 1  # scratch slot of the frontier being forwarded
+        emb = dp["embed_tokens"][f_tok]
+        hin = draft_mod.draft_fuse(dp, emb, f_hid)
+        pos = jnp.broadcast_to(E + d, (K,)).astype(jnp.int32)
+        write = E + d * K
+
+        kpos = jnp.arange(s_d)[None, :]
+        self_pos = write + jnp.arange(K)[:, None]
+        keep = (kpos < write) | (kpos == self_pos)
+        bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+
+        out, dkv = draft_mod.draft_forward(dp, st.dcfg, hin, pos, dkv, write,
+                                           bias, cos_t, sin_t)
+        logits = (out @ head).astype(jnp.float32)          # [K, V]
+        probs = jax.nn.softmax(logits, axis=-1)
+        cw, cid = jax.lax.top_k(probs, K)                  # [K, K]
+        pathw = wm[layer - 1][:, None] * cw
+        gw, gidx = jax.lax.top_k(pathw.reshape(-1), K)
+        sel_tok = cid.reshape(-1)[gidx].astype(jnp.int32)
+        sel_par = (gidx // K).astype(jnp.int32)
+
+        wm = wm.at[layer].set(gw)
+        tm = tm.at[layer].set(sel_tok)
+        pm = pm.at[layer].set(sel_par)
+
+        # early stop on weight-sum increment over layers [0, layer)
+        row = jnp.arange(D)[:, None]
+        masked = jnp.where(row < layer, wm, 0.0).reshape(-1)
+        s_now = jnp.sum(jax.lax.top_k(masked, n_draft)[0])
+        stop2 = (s_now - s_prev) <= t.early_stop_threshold
+        use_depth2 = jnp.where(stop2, layer, layer + 1)
+
+        f_hid2 = out[sel_par]
+        return (wm, tm, pm, layer + 1, s_now, stop2, use_depth2,
+                sel_tok, f_hid2, dkv, jnp.int32(0))
+
+    init = (wm, tm, pm, jnp.int32(1), jnp.float32(0.0), jnp.bool_(False),
+            jnp.int32(D), frontier_tok, frontier_hid, draft_kv, jnp.int32(0))
+    wm, tm, pm, _, _, _, use_depth, _, _, draft_kv, _ = \
+        jax.lax.while_loop(cond, body, init)
+
+    tr = tree_mod.finalize_tree(t, root_token, wm, tm, pm, use_depth)
+    return tr, draft_kv
+
+
+def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
+                          draft_len: jnp.ndarray, suffix_tokens: jnp.ndarray,
+                          suffix_hidden: jnp.ndarray, suffix_len: jnp.ndarray,
+                          last_hidden_prev: jnp.ndarray, cos_t, sin_t):
+    """Extend the draft stable KV with the accepted rows (cnets.py:998-1047).
+
+    Always runs MAX_PATH rows (suffix_len of them valid). Returns
+    (last_hidden, dkv, new_draft_len).
+    """
+    dp = params["draft"]
+    P = st.tree.max_path_len
+    emb = dp["embed_tokens"][jnp.maximum(suffix_tokens, 0)]
+    hin = draft_mod.draft_fuse(dp, emb, suffix_hidden)
+    pos = (draft_len + jnp.arange(P)).astype(jnp.int32)
+    # causal over the growing prefix: row i sees keys [0, draft_len + i]
+    kpos = jnp.arange(st.s_draft)[None, :]
+    keep = kpos <= pos[:, None]
+    bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+    out, dkv = draft_mod.draft_forward(dp, st.dcfg, hin, pos, dkv, draft_len,
+                                       bias, cos_t, sin_t)
+    idx = jnp.maximum(suffix_len - 1, 0)
+    last_hidden = jnp.where(suffix_len > 0, out[idx], last_hidden_prev)
+    return last_hidden, dkv, draft_len + suffix_len
+
+
+# ---------------------------------------------------------------------------
+# Target verification
+# ---------------------------------------------------------------------------
+
+def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
+            tr: Tree, key, cos_t, sin_t):
+    """One tree-masked target forward + lossless acceptance
+    (utils.py:320-366 tree_decoding + :372-450 evaluate_posterior)."""
+    tp = params["target"]
+    emb = tp["embed_tokens"][jnp.maximum(tr.tokens, 0)]
+    pos = (E + tr.positions).astype(jnp.int32)
+    bias = tree_bias(tr.mask, E, st.s_target)
+    hidden, target_kv = L.llama_forward(tp, st.tcfg, emb, pos, target_kv, E,
+                                        bias, cos_t, sin_t)
+    logits = L.lm_head(tp, hidden)  # [N, V] fp32
+
+    if st.sp.greedy:
+        best, acc_len, next_tok = tree_mod.evaluate_greedy(tr, logits)
+    else:
+        probs = jax.nn.softmax(process_logits(logits, st.sp), axis=-1)
+        key, sub = jax.random.split(key)
+        best, acc_len, next_tok = tree_mod.evaluate_sampling(tr, probs, sub)
+    return hidden, target_kv, best, acc_len, next_tok, key
+
+
+def _commit(st: Statics, state: EngineState, tr: Tree, hidden: jnp.ndarray,
+            target_kv: Dict, best, acc_len, next_tok) -> EngineState:
+    """Commit the accepted path (utils.py:453-581 without the re-encode quirk):
+    scatter tokens into ids, gather the accepted path's KV into the prefix,
+    and stage the draft-suffix rows for the next iteration."""
+    P = st.tree.max_path_len
+    E = state.cur_len
+    path = tr.retrieve[best]                    # [P] tree indices, -1 pad
+    pc = jnp.maximum(path, 0)
+    slot = jnp.arange(P)
+    ct = jnp.where(slot <= acc_len, tr.tokens[pc], 0).astype(jnp.int32)
+
+    ids = jax.lax.dynamic_update_slice(state.ids, ct, (E,))
+
+    # KV gather of accepted path -> contiguous prefix rows [E, E+P)
+    src = E + pc
+
+    def gather_commit(a):
+        g = jnp.take(a, src, axis=2)            # [L, Hkv, P, D]
+        return jax.lax.dynamic_update_slice(a, g, (0, 0, E, 0))
+
+    target_kv = {"k": gather_commit(target_kv["k"]),
+                 "v": gather_commit(target_kv["v"])}
+
+    ct_shift = jnp.concatenate([ct[1:], jnp.zeros((1,), jnp.int32)])
+    suffix_tokens = jnp.where(slot < acc_len, ct_shift,
+                              jnp.where(slot == acc_len, next_tok, 0))
+    suffix_hidden = hidden[pc]
+    n_new = acc_len + 1
+
+    new_len = E + n_new
+    eos_hit = jnp.any((ct == st.eos_id) & (slot <= acc_len)) | (next_tok == st.eos_id)
+    new_tokens = state.new_tokens + n_new
+    limit = st.eng.max_seq_len - st.tree.num_nodes - P - 2
+    done = eos_hit | (new_tokens >= st.max_new) | (new_len >= limit)
+
+    hist_idx = jnp.minimum(n_new, 15)
+    return state._replace(
+        ids=ids, cur_len=new_len, bonus=next_tok,
+        suffix_tokens=suffix_tokens, suffix_hidden=suffix_hidden,
+        suffix_len=n_new, target_kv=target_kv,
+        new_tokens=new_tokens, steps=state.steps + 1,
+        acc_sum=state.acc_sum + n_new,
+        alpha_hist=state.alpha_hist.at[hist_idx].add(1),
+        done=done)
+
+
+# ---------------------------------------------------------------------------
+# Public jitted programs
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
+            prompt_len: jnp.ndarray, img_feats: Optional[jnp.ndarray],
+            img_pos: jnp.ndarray, key: jnp.ndarray) -> EngineState:
+    """Target + draft prefill over a padded prompt.
+
+    ids: [P_pad] (unexpanded, IMAGE_TOKEN_INDEX at img_pos when n_img > 0);
+    img_feats: [n_img, H] projected image tokens (encoded ONCE per request —
+    unlike utils.py:537-542 which re-runs CLIP every step).
+    """
+    tcfg, dcfg = st.tcfg, st.dcfg
+    n_img = st.n_img
+    P_pad = ids.shape[0]
+    P_exp = P_pad + max(n_img - 1, 0)
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+    tp, dp = params["target"], params["draft"]
+
+    E0 = prompt_len + max(n_img - 1, 0)
+
+    if n_img > 0:
+        fused = fuse_embeddings(tp["embed_tokens"], ids, img_feats, img_pos, P_exp)
+        exp_ids = expand_ids(jnp.where(ids < 0, 0, ids), img_pos, n_img, P_exp)
+    else:
+        fused = tp["embed_tokens"][jnp.maximum(ids, 0)]
+        exp_ids = ids
+
+    positions = jnp.arange(P_exp, dtype=jnp.int32)
+    bias = causal_prefill_bias(P_exp, st.s_target)
+    target_kv = L.init_kv_cache(tcfg, st.s_target, fused.dtype)
+    hidden, target_kv = L.llama_forward(tp, tcfg, fused, positions, target_kv,
+                                        jnp.int32(0), bias, cos_t, sin_t)
+
+    last_logits = L.lm_head(tp, hidden[E0 - 1][None])[0]
+    key, sub = jax.random.split(key)
+    bonus = sample_token(sub, last_logits, st.sp)
+
+    # ---- draft prefill: SE[j] = fused[j+1]-style shifted inputs ----
+    j = jnp.arange(P_exp)
+    exp_shift = jnp.concatenate([exp_ids[1:], jnp.zeros((1,), jnp.int32)])
+    se = dp["embed_tokens"][jnp.maximum(exp_shift, 0)]
+    if n_img > 0:
+        # rows whose NEXT position is inside the image span take the fused
+        # (image-feature) embedding and bypass the fc (cnets.py:302-314)
+        img_next = ((j + 1) >= img_pos) & ((j + 1) < img_pos + n_img)
+        fused_shift = jnp.concatenate([fused[1:], jnp.zeros_like(fused[:1])])
+        se = jnp.where(img_next[:, None], fused_shift, se)
+    else:
+        img_next = jnp.zeros((P_exp,), jnp.bool_)
+    se = jnp.where((j == E0 - 1)[:, None], dp["embed_tokens"][bonus][None], se)
+
+    dh_in = draft_mod.draft_fuse(dp, se, hidden, image_row_mask=img_next)
+    d_bias = causal_prefill_bias(P_exp, st.s_draft)
+    draft_kv = draft_mod.init_draft_kv(dcfg, st.s_draft, fused.dtype)
+    d_out, draft_kv = draft_mod.draft_forward(dp, dcfg, dh_in, positions,
+                                              draft_kv, jnp.int32(0), d_bias,
+                                              cos_t, sin_t)
+    last_draft_hidden = d_out[E0 - 1]
+
+    P = st.tree.max_path_len
+    H = tcfg.hidden_size
+    ids_buf = jnp.zeros((st.s_target,), jnp.int32)
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, exp_ids[:P_exp], (0,))
+
+    return EngineState(
+        ids=ids_buf, cur_len=E0, bonus=bonus,
+        suffix_tokens=jnp.zeros((P,), jnp.int32),
+        suffix_hidden=jnp.zeros((P, H), hidden.dtype),
+        suffix_len=jnp.int32(0),
+        last_draft_hidden=last_draft_hidden,
+        target_kv=target_kv, draft_kv=draft_kv, draft_len=E0,
+        new_tokens=jnp.int32(0), steps=jnp.int32(0), acc_sum=jnp.int32(0),
+        alpha_hist=jnp.zeros((16,), jnp.int32),
+        done=jnp.bool_(False), key=key)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
+    """The speculative decode loop — one XLA while_loop, zero host syncs."""
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+
+    def cond(s: EngineState):
+        return ~s.done
+
+    def body(s: EngineState) -> EngineState:
+        last_hidden, dkv, dlen = _draft_suffix_forward(
+            st, params, s.draft_kv, s.draft_len, s.suffix_tokens,
+            s.suffix_hidden, s.suffix_len, s.last_draft_hidden, cos_t, sin_t)
+        tr, dkv = _draft_expand(st, params, dkv, dlen, last_hidden, s.bonus,
+                                cos_t, sin_t)
+        hidden, tkv, best, acc_len, next_tok, key = _verify(
+            st, params, s.target_kv, s.cur_len, tr, s.key, cos_t, sin_t)
+        s = s._replace(draft_kv=dkv, draft_len=dlen, target_kv=tkv, key=key,
+                       last_draft_hidden=last_hidden)
+        return _commit(st, s, tr, hidden, tkv, best, acc_len, next_tok)
+
+    state = jax.lax.while_loop(cond, body, state)
+    # surface the final pending token so hosts can read ids[:cur_len+1]
+    ids = jax.lax.dynamic_update_slice(state.ids, state.bonus[None], (state.cur_len,))
+    return state._replace(ids=ids)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive baseline (naivegenerate, ea_model.py:402-487)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def ar_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
+               prompt_len: jnp.ndarray, img_feats: Optional[jnp.ndarray],
+               img_pos: jnp.ndarray, key: jnp.ndarray):
+    tcfg = st.tcfg
+    n_img = st.n_img
+    P_pad = ids.shape[0]
+    P_exp = P_pad + max(n_img - 1, 0)
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+    tp = params["target"]
+    E0 = prompt_len + max(n_img - 1, 0)
+
+    if n_img > 0:
+        fused = fuse_embeddings(tp["embed_tokens"], ids, img_feats, img_pos, P_exp)
+        exp_ids = expand_ids(jnp.where(ids < 0, 0, ids), img_pos, n_img, P_exp)
+    else:
+        fused = tp["embed_tokens"][jnp.maximum(ids, 0)]
+        exp_ids = ids
+
+    positions = jnp.arange(P_exp, dtype=jnp.int32)
+    bias = causal_prefill_bias(P_exp, st.s_target)
+    target_kv = L.init_kv_cache(tcfg, st.s_target, fused.dtype)
+    hidden, target_kv = L.llama_forward(tp, tcfg, fused, positions, target_kv,
+                                        jnp.int32(0), bias, cos_t, sin_t)
+    logits = L.lm_head(tp, hidden[E0 - 1][None])[0]
+    key, sub = jax.random.split(key)
+    tok = sample_token(sub, logits, st.sp)
+    ids_buf = jnp.zeros((st.s_target,), jnp.int32)
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, exp_ids[:P_exp], (0,))
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, tok[None], (E0,))
+    return ids_buf, target_kv, E0, tok, key
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def ar_decode(st: Statics, params: Dict, carry):
+    """Plain AR decode while_loop with the same kernels as verification."""
+    ids_buf, target_kv, E0, tok, key = carry
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+    tp = params["target"]
+    kpos = jnp.arange(st.s_target)
+
+    def cond(c):
+        _, _, cur, _, _, done, _ = c
+        return ~done
+
+    def body(c):
+        ids_buf, kv, cur, tok, n_new, done, key = c
+        emb = tp["embed_tokens"][tok][None]
+        bias = jnp.where(kpos <= cur, 0.0, NEG_INF)[None, :].astype(jnp.float32)
+        hidden, kv = L.llama_forward(tp, st.tcfg, emb, cur[None], kv, cur,
+                                     bias, cos_t, sin_t)
+        logits = L.lm_head(tp, hidden)[0]
+        key, sub = jax.random.split(key)
+        nxt = sample_token(sub, logits, st.sp)
+        cur = cur + 1
+        ids_buf = jax.lax.dynamic_update_slice(ids_buf, nxt[None], (cur,))
+        n_new = n_new + 1
+        done = (nxt == st.eos_id) | (n_new >= st.max_new) | \
+            (cur >= st.eng.max_seq_len - 2)
+        return (ids_buf, kv, cur, nxt, n_new, done, key)
+
+    init = (ids_buf, target_kv, E0, tok, jnp.int32(1), jnp.bool_(False), key)
+    ids_buf, target_kv, cur, tok, n_new, _, key = \
+        jax.lax.while_loop(cond, body, init)
+    return ids_buf, cur, n_new

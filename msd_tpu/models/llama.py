@@ -1,0 +1,233 @@
+"""Functional LLaMA decoder for TPU (target LM of LLaVA-1.5 and draft layers).
+
+Design: pure functions over a parameter pytree (nested dicts), batch size 1
+(the reference engine is strictly bs=1: EAGLE/eagle/model/ea_model.py:235-400),
+one token axis. The KV cache is a preallocated [L, Hkv, S, D] pair written with
+``lax.dynamic_update_slice`` at a traced offset — the functional analog of the
+reference's in-place ``KVCache.cat`` (EAGLE/eagle/model/kv_cache.py:52-66).
+
+Attention masking is an explicit additive bias argument so the exact same
+compiled attention serves prefill, AR decode and tree verification (the
+reference instead injects ``tree_mask`` by side effect,
+modeling_llama_kv.py:915-921).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.configs import LlamaConfig
+from msd_tpu.ops.attention import masked_attention
+from msd_tpu.ops.norms import rms_norm
+from msd_tpu.ops.rope import apply_rope, rope_table
+
+Params = Dict
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_layer_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+    ks = jax.random.split(key, 7)
+    scale = h ** -0.5
+
+    def mat(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "input_layernorm": jnp.ones((h,), dtype),
+        "post_attention_layernorm": jnp.ones((h,), dtype),
+        "q_proj": mat(ks[0], (h, h)),
+        "k_proj": mat(ks[1], (h, hkv)),
+        "v_proj": mat(ks[2], (h, hkv)),
+        "o_proj": mat(ks[3], (h, h)),
+        "gate_proj": mat(ks[4], (h, inter)),
+        "up_proj": mat(ks[5], (h, inter)),
+        "down_proj": mat(ks[6], (inter, h)),
+    }
+
+
+def init_llama_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    layers = [init_layer_params(keys[i], cfg, dtype)
+              for i in range(cfg.num_hidden_layers)]
+    emb_scale = cfg.hidden_size ** -0.5
+    return {
+        "embed_tokens": (jax.random.normal(
+            keys[-2], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * emb_scale
+        ).astype(dtype),
+        "layers": _stack_layers(layers),
+        "norm": jnp.ones((cfg.hidden_size,), dtype),
+        "lm_head": (jax.random.normal(
+            keys[-1], (cfg.hidden_size, cfg.vocab_size), jnp.float32) * emb_scale
+        ).astype(dtype),
+    }
+
+
+def _stack_layers(layers):
+    """Stack per-layer dicts into arrays with a leading layer axis (for scan)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: LlamaConfig, max_seq_len: int, dtype=jnp.float32,
+                  num_layers: int | None = None) -> Params:
+    nl = cfg.num_hidden_layers if num_layers is None else num_layers
+    shape = (nl, cfg.num_key_value_heads, max_seq_len, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
+               positions: jnp.ndarray, cos_t, sin_t, skip_input_norm: bool):
+    """Pre-attention projections. Returns (h_normed_input, q, k, v)."""
+    t = x.shape[0]
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    if skip_input_norm:
+        # EAGLE skips input_layernorm on draft layer 0
+        # (EAGLE/eagle/model/ea_llama_model.py, index==0).
+        h = x
+    else:
+        h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    q = (h @ lp["q_proj"]).reshape(t, hq, d)
+    k = (h @ lp["k_proj"]).reshape(t, hkv, d)
+    v = (h @ lp["v_proj"]).reshape(t, hkv, d)
+    q, k = apply_rope(q, k, cos_t, sin_t, positions)
+    return q, k, v
+
+
+def _layer_post_attn(lp: Params, cfg: LlamaConfig, resid: jnp.ndarray,
+                     attn: jnp.ndarray):
+    t = attn.shape[0]
+    x = resid + attn.reshape(t, -1) @ lp["o_proj"]
+    resid = x
+    h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    gate = jax.nn.silu((h @ lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
+    up = h @ lp["up_proj"]
+    return resid + (gate * up) @ lp["down_proj"]
+
+
+def _layer_forward(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
+                   positions: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                   write_pos: jnp.ndarray, bias: jnp.ndarray,
+                   cos_t: jnp.ndarray, sin_t: jnp.ndarray,
+                   skip_input_norm: bool = False):
+    """One decoder layer. x: [T, H]; kv_k/kv_v: [Hkv, S, D]. Returns (x, k, v)."""
+    resid = x
+    q, k, v = _layer_qkv(lp, cfg, x, positions, cos_t, sin_t, skip_input_norm)
+
+    # write new K/V into the preallocated cache at write_pos
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k.transpose(1, 0, 2), (0, write_pos, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v.transpose(1, 0, 2), (0, write_pos, 0))
+
+    attn = masked_attention(q, kv_k, kv_v, bias)
+    return _layer_post_attn(lp, cfg, resid, attn), kv_k, kv_v
+
+
+def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
+                  positions: jnp.ndarray, kv: Params, write_pos: jnp.ndarray,
+                  bias: jnp.ndarray, cos_t: jnp.ndarray, sin_t: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, Params]:
+    """Run all decoder layers via lax.scan over the stacked layer params.
+
+    embeds: [T, H] (already fused multimodal embeddings); positions: [T] int32;
+    kv: {'k','v'} [L, Hkv, S, D]; bias: [T, S]. Returns (hidden [T, H], new kv).
+
+    The KV cache rides the scan *carry* and is updated layer-by-layer with
+    dynamic_update_slice, so XLA aliases the buffer across iterations instead
+    of materializing a per-forward copy of the whole cache.
+    """
+    nl = params["layers"]["q_proj"].shape[0]
+
+    def body(carry, scan_in):
+        x, kv_k_all, kv_v_all = carry
+        lp, li = scan_in
+        resid = x
+        q, k, v = _layer_qkv(lp, cfg, x, positions, cos_t, sin_t, False)
+        # window-write the new tokens' K/V straight into the 4D cache
+        kv_k_all = jax.lax.dynamic_update_slice(
+            kv_k_all, k.transpose(1, 0, 2)[None], (li, 0, write_pos, 0))
+        kv_v_all = jax.lax.dynamic_update_slice(
+            kv_v_all, v.transpose(1, 0, 2)[None], (li, 0, write_pos, 0))
+        kv_k = jax.lax.dynamic_index_in_dim(kv_k_all, li, 0, keepdims=False)
+        kv_v = jax.lax.dynamic_index_in_dim(kv_v_all, li, 0, keepdims=False)
+        attn = masked_attention(q, kv_k, kv_v, bias)
+        x = _layer_post_attn(lp, cfg, resid, attn)
+        return (x, kv_k_all, kv_v_all), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (embeds, kv["k"], kv["v"]),
+        (params["layers"], jnp.arange(nl, dtype=jnp.int32)))
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, {"k": new_k, "v": new_v}
+
+
+def lm_head(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """[T, H] -> [T, V] logits in fp32."""
+    return (hidden @ params["lm_head"]).astype(jnp.float32)
+
+
+def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed_tokens"][ids]
+
+
+def make_rope(cfg: LlamaConfig, max_seq_len: int):
+    return rope_table(max_seq_len, cfg.head_dim, cfg.rope_theta)
+
+
+# ---------------------------------------------------------------------------
+# HF weight import (torch state_dict / safetensors -> our pytree)
+# ---------------------------------------------------------------------------
+
+_HF_LAYER_MAP = {
+    "input_layernorm": ("input_layernorm.weight", False),
+    "post_attention_layernorm": ("post_attention_layernorm.weight", False),
+    "q_proj": ("self_attn.q_proj.weight", True),
+    "k_proj": ("self_attn.k_proj.weight", True),
+    "v_proj": ("self_attn.v_proj.weight", True),
+    "o_proj": ("self_attn.o_proj.weight", True),
+    "gate_proj": ("mlp.gate_proj.weight", True),
+    "up_proj": ("mlp.up_proj.weight", True),
+    "down_proj": ("mlp.down_proj.weight", True),
+}
+
+
+def params_from_hf(state: Dict[str, "jnp.ndarray"], cfg: LlamaConfig,
+                   prefix: str = "model.", dtype=jnp.float32) -> Params:
+    """Build our pytree from a HF-LLaMA flat state dict of numpy arrays.
+
+    HF Linear stores [out, in]; we keep [in, out] so activations hit the MXU as
+    plain ``x @ W`` without runtime transposes.
+    """
+    import numpy as np
+
+    def get(name):
+        return np.asarray(state[name])
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lp = {}
+        for ours, (theirs, transpose) in _HF_LAYER_MAP.items():
+            w = get(f"{prefix}layers.{i}.{theirs}")
+            lp[ours] = jnp.asarray(w.T if transpose else w, dtype)
+        layers.append(lp)
+
+    head_key = "lm_head.weight"
+    return {
+        "embed_tokens": jnp.asarray(get(f"{prefix}embed_tokens.weight"), dtype),
+        "layers": _stack_layers(layers),
+        "norm": jnp.asarray(get(f"{prefix}norm.weight"), dtype),
+        "lm_head": jnp.asarray(get(head_key).T, dtype),
+    }

@@ -1,0 +1,95 @@
+"""Attention over a preallocated KV cache with an additive bias mask.
+
+One attention routine serves prefill, AR decode, tree verification, and the
+draft frontier expansion — only the bias differs. The reference instead forks
+behavior through HF attention + a tree_mask side channel
+(EAGLE/eagle/model/modeling_llama_kv.py:587-594, 915-921); here the mask is an
+explicit argument, which is both jit-friendly and what makes greedy
+AR-vs-speculative bit-parity possible (same kernel, same reduction order).
+
+Layout choices for TPU: KV cache is [Hkv, S, D] with D=128 (lane dim) and S
+the tiled sublane dim; scores accumulate in fp32 on the MXU
+(preferred_element_type), softmax in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite large-negative: avoids NaN from (-inf) - (-inf) rows
+
+
+def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     bias: jnp.ndarray) -> jnp.ndarray:
+    """q: [T, Hq, D]; k, v: [Hkv, S, D]; bias: [T, S] additive (0 or NEG_INF).
+
+    Supports GQA (Hq a multiple of Hkv). Returns [T, Hq, D] in q.dtype.
+    """
+    t, hq, d = q.shape
+    hkv, s, _ = k.shape
+    group = hq // hkv
+    scale = 1.0 / (d ** 0.5)
+
+    qg = q.reshape(t, hkv, group, d)
+    # scores: [Hkv, G, T, S] accumulated in fp32
+    scores = jnp.einsum("thgd,hsd->hgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias.astype(jnp.float32)[None, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hgts,hsd->thgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(t, hq, d).astype(q.dtype)
+
+
+def attention_probs(q: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Softmax attention probabilities (no value matmul): [Hq, T, S] fp32.
+
+    Used by the calibration feature path (visual-attention intensity over the
+    image-token span; reference cnets.py:516-575 reads draft-layer attentions).
+    """
+    t, hq, d = q.shape
+    hkv, s, _ = k.shape
+    group = hq // hkv
+    scale = 1.0 / (d ** 0.5)
+    qg = q.reshape(t, hkv, group, d)
+    scores = jnp.einsum("thgd,hsd->hgts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias.astype(jnp.float32)[None, None, :, :]
+    return jax.nn.softmax(scores, axis=-1).reshape(hq, t, s)
+
+
+def length_mask_bias(positions_k: jnp.ndarray, valid_len: jnp.ndarray,
+                     num_q: int) -> jnp.ndarray:
+    """Bias [num_q, S] admitting keys with index < valid_len (decode over prefix)."""
+    keep = positions_k < valid_len
+    return jnp.where(keep[None, :], 0.0, NEG_INF) * jnp.ones((num_q, 1), jnp.float32)
+
+
+def causal_prefill_bias(seq_len: int, cache_len: int, start: int = 0) -> jnp.ndarray:
+    """Bias [seq_len, cache_len] for a prefill written at [start, start+seq_len)."""
+    qpos = start + jnp.arange(seq_len)[:, None]
+    kpos = jnp.arange(cache_len)[None, :]
+    return jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def tree_bias(tree_mask: jnp.ndarray, prefix_len: jnp.ndarray,
+              cache_len: int) -> jnp.ndarray:
+    """Bias [N, cache_len] for tree verification.
+
+    Key j is visible to tree node i iff j < prefix_len (committed prefix) or
+    j in [prefix_len, prefix_len+N) and tree_mask[i, j-prefix_len] (ancestor).
+    tree_mask: [N, N] bool ancestor matrix (i attends to j), written into the
+    cache at offset prefix_len. Mirrors modeling_llama_kv.py:915-921 where the
+    tree block overlays the last NxN of the causal mask.
+    """
+    n = tree_mask.shape[0]
+    kpos = jnp.arange(cache_len)[None, :]                      # [1, S]
+    in_prefix = kpos < prefix_len                              # [1, S]
+    rel = kpos - prefix_len                                    # [1, S]
+    rel_clamped = jnp.clip(rel, 0, n - 1)
+    tree_vis = jnp.take_along_axis(
+        tree_mask, jnp.broadcast_to(rel_clamped, (n, cache_len)), axis=1)
+    in_tree = (rel >= 0) & (rel < n) & tree_vis
+    keep = in_prefix | in_tree
+    return jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)

@@ -1,0 +1,56 @@
+"""Logits processing (temperature / top-k / top-p) as pure jax ops.
+
+Mirrors the reference's HF LogitsProcessorList assembly
+(EAGLE/eagle/model/utils.py:64-80): temperature warp, then top-k, then top-p.
+Greedy decoding corresponds to ``temperature == 0`` (no processor at all).
+Repetition penalty is accepted for API parity but 0.0/1.0 (off) in every
+reference run; a nonzero value is applied host-side by the harness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k: int = 0
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature < 1e-5
+
+
+def process_logits(logits: jnp.ndarray, sp: SamplingParams) -> jnp.ndarray:
+    """Apply temperature/top-k/top-p filtering to [..., V] fp32 logits."""
+    if sp.greedy:
+        return logits
+    x = logits / jnp.float32(sp.temperature)
+    if sp.top_k and sp.top_k > 0:
+        kth = jnp.sort(x, axis=-1)[..., -sp.top_k][..., None]
+        x = jnp.where(x < kth, NEG_INF, x)
+    if sp.top_p < 1.0:
+        sorted_x = jnp.sort(x, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_x, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+        keep_sorted = (cum - probs) < sp.top_p
+        cutoff = jnp.sum(keep_sorted, axis=-1, keepdims=True)  # num kept
+        kth = jnp.take_along_axis(sorted_x, jnp.maximum(cutoff - 1, 0), axis=-1)
+        x = jnp.where(x < kth, NEG_INF, x)
+    return x
+
+
+def sample_token(key: jnp.ndarray, logits: jnp.ndarray,
+                 sp: SamplingParams) -> jnp.ndarray:
+    """[V] logits -> token id (argmax when greedy)."""
+    if sp.greedy:
+        return jnp.argmax(logits).astype(jnp.int32)
+    return jax.random.categorical(key, process_logits(logits, sp)).astype(jnp.int32)

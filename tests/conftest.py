@@ -1,0 +1,10 @@
+"""Test env: force CPU jax with 8 virtual devices (multi-chip sharding tests
+run on a virtual mesh; real-TPU perf is exercised by bench.py, not pytest)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,87 @@
+"""Golden-logit tests: our functional LLaMA vs HF transformers (torch CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from msd_tpu.configs import LlamaConfig
+from msd_tpu.models import llama as L
+from msd_tpu.ops.attention import causal_prefill_bias, length_mask_bias
+
+from tests.hf_ref import hf_state_numpy, rand_ids, tiny_hf_llama
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=4,
+                           intermediate_size=64, max_pos=128)
+    hf = tiny_hf_llama(cfg)
+    params = L.params_from_hf(hf_state_numpy(hf), cfg)
+    return cfg, hf, params
+
+
+def test_prefill_logits_match_hf(tiny):
+    import torch
+    cfg, hf, params = tiny
+    ids = rand_ids(cfg.vocab_size, 17, seed=1)
+
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids[None].astype(np.int64))).logits[0].numpy()
+
+    cos_t, sin_t = L.make_rope(cfg, 64)
+    kv = L.init_kv_cache(cfg, 64)
+    embeds = L.embed_tokens(params, jnp.asarray(ids))
+    bias = causal_prefill_bias(len(ids), 64)
+    hidden, kv = L.llama_forward(params, cfg, embeds, jnp.arange(len(ids)),
+                                 kv, jnp.int32(0), bias, cos_t, sin_t)
+    ours = np.asarray(L.lm_head(params, hidden))
+    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=1e-2)
+
+
+def test_gqa_prefill_matches_hf():
+    import torch
+    cfg = LlamaConfig.tiny(vocab_size=96, hidden_size=32, layers=2, heads=4,
+                           kv_heads=2, intermediate_size=64)
+    hf = tiny_hf_llama(cfg, seed=3)
+    params = L.params_from_hf(hf_state_numpy(hf), cfg)
+    ids = rand_ids(cfg.vocab_size, 9, seed=5)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids[None].astype(np.int64))).logits[0].numpy()
+    cos_t, sin_t = L.make_rope(cfg, 32)
+    kv = L.init_kv_cache(cfg, 32)
+    embeds = L.embed_tokens(params, jnp.asarray(ids))
+    hidden, _ = L.llama_forward(params, cfg, embeds, jnp.arange(len(ids)), kv,
+                                jnp.int32(0), causal_prefill_bias(len(ids), 32),
+                                cos_t, sin_t)
+    np.testing.assert_allclose(np.asarray(L.lm_head(params, hidden)), ref,
+                               atol=3e-3, rtol=1e-2)
+
+
+def test_incremental_decode_matches_prefill(tiny):
+    """KV-cache decode one token at a time == full prefill logits."""
+    cfg, _, params = tiny
+    ids = rand_ids(cfg.vocab_size, 12, seed=2)
+    S = 32
+    cos_t, sin_t = L.make_rope(cfg, S)
+
+    # full prefill
+    kv = L.init_kv_cache(cfg, S)
+    embeds = L.embed_tokens(params, jnp.asarray(ids))
+    hidden_full, _ = L.llama_forward(params, cfg, embeds, jnp.arange(len(ids)),
+                                     kv, jnp.int32(0),
+                                     causal_prefill_bias(len(ids), S),
+                                     cos_t, sin_t)
+    full_logits = np.asarray(L.lm_head(params, hidden_full))
+
+    # token-by-token with cache
+    kv = L.init_kv_cache(cfg, S)
+    step_logits = []
+    for t, tok in enumerate(ids):
+        e = L.embed_tokens(params, jnp.asarray([tok]))
+        bias = length_mask_bias(jnp.arange(S), jnp.int32(t + 1), 1)
+        hidden, kv = L.llama_forward(params, cfg, e, jnp.asarray([t]), kv,
+                                     jnp.int32(t), bias, cos_t, sin_t)
+        step_logits.append(np.asarray(L.lm_head(params, hidden))[0])
+    np.testing.assert_allclose(np.stack(step_logits), full_logits,
+                               atol=5e-3, rtol=1e-2)

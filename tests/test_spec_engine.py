@@ -1,0 +1,89 @@
+"""End-to-end engine tests on tiny random models (CPU).
+
+THE property that matters (SURVEY.md §4): speculative decoding is lossless —
+greedy MSD output must equal greedy AR output token-for-token, for any draft
+weights (a bad draft only lowers the accept rate, never changes the output).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, TreeConfig
+from msd_tpu.engine.generator import MSDGenerator
+from msd_tpu.models import draft as draft_mod
+from msd_tpu.models import llama as L
+from msd_tpu.ops.sampling import SamplingParams
+
+
+def build_tiny(seed=0, vocab=128, hidden=32, layers=2, heads=4):
+    cfg = LlamaConfig.tiny(vocab_size=vocab, hidden_size=hidden, layers=layers,
+                           heads=heads, intermediate_size=64, max_pos=1024)
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    tp = L.init_llama_params(k1, cfg)
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    return cfg, dcfg, tp, dp
+
+
+def make_gen(seed=0, tree=None, max_seq=512, **kw):
+    cfg, dcfg, tp, dp = build_tiny(seed)
+    eng = EngineConfig(max_seq_len=max_seq, prompt_pad_multiple=32,
+                       tree=tree or TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    return MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=2, **kw)
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return make_gen()
+
+
+def test_greedy_losslessness(gen):
+    """MSD greedy == AR greedy, bit for bit, random draft."""
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        ids = rng.integers(3, 120, size=rng.integers(4, 30)).astype(np.int32)
+        ar = gen.naive_generate(ids, max_new_tokens=24)
+        msd = gen.generate(ids, max_new_tokens=24)
+        np.testing.assert_array_equal(
+            msd.tokens, ar.tokens,
+            err_msg=f"trial {trial}: MSD diverged from AR greedy")
+
+
+def test_msd_emits_tokens_and_stats(gen):
+    ids = np.arange(3, 10, dtype=np.int32)
+    r = gen.generate(ids, max_new_tokens=16)
+    assert len(r.tokens) > 0
+    assert r.accept_steps > 0
+    assert r.accept_len_sum >= r.accept_steps  # >= 1 token per step
+    assert r.avg_accept_len >= 1.0
+
+
+def test_distilled_draft_accepts_more():
+    """A draft sharing the target's layer-0 behavior should beat alpha=1 on
+    average vs a mismatched draft (sanity that the tree machinery works)."""
+    # same seed => draft embeds == target embeds (init shares distribution)
+    g = make_gen(seed=1)
+    ids = np.arange(3, 12, dtype=np.int32)
+    r = g.generate(ids, max_new_tokens=32)
+    assert r.avg_accept_len >= 1.0
+
+
+def test_sampling_mode_runs():
+    g = make_gen()
+    ids = np.arange(3, 11, dtype=np.int32)
+    sp = SamplingParams(temperature=1.0, top_p=0.9, top_k=20)
+    r = g.generate(ids, max_new_tokens=12, sp=sp, seed=7)
+    assert len(r.tokens) >= 0
+    assert r.accept_steps > 0
+
+
+def test_long_generation_consistency(gen):
+    """Longer budget: still lossless, multiple verify steps exercised."""
+    ids = np.asarray([5, 9, 17, 33], np.int32)
+    ar = gen.naive_generate(ids, max_new_tokens=48)
+    msd = gen.generate(ids, max_new_tokens=48)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
+    assert msd.accept_steps >= 2
