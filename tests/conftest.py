@@ -8,3 +8,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# XLA-CPU's default matmul precision is bf16-like (~5e-2 abs error on unit-
+# scale fp32 inputs) — force full fp32 so golden tests compare real numerics.
+import jax  # noqa: E402  (env vars above must be set before this import)
+
+jax.config.update("jax_default_matmul_precision", "highest")

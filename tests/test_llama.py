@@ -36,7 +36,7 @@ def test_prefill_logits_match_hf(tiny):
     hidden, kv = L.llama_forward(params, cfg, embeds, jnp.arange(len(ids)),
                                  kv, jnp.int32(0), bias, cos_t, sin_t)
     ours = np.asarray(L.lm_head(params, hidden))
-    np.testing.assert_allclose(ours, ref, atol=3e-3, rtol=1e-2)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
 
 
 def test_gqa_prefill_matches_hf():
@@ -55,7 +55,7 @@ def test_gqa_prefill_matches_hf():
                                 jnp.int32(0), causal_prefill_bias(len(ids), 32),
                                 cos_t, sin_t)
     np.testing.assert_allclose(np.asarray(L.lm_head(params, hidden)), ref,
-                               atol=3e-3, rtol=1e-2)
+                               atol=2e-4, rtol=2e-3)
 
 
 def test_incremental_decode_matches_prefill(tiny):
@@ -84,4 +84,4 @@ def test_incremental_decode_matches_prefill(tiny):
                                      jnp.int32(t), bias, cos_t, sin_t)
         step_logits.append(np.asarray(L.lm_head(params, hidden))[0])
     np.testing.assert_allclose(np.stack(step_logits), full_logits,
-                               atol=5e-3, rtol=1e-2)
+                               atol=1e-4, rtol=1e-3)
