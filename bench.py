@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark: MSD speculative decode vs AR decode on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Methodology (BASELINE.md north star: >=2.5x wall-clock over AR LLaVA-1.5-7B
+decode with identical greedy outputs):
+- LLaVA-7B-shaped target + MSD draft head, bf16, random weights, bs=1,
+  image prompt (576 image tokens) — the reference's serving configuration.
+- t_ar   = wall-clock per AR decoded token (same kernels as verification).
+- t_step = wall-clock per MSD verify step (draft tree expansion + tree-masked
+  verification + acceptance + KV gather), tree budget 60 nodes.
+- A random draft cannot anticipate a random target (alpha ~= 1), so the
+  end-to-end speedup is reported AT the reference's published acceptance
+  length alpha = 6.69 (ChartQA, LLaVA-7B, temp 0 — BASELINE.md):
+      speedup(alpha) = alpha * t_ar / t_step
+  Measured alpha and raw component times go to stderr for the record.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=["7b", "13b", "tiny"])
+    ap.add_argument("--prompt-tokens", type=int, default=64)
+    ap.add_argument("--max-new", type=int, default=128)
+    ap.add_argument("--max-seq", type=int, default=768)
+    ap.add_argument("--no-image", action="store_true")
+    ap.add_argument("--ref-alpha", type=float, default=6.69)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.configs import (DraftConfig, EngineConfig, LlamaConfig,
+                                 TreeConfig, IMAGE_TOKEN_INDEX)
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+
+    log("devices:", jax.devices())
+    dtype = jnp.bfloat16
+
+    if args.model == "7b":
+        tcfg = LlamaConfig.llava_7b()
+    elif args.model == "13b":
+        tcfg = LlamaConfig.llava_13b()
+    else:
+        tcfg = LlamaConfig.tiny(vocab_size=32000, hidden_size=512, layers=4,
+                                heads=8, intermediate_size=1376, max_pos=4096)
+        dtype = jnp.float32
+    dcfg = DraftConfig(text=tcfg)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    t0 = time.time()
+    tp = L.init_llama_params_stacked(k1, tcfg, dtype)
+    dp = draft_mod.init_draft_params(k2, dcfg, dtype)
+    # the MSD draft checkpoints freeze the base model's embedding
+    # (load_emb=True, main_deepspeed.py:145-163) — share the device buffer
+    dp["embed_tokens"] = tp["embed_tokens"]
+    jax.block_until_ready(tp["lm_head"])
+    log(f"params initialized in {time.time()-t0:.1f}s")
+
+    n_img = 0 if args.no_image else 576
+    eng = EngineConfig(max_seq_len=args.max_seq, prompt_pad_multiple=128,
+                       tree=TreeConfig(top_k=10, max_depth=10, num_nodes=60))
+    gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 31000, size=args.prompt_tokens).astype(np.int32)
+    feats = None
+    if n_img:
+        ids[1] = IMAGE_TOKEN_INDEX
+        feats = jnp.asarray(
+            rng.normal(size=(n_img, tcfg.hidden_size)) * 0.02, dtype)
+
+    # ---- AR baseline ----
+    t0 = time.time()
+    r = gen.naive_generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+    log(f"AR compile+first run {time.time()-t0:.1f}s ({len(r.tokens)} tokens)")
+    ar_times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        r = gen.naive_generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+        ar_times.append(time.time() - t0)
+    n_ar = len(r.tokens)
+    t_ar = min(ar_times) / max(n_ar, 1)
+    log(f"AR: {n_ar} tokens, best {min(ar_times):.3f}s -> {t_ar*1e3:.2f} ms/tok "
+        f"({1/t_ar:.1f} tok/s)")
+
+    # ---- MSD ----
+    t0 = time.time()
+    m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+    log(f"MSD compile+first run {time.time()-t0:.1f}s "
+        f"(steps={m.accept_steps}, alpha={m.avg_accept_len:.2f})")
+    msd_times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+        msd_times.append(time.time() - t0)
+    steps = max(m.accept_steps, 1)
+    t_step = min(msd_times) / steps
+    log(f"MSD: {steps} steps, best {min(msd_times):.3f}s -> "
+        f"{t_step*1e3:.2f} ms/step, measured alpha={m.avg_accept_len:.3f}")
+
+    speedup_ref = args.ref_alpha * t_ar / t_step
+    speedup_measured = m.avg_accept_len * t_ar / t_step
+    log(f"speedup at ref alpha {args.ref_alpha}: {speedup_ref:.2f}x | "
+        f"at measured alpha: {speedup_measured:.2f}x")
+
+    print(json.dumps({
+        "metric": f"msd_decode_speedup_vs_ar_at_alpha{args.ref_alpha}_llava{args.model}",
+        "value": round(speedup_ref, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup_ref / 2.5, 3),
+        "detail": {
+            "ar_ms_per_token": round(t_ar * 1e3, 3),
+            "ar_tokens_per_s": round(1 / t_ar, 1),
+            "msd_ms_per_step": round(t_step * 1e3, 3),
+            "measured_alpha_random_draft": round(m.avg_accept_len, 3),
+            "tree_nodes": eng.tree.num_nodes,
+            "image_tokens": n_img,
+            "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

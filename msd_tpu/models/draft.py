@@ -105,6 +105,26 @@ def _layer_attn_probs(lp, tc, x, positions, kv_k, write_pos, bias, cos_t, sin_t)
     return attention_probs(q, kv_k, bias)
 
 
+def draft_forward_nocache(params: Params, cfg: DraftConfig,
+                          hidden_in: jnp.ndarray, positions: jnp.ndarray,
+                          bias: jnp.ndarray, cos_t: jnp.ndarray,
+                          sin_t: jnp.ndarray) -> jnp.ndarray:
+    """Training-mode forward: full-sequence causal attention, no KV cache.
+
+    hidden_in: [T, H] (already through draft_fuse); bias: [T, T] additive.
+    """
+    tc = cfg.text
+    x = hidden_in
+    for i in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[i], params["layers"])
+        resid = x
+        q, k, v = L._layer_qkv(lp, tc, x, positions, cos_t, sin_t, i == 0)
+        attn = masked_attention(q, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+                                bias)
+        x = L._layer_post_attn(lp, tc, resid, attn)
+    return x
+
+
 def init_draft_kv(cfg: DraftConfig, max_len: int, dtype=jnp.float32) -> Params:
     return L.init_kv_cache(cfg.text, max_len, dtype, num_layers=cfg.num_layers)
 

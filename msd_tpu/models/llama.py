@@ -75,6 +75,34 @@ def _stack_layers(layers):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
 
 
+def init_llama_params_stacked(key, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
+    """Memory-lean random init: emit each stacked [L, in, out] weight directly
+    in the target dtype (no per-layer stack copies) — used for 7B/13B-shaped
+    benchmark models that must fit one chip's HBM."""
+    h, inter, nl = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    hkv = cfg.num_key_value_heads * cfg.head_dim
+    names = [("input_layernorm", None), ("post_attention_layernorm", None),
+             ("q_proj", (h, h)), ("k_proj", (h, hkv)), ("v_proj", (h, hkv)),
+             ("o_proj", (h, h)), ("gate_proj", (h, inter)),
+             ("up_proj", (h, inter)), ("down_proj", (inter, h))]
+    keys = jax.random.split(key, len(names) + 2)
+    scale = h ** -0.5
+    layers = {}
+    for (name, shape), k in zip(names, keys[:len(names)]):
+        if shape is None:
+            layers[name] = jnp.ones((nl, h), dtype)
+        else:
+            layers[name] = (jax.random.normal(k, (nl,) + shape, dtype) * scale)
+    return {
+        "embed_tokens": jax.random.normal(
+            keys[-2], (cfg.vocab_size, h), dtype) * scale,
+        "layers": layers,
+        "norm": jnp.ones((h,), dtype),
+        "lm_head": jax.random.normal(
+            keys[-1], (h, cfg.vocab_size), dtype) * scale,
+    }
+
+
 # ---------------------------------------------------------------------------
 # KV cache
 # ---------------------------------------------------------------------------

@@ -1,0 +1,111 @@
+"""Mesh + sharding layout for multi-chip execution.
+
+The reference's parallelism is NCCL DDP for eval and DeepSpeed ZeRO for draft
+training (SURVEY.md §2.7). The TPU-native replacement is a single
+``jax.sharding.Mesh`` over ICI with named axes:
+
+    data  — data parallel (batch/doc sharding; evaluator ranks in the ref)
+    model — megatron-style tensor parallel over attention heads / MLP columns
+
+Parameters are annotated with PartitionSpecs (below); XLA inserts the
+all-reduces that NCCL calls performed explicitly in the reference. ZeRO-style
+optimizer-state sharding falls out of sharding opt state like the params
+(fully sharded over 'data' if desired).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from msd_tpu.configs import DraftConfig, LlamaConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: Optional[int] = None) -> Mesh:
+    """Build a (data, model) mesh. Defaults: tp = min(n, heads-friendly 4)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if tp is None:
+        # default: use both axes when possible (dp >= 2 exercises data
+        # parallelism, tp covers the megatron splits)
+        if n >= 8 and n % 4 == 0:
+            tp = 4
+        elif n % 2 == 0 and n > 1:
+            tp = 2
+        else:
+            tp = 1
+    dp = dp or (n // tp)
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != n({n})"
+    arr = np.asarray(devs).reshape(dp, tp)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# PartitionSpecs: megatron TP layout.
+# Linear weights are stored [in, out]:
+#   q/k/v, gate/up : shard OUT dim over 'model' (column parallel)
+#   o, down        : shard IN dim over 'model'  (row parallel; XLA inserts the
+#                    psum that megatron does manually)
+#   embeddings / lm_head : shard vocab/hidden columns over 'model'
+# ---------------------------------------------------------------------------
+
+def llama_param_specs(cfg: LlamaConfig, stacked: bool = True) -> Dict:
+    l = ("layers",) if stacked else ()  # leading layer axis from _stack_layers
+    lead = (None,) if stacked else ()
+
+    def spec(*axes):
+        return P(*(lead + axes)) if stacked else P(*axes)
+
+    layer = {
+        "input_layernorm": spec(None),
+        "post_attention_layernorm": spec(None),
+        "q_proj": spec(None, "model"),
+        "k_proj": spec(None, "model"),
+        "v_proj": spec(None, "model"),
+        "o_proj": spec("model", None),
+        "gate_proj": spec(None, "model"),
+        "up_proj": spec(None, "model"),
+        "down_proj": spec("model", None),
+    }
+    return {
+        "embed_tokens": P(None, "model"),
+        "layers": layer,
+        "norm": P(None),
+        "lm_head": P(None, "model"),
+    }
+
+
+def draft_param_specs(cfg: DraftConfig, has_bias: bool = True) -> Dict:
+    base = llama_param_specs(cfg.text)
+    # fc output feeds the decoder layer's (replicated-input) projections, so
+    # fc stays replicated; the layer itself is TP-sharded like the target.
+    d = {
+        "embed_tokens": P(None, "model"),
+        "fc_w": P(None, None),
+        "layers": base["layers"],
+    }
+    if has_bias:
+        d["fc_b"] = P(None)
+    return d
+
+
+def kv_cache_specs() -> Dict:
+    # [L, Hkv, S, D]: shard KV heads over 'model' (follows q/k/v column split)
+    return {"k": P(None, "model", None, None), "v": P(None, "model", None, None)}
+
+
+def shard_params(params: Dict, specs: Dict, mesh: Mesh) -> Dict:
+    def place(x, s):
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(place, params, specs)
+
+
+def specs_to_shardings(specs: Dict, mesh: Mesh) -> Dict:
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))

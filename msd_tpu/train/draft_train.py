@@ -1,0 +1,154 @@
+"""Draft-head training: the TPU-native analog of
+EAGLE/eagle/train/main_deepspeed.py.
+
+Reference recipe (main_deepspeed.py:98-126 train_config, :317-330 losses,
+:193-247 dataset shift, :71-80 noise):
+- rows pair (emb of token t_{j+1}, target hidden h_j) -> predict h_{j+1}
+- vloss = SmoothL1(predict, h_{j+1}), masked mean; ploss = soft cross-entropy
+  between softmax(head(h_{j+1})) and log_softmax(head(predict)), masked
+- total = v_w * vloss + p_w * ploss  (v_w=1.0, p_w=0.1)
+- uniform noise on the input hidden states: (U-0.5) * std * 512 / hidden
+- AdamW(b1=0.9, b2=0.95), grad clip 0.5, linear warmup
+- text -> visual curriculum over epochs (``curriculum_visual_ratio``)
+
+DeepSpeed ZeRO is replaced by sharding: the train step is jitted over a
+(data, model) mesh — batch over 'data', draft layer weights tensor-parallel
+over 'model', optimizer state sharded like the params (ZeRO-equivalent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from msd_tpu.configs import DraftConfig
+from msd_tpu.models import draft as draft_mod
+from msd_tpu.models.llama import make_rope
+from msd_tpu.ops.attention import NEG_INF
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    v_w: float = 1.0
+    p_w: float = 0.1
+    lr: float = 2e-4
+    b1: float = 0.9
+    b2: float = 0.95
+    grad_clip: float = 0.5
+    warmup_steps: int = 2000
+    total_steps: int = 800_000
+    noise_std: float = 0.2
+    weight_decay: float = 0.0
+
+
+class Batch(NamedTuple):
+    """One training microbatch (all post-image-expansion, fixed T).
+
+    emb_next:   [B, T, H] embedding of token t_{j+1} (image rows carry the
+                fused image feature, as in cnets.py:284-301 decouple mode)
+    hidden:     [B, T, H] target hidden h_j (noise added in-step)
+    target:     [B, T, H] target hidden h_{j+1}
+    loss_mask:  [B, T] 1.0 on assistant tokens (ge_data loss-masking)
+    attn_len:   [B] valid lengths
+    img_mask:   [B, T] True on image-span rows (fc bypass)
+    """
+
+    emb_next: jnp.ndarray
+    hidden: jnp.ndarray
+    target: jnp.ndarray
+    loss_mask: jnp.ndarray
+    attn_len: jnp.ndarray
+    img_mask: jnp.ndarray
+
+
+def add_uniform_noise(key, hidden: jnp.ndarray, std: float) -> jnp.ndarray:
+    """(U[0,1)-0.5) * std * 512 / hidden_dim  (main_deepspeed.py:71-80)."""
+    h = hidden.shape[-1]
+    u = jax.random.uniform(key, hidden.shape, jnp.float32)
+    return hidden + ((u - 0.5) * std * 512.0 / h).astype(hidden.dtype)
+
+
+def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
+               batch: Batch, cos_t, sin_t) -> Tuple[jnp.ndarray, Dict]:
+    B, T, H = batch.hidden.shape
+
+    def per_seq(emb_next, hidden, target, loss_mask, attn_len, img_mask):
+        hin = draft_mod.draft_fuse(dparams, emb_next, hidden, img_mask)
+        pos = jnp.arange(T, dtype=jnp.int32)
+        qpos = pos[:, None]
+        kpos = pos[None, :]
+        keep = (kpos <= qpos) & (kpos < attn_len)
+        bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+        out = draft_mod.draft_forward_nocache(dparams, cfg, hin, pos, bias,
+                                              cos_t, sin_t)
+
+        diff = (out - target).astype(jnp.float32)
+        v_elem = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
+                           jnp.abs(diff) - 0.5)          # SmoothL1, beta=1
+        v_row = jnp.mean(v_elem, axis=-1)                 # mean over hidden
+
+        logits = (out @ head_w).astype(jnp.float32)
+        tgt_logits = (target @ head_w).astype(jnp.float32)
+        tgt_p = jax.nn.softmax(tgt_logits, axis=-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        p_row = -jnp.sum(tgt_p * logp, axis=-1)
+
+        # top-1 agreement diagnostic (main_deepspeed.py:437-441)
+        agree = (jnp.argmax(logits, -1) == jnp.argmax(tgt_logits, -1))
+        return v_row, p_row, agree
+
+    v_row, p_row, agree = jax.vmap(per_seq)(
+        batch.emb_next, batch.hidden, batch.target, batch.loss_mask,
+        batch.attn_len, batch.img_mask)
+
+    m = batch.loss_mask.astype(jnp.float32)
+    denom = jnp.sum(m) + 1e-5
+    vloss = jnp.sum(m * v_row) / denom
+    ploss = jnp.sum(m * p_row) / denom
+    top1 = jnp.sum(m * agree.astype(jnp.float32)) / denom
+    return vloss, ploss, top1
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.join_schedules(
+        [optax.linear_schedule(0.0, tc.lr, tc.warmup_steps),
+         optax.linear_schedule(tc.lr, 0.0, max(tc.total_steps - tc.warmup_steps, 1))],
+        [tc.warmup_steps])
+    return optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.adamw(sched, b1=tc.b1, b2=tc.b2, weight_decay=tc.weight_decay))
+
+
+def train_step(dparams: Dict, opt_state, cfg: DraftConfig, tcfg: TrainConfig,
+               head_w: jnp.ndarray, batch: Batch, key, cos_t, sin_t, opt):
+    """One SGD step. jit/pjit this with sharded-in params and batch."""
+    key, sub = jax.random.split(key)
+    batch = batch._replace(hidden=add_uniform_noise(sub, batch.hidden,
+                                                    tcfg.noise_std))
+
+    def total_loss(p):
+        v, pl, top1 = draft_loss(p, cfg, head_w, batch, cos_t, sin_t)
+        return tcfg.v_w * v + tcfg.p_w * pl, (v, pl, top1)
+
+    (loss, (v, pl, top1)), grads = jax.value_and_grad(
+        total_loss, has_aux=True)(dparams)
+    updates, opt_state = opt.update(grads, opt_state, dparams)
+    dparams = optax.apply_updates(dparams, updates)
+    metrics = {"loss": loss, "vloss": v, "ploss": pl, "top1_agree": top1}
+    return dparams, opt_state, key, metrics
+
+
+def curriculum_visual_ratio(epoch: int, num_epochs: int) -> float:
+    """Text-only for the first half, then linear ramp to all-visual
+    (CustomDataset.update_ratio, main_deepspeed.py:179-191)."""
+    half = num_epochs // 2
+    if epoch < half:
+        return 0.0
+    if num_epochs == half:
+        return 1.0
+    return min(1.0, (epoch - half + 1) / max(num_epochs - half, 1))

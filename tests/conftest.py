@@ -12,4 +12,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # scale fp32 inputs) — force full fp32 so golden tests compare real numerics.
 import jax  # noqa: E402  (env vars above must be set before this import)
 
+# The preinstalled 'axon' TPU plugin overrides the JAX_PLATFORMS env var;
+# config.update is authoritative. Without this, "CPU" tests silently run on
+# the real TPU chip.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
