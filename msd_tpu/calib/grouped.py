@@ -187,7 +187,7 @@ class GroupedIsotonicCalibrator:
             return pickle.load(f)
 
     # ---------------- device export ----------------
-    def export_tables(self, n_breakpoints: int = 64) -> Dict[str, np.ndarray]:
+    def export_tables(self, n_breakpoints: int = 512) -> Dict[str, np.ndarray]:
         """Dense lookup tables for device-side prediction.
 
         table[t, a, p, m, b] = clip(resolved_calibrator(conf_b)) at

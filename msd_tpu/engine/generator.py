@@ -29,6 +29,7 @@ class GenResult:
     accept_steps: int = 0
     accept_len_sum: int = 0     # sum of tokens-per-step over verify steps
     alpha_hist: Optional[np.ndarray] = None
+    calib_data: Optional[Dict] = None  # per-node features when collecting
 
     @property
     def avg_accept_len(self) -> float:
@@ -52,10 +53,19 @@ class MSDGenerator:
         self.sp = sp
         self._eng_dtype = jax.tree.leaves(target_params)[0].dtype
 
-    def _statics(self, max_new: int, sp: SamplingParams) -> SE.Statics:
+    def _statics(self, max_new: int, sp: SamplingParams,
+                 use_calibration: bool = False,
+                 collect_calibration: bool = False) -> SE.Statics:
         return SE.Statics(tcfg=self.tcfg, dcfg=self.dcfg, tree=self.eng.tree,
                           eng=self.eng, sp=sp, n_img=self.n_img,
-                          eos_id=self.eos_id, max_new=max_new)
+                          eos_id=self.eos_id, max_new=max_new,
+                          use_calibration=use_calibration,
+                          collect_calibration=collect_calibration)
+
+    def set_calibrator(self, tables) -> None:
+        """Install device CalibTables (msd_tpu.calib.device.CalibTables)."""
+        self.params = dict(self.params)
+        self.params["calib"] = tables
 
     def _pad(self, ids: np.ndarray) -> np.ndarray:
         m = self.eng.prompt_pad_multiple
@@ -70,12 +80,20 @@ class MSDGenerator:
 
     def generate(self, ids: np.ndarray, img_feats: Optional[jnp.ndarray] = None,
                  max_new_tokens: Optional[int] = None, seed: int = 0,
-                 sp: Optional[SamplingParams] = None) -> GenResult:
-        """Speculative (MSD) generation; lossless wrt the target model."""
+                 sp: Optional[SamplingParams] = None,
+                 use_calibration: bool = False,
+                 collect_calibration: bool = False) -> GenResult:
+        """Speculative (MSD) generation; lossless wrt the target model.
+
+        use_calibration: calibrated tree rerank (set_calibrator first).
+        collect_calibration: return per-node calibration features/labels.
+        """
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
-        st = self._statics(max_new, sp)
+        if use_calibration and "calib" not in self.params:
+            raise ValueError("set_calibrator() before use_calibration=True")
+        st = self._statics(max_new, sp, use_calibration, collect_calibration)
         padded = jnp.asarray(self._pad(ids))
         key = jax.random.PRNGKey(seed)
         state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
@@ -86,9 +104,15 @@ class MSDGenerator:
         cur = int(state.cur_len)
         out = np.asarray(state.ids[e0:cur + 1])
         out = _trim(out, self.eos_id, max_new)
+        calib_data = None
+        if collect_calibration:
+            n_steps = int(state.steps)
+            calib_data = {k: np.asarray(v[:n_steps])
+                          for k, v in state.calib_log.items()}
         return GenResult(tokens=out, accept_steps=int(state.steps),
                          accept_len_sum=int(state.acc_sum),
-                         alpha_hist=np.asarray(state.alpha_hist))
+                         alpha_hist=np.asarray(state.alpha_hist),
+                         calib_data=calib_data)
 
     def naive_generate(self, ids: np.ndarray,
                        img_feats: Optional[jnp.ndarray] = None,

@@ -59,6 +59,10 @@ class Statics:
     n_img: int          # 0 (text-only) or vision.num_patches (e.g. 576)
     eos_id: int
     max_new: int
+    # calibrated tree construction (params must carry a "calib" CalibTables)
+    use_calibration: bool = False
+    # record per-node calibration features/labels each step (training phase)
+    collect_calibration: bool = False
 
     @property
     def s_target(self) -> int:
@@ -89,15 +93,71 @@ class EngineState(NamedTuple):
     alpha_hist: jnp.ndarray     # [16] histogram of tokens-per-step
     done: jnp.ndarray
     key: jnp.ndarray
+    img_pos: jnp.ndarray        # placeholder index (= image span start)
+    attn_feat: jnp.ndarray      # [TOP_K] visual-attention intensity per child
+    #                             slot from the latest draft prefix forward
+    #                             (cnets.py:516-575 candidate_idx semantics)
+    calib_log: Dict             # {} or fixed [max_new, N] feature/label buffers
 
 
 # ---------------------------------------------------------------------------
 # Draft tree expansion (OPT-Tree + early stop), all on device
 # ---------------------------------------------------------------------------
 
+def _attn_feature_vec(st: Statics, attn_probs: jnp.ndarray,
+                      img_pos: jnp.ndarray, valid_rows: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """[TOP_K] mean attention of row child_idx over the image span.
+
+    attn_probs: [Hq, T, S] from the draft prefix/suffix forward. Faithful to
+    cnets.py:516-575: candidate_idx indexes ROWS of the latest prefix forward
+    (rows beyond the valid length give 0.0), span = [img_pos-1, img_pos-1+n_img).
+    """
+    K = st.tree.top_k
+    n_img = max(st.n_img, 1)
+    mean_h = jnp.mean(attn_probs, axis=0)               # [T, S]
+    t_rows = mean_h.shape[0]
+    span = jax.lax.dynamic_slice(
+        mean_h, (0, jnp.maximum(img_pos - 1, 0)), (t_rows, n_img))
+    row_mean = jnp.mean(span, axis=1)                   # [T]
+    k_idx = jnp.arange(K)
+    vals = row_mean[jnp.minimum(k_idx, t_rows - 1)]
+    ok = (k_idx < valid_rows) & (k_idx < t_rows) & (st.n_img > 0)
+    return jnp.where(ok, vals, 0.0).astype(jnp.float32)
+
+
+def _rerank(st: Statics, params: Dict, logits: jnp.ndarray,
+            cand_ids: jnp.ndarray, cand_probs: jnp.ndarray,
+            attn_feat: jnp.ndarray, depth: jnp.ndarray):
+    """Calibrated in-place rerank of per-row candidate sets.
+
+    logits/cand_ids/cand_probs: [R, V] / [R, K] / [R, K]. Implements
+    cnets.py:1286-1339: calibrated logit bias scatter-added at the candidate
+    ids, re-softmax, reselect K within each row's candidate set.
+    Returns (new_ids, new_probs, margin_row).
+    """
+    from msd_tpu.calib.device import calibration_bias
+
+    R, K = cand_ids.shape
+    ct = params["calib"]
+    margin_row = cand_probs[:, 0] - cand_probs[:, 1]            # [R]
+    bias = calibration_bias(
+        ct, cand_ids.reshape(-1), cand_probs.reshape(-1),
+        jnp.tile(attn_feat[:K], (R,)),
+        jnp.full((R * K,), depth, jnp.int32),
+        jnp.repeat(margin_row, K)).reshape(R, K)
+    rows = jnp.arange(R)[:, None]
+    logits_c = logits.at[rows, cand_ids].add(bias.astype(logits.dtype))
+    probs_c = jax.nn.softmax(logits_c.astype(jnp.float32), axis=-1)
+    scores = jnp.take_along_axis(probs_c, cand_ids, axis=1)     # [R, K]
+    new_scores, order = jax.lax.top_k(scores, K)
+    new_ids = jnp.take_along_axis(cand_ids, order, axis=1)
+    return new_ids, new_scores, margin_row
+
+
 def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
                   last_hidden: jnp.ndarray, root_token: jnp.ndarray,
-                  cos_t, sin_t) -> Tuple[Tree, Dict]:
+                  cos_t, sin_t, attn_feat: jnp.ndarray) -> Tuple[Tree, Dict]:
     """Expand the draft tree from the last draft hidden state.
 
     Mirrors cnets.py:1066-1427: layer 0 = top-k of head(last_hidden); depth
@@ -117,10 +177,26 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
     logits0 = (last_hidden @ head).astype(jnp.float32)
     probs0 = jax.nn.softmax(logits0)
     w0, ids0 = jax.lax.top_k(probs0, K)
+    margin0 = w0[0] - w0[1]
+    if st.use_calibration:
+        ids0_r, w0_r, _ = _rerank(st, params, logits0[None],
+                                  ids0[None].astype(jnp.int32), w0[None],
+                                  attn_feat, jnp.int32(1))
+        ids0, w0 = ids0_r[0], w0_r[0]
 
     wm = jnp.zeros((D, K), jnp.float32).at[0].set(w0)
     tm = jnp.zeros((D, K), jnp.int32).at[0].set(ids0.astype(jnp.int32))
     pm = jnp.zeros((D, K), jnp.int32).at[0].set(jnp.arange(K, dtype=jnp.int32))
+
+    collect = st.collect_calibration
+    if collect:
+        ex = {
+            "local_conf": jnp.zeros((D, K), jnp.float32).at[0].set(w0),
+            "attn": jnp.zeros((D, K), jnp.float32).at[0].set(attn_feat[:K]),
+            "margin": jnp.zeros((D, K), jnp.float32).at[0].set(margin0),
+        }
+    else:
+        ex = {"local_conf": jnp.zeros((0, 0), jnp.float32)}
 
     frontier_tok = ids0.astype(jnp.int32)
     frontier_hid = jnp.broadcast_to(last_hidden, (K,) + last_hidden.shape)
@@ -130,7 +206,7 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
         return (layer < D) & (~stop)
 
     def body(c):
-        wm, tm, pm, layer, s_prev, stop, use_depth, f_tok, f_hid, dkv, _ = c
+        wm, tm, pm, layer, s_prev, stop, use_depth, f_tok, f_hid, dkv, ex = c
         d = layer - 1  # scratch slot of the frontier being forwarded
         emb = dp["embed_tokens"][f_tok]
         hin = draft_mod.draft_fuse(dp, emb, f_hid)
@@ -147,14 +223,27 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
         logits = (out @ head).astype(jnp.float32)          # [K, V]
         probs = jax.nn.softmax(logits, axis=-1)
         cw, cid = jax.lax.top_k(probs, K)                  # [K, K]
+        margin_row = cw[:, 0] - cw[:, 1]
+        if st.use_calibration:
+            cid, cw, margin_row = _rerank(st, params, logits,
+                                          cid.astype(jnp.int32), cw,
+                                          attn_feat, layer + 1)
         pathw = wm[layer - 1][:, None] * cw
         gw, gidx = jax.lax.top_k(pathw.reshape(-1), K)
         sel_tok = cid.reshape(-1)[gidx].astype(jnp.int32)
         sel_par = (gidx // K).astype(jnp.int32)
+        sel_slot = (gidx % K).astype(jnp.int32)
 
         wm = wm.at[layer].set(gw)
         tm = tm.at[layer].set(sel_tok)
         pm = pm.at[layer].set(sel_par)
+        if collect:
+            ex = {
+                "local_conf": ex["local_conf"].at[layer].set(
+                    cw.reshape(-1)[gidx]),
+                "attn": ex["attn"].at[layer].set(attn_feat[sel_slot]),
+                "margin": ex["margin"].at[layer].set(margin_row[sel_par]),
+            }
 
         # early stop on weight-sum increment over layers [0, layer)
         row = jnp.arange(D)[:, None]
@@ -165,25 +254,27 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
 
         f_hid2 = out[sel_par]
         return (wm, tm, pm, layer + 1, s_now, stop2, use_depth2,
-                sel_tok, f_hid2, dkv, jnp.int32(0))
+                sel_tok, f_hid2, dkv, ex)
 
     init = (wm, tm, pm, jnp.int32(1), jnp.float32(0.0), jnp.bool_(False),
-            jnp.int32(D), frontier_tok, frontier_hid, draft_kv, jnp.int32(0))
-    wm, tm, pm, _, _, _, use_depth, _, _, draft_kv, _ = \
+            jnp.int32(D), frontier_tok, frontier_hid, draft_kv, ex)
+    wm, tm, pm, _, _, _, use_depth, _, _, draft_kv, ex = \
         jax.lax.while_loop(cond, body, init)
 
-    tr = tree_mod.finalize_tree(t, root_token, wm, tm, pm, use_depth)
+    tr = tree_mod.finalize_tree(t, root_token, wm, tm, pm, use_depth,
+                                extra_mats=ex if collect else None)
     return tr, draft_kv
 
 
 def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
                           draft_len: jnp.ndarray, suffix_tokens: jnp.ndarray,
                           suffix_hidden: jnp.ndarray, suffix_len: jnp.ndarray,
-                          last_hidden_prev: jnp.ndarray, cos_t, sin_t):
+                          last_hidden_prev: jnp.ndarray, cos_t, sin_t,
+                          img_pos: jnp.ndarray, attn_feat_prev: jnp.ndarray):
     """Extend the draft stable KV with the accepted rows (cnets.py:998-1047).
 
     Always runs MAX_PATH rows (suffix_len of them valid). Returns
-    (last_hidden, dkv, new_draft_len).
+    (last_hidden, dkv, new_draft_len, attn_feat).
     """
     dp = params["draft"]
     P = st.tree.max_path_len
@@ -194,11 +285,20 @@ def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
     kpos = jnp.arange(st.s_draft)[None, :]
     keep = kpos <= pos[:, None]
     bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
-    out, dkv = draft_mod.draft_forward(dp, st.dcfg, hin, pos, dkv, draft_len,
-                                       bias, cos_t, sin_t)
+    need_attn = st.use_calibration or st.collect_calibration
+    if need_attn:
+        out, dkv, attn_p = draft_mod.draft_forward(
+            dp, st.dcfg, hin, pos, dkv, draft_len, bias, cos_t, sin_t,
+            return_attn=True)
+        attn_new = _attn_feature_vec(st, attn_p, img_pos, suffix_len)
+        attn_feat = jnp.where(suffix_len > 0, attn_new, attn_feat_prev)
+    else:
+        out, dkv = draft_mod.draft_forward(dp, st.dcfg, hin, pos, dkv,
+                                           draft_len, bias, cos_t, sin_t)
+        attn_feat = attn_feat_prev
     idx = jnp.maximum(suffix_len - 1, 0)
     last_hidden = jnp.where(suffix_len > 0, out[idx], last_hidden_prev)
-    return last_hidden, dkv, draft_len + suffix_len
+    return last_hidden, dkv, draft_len + suffix_len, attn_feat
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +323,47 @@ def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
         probs = jax.nn.softmax(process_logits(logits, st.sp), axis=-1)
         key, sub = jax.random.split(key)
         best, acc_len, next_tok = tree_mod.evaluate_sampling(tr, probs, sub)
-    return hidden, target_kv, best, acc_len, next_tok, key
+    return hidden, target_kv, best, acc_len, next_tok, key, logits
+
+
+def _collect_step(st: Statics, state: EngineState, tr: Tree,
+                  logits: jnp.ndarray, best, acc_len) -> Dict:
+    """Record per-node calibration features + labels for this verify step.
+
+    TPU-native replacement for the reference's per-parent-path base-model
+    re-forwards (cnets.py:577-716): the verify pass already computed the
+    target's conditional distribution at every tree node, so base_confidence /
+    base_top1 / base_margin come from ``logits[parent]`` for free. (Scope
+    difference, documented: features are collected for the ~num_nodes tree
+    nodes rather than every explored preselect candidate.)
+    """
+    N = st.tree.num_nodes
+    p_node = jax.nn.softmax(logits, axis=-1)                   # [N, V] f32
+    top2, _ = jax.lax.top_k(p_node, 2)                         # [N, 2]
+    argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    par = tr.parents
+    tok = jnp.maximum(tr.tokens, 0)
+    base_conf = p_node[par, tok]
+    base_top1 = (argmax_tok[par] == tr.tokens).astype(jnp.int32)
+    base_margin = (top2[par, 0] - top2[par, 1]).astype(jnp.float32)
+
+    path = tr.retrieve[best]
+    slot = jnp.arange(st.tree.max_path_len)
+    on_path = jnp.zeros((N,), jnp.bool_).at[jnp.maximum(path, 0)].set(
+        (slot <= acc_len) & (path >= 0))
+    accept = on_path.astype(jnp.int32)
+
+    i = state.steps
+    log = state.calib_log
+    row = {
+        "token": tr.tokens, "depth": tr.positions.astype(jnp.int32),
+        "draft_conf": tr.extras["local_conf"],
+        "attn": tr.extras["attn"], "margin": tr.extras["margin"],
+        "base_conf": base_conf.astype(jnp.float32), "base_top1": base_top1,
+        "base_margin": base_margin, "accept": accept,
+        "valid": (tr.valid & (jnp.arange(N) > 0)).astype(jnp.int32),
+    }
+    return {k: log[k].at[i].set(v) for k, v in row.items()}
 
 
 def _commit(st: Statics, state: EngineState, tr: Tree, hidden: jnp.ndarray,
@@ -244,8 +384,8 @@ def _commit(st: Statics, state: EngineState, tr: Tree, hidden: jnp.ndarray,
     src = E + pc
 
     def gather_commit(a):
-        g = jnp.take(a, src, axis=2)            # [L, Hkv, P, D]
-        return jax.lax.dynamic_update_slice(a, g, (0, 0, E, 0))
+        g = jnp.take(a, src, axis=1)            # [L, P, Hkv, D]
+        return jax.lax.dynamic_update_slice(a, g, (0, E, 0, 0))
 
     target_kv = {"k": gather_commit(target_kv["k"]),
                  "v": gather_commit(target_kv["v"])}
@@ -330,15 +470,35 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
     dh_in = draft_mod.draft_fuse(dp, se, hidden, image_row_mask=img_next)
     d_bias = causal_prefill_bias(P_exp, st.s_draft)
     draft_kv = draft_mod.init_draft_kv(dcfg, st.s_draft, fused.dtype)
-    d_out, draft_kv = draft_mod.draft_forward(dp, dcfg, dh_in, positions,
-                                              draft_kv, jnp.int32(0), d_bias,
-                                              cos_t, sin_t)
+    need_attn = st.use_calibration or st.collect_calibration
+    if need_attn:
+        d_out, draft_kv, attn_p = draft_mod.draft_forward(
+            dp, dcfg, dh_in, positions, draft_kv, jnp.int32(0), d_bias,
+            cos_t, sin_t, return_attn=True)
+        attn_feat = _attn_feature_vec(st, attn_p, img_pos,
+                                      jnp.int32(P_exp))
+    else:
+        d_out, draft_kv = draft_mod.draft_forward(dp, dcfg, dh_in, positions,
+                                                  draft_kv, jnp.int32(0),
+                                                  d_bias, cos_t, sin_t)
+        attn_feat = jnp.zeros((st.tree.top_k,), jnp.float32)
     last_draft_hidden = d_out[E0 - 1]
 
     P = st.tree.max_path_len
     H = tcfg.hidden_size
     ids_buf = jnp.zeros((st.s_target,), jnp.int32)
     ids_buf = jax.lax.dynamic_update_slice(ids_buf, exp_ids[:P_exp], (0,))
+
+    if st.collect_calibration:
+        N, M = st.tree.num_nodes, st.max_new
+        f32 = lambda: jnp.zeros((M, N), jnp.float32)  # noqa: E731
+        i32 = lambda: jnp.zeros((M, N), jnp.int32)    # noqa: E731
+        calib_log = {"token": i32(), "depth": i32(), "draft_conf": f32(),
+                     "attn": f32(), "margin": f32(), "base_conf": f32(),
+                     "base_top1": i32(), "base_margin": f32(),
+                     "accept": i32(), "valid": i32()}
+    else:
+        calib_log = {}
 
     return EngineState(
         ids=ids_buf, cur_len=E0, bonus=bonus,
@@ -349,7 +509,8 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
         target_kv=target_kv, draft_kv=draft_kv, draft_len=E0,
         new_tokens=jnp.int32(0), steps=jnp.int32(0), acc_sum=jnp.int32(0),
         alpha_hist=jnp.zeros((16,), jnp.int32),
-        done=jnp.bool_(False), key=key)
+        done=jnp.bool_(False), key=key, img_pos=img_pos,
+        attn_feat=attn_feat, calib_log=calib_log)
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
@@ -361,15 +522,19 @@ def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
         return ~s.done
 
     def body(s: EngineState) -> EngineState:
-        last_hidden, dkv, dlen = _draft_suffix_forward(
+        last_hidden, dkv, dlen, attn_feat = _draft_suffix_forward(
             st, params, s.draft_kv, s.draft_len, s.suffix_tokens,
-            s.suffix_hidden, s.suffix_len, s.last_draft_hidden, cos_t, sin_t)
+            s.suffix_hidden, s.suffix_len, s.last_draft_hidden, cos_t, sin_t,
+            s.img_pos, s.attn_feat)
         tr, dkv = _draft_expand(st, params, dkv, dlen, last_hidden, s.bonus,
-                                cos_t, sin_t)
-        hidden, tkv, best, acc_len, next_tok, key = _verify(
+                                cos_t, sin_t, attn_feat)
+        hidden, tkv, best, acc_len, next_tok, key, logits = _verify(
             st, params, s.target_kv, s.cur_len, tr, s.key, cos_t, sin_t)
         s = s._replace(draft_kv=dkv, draft_len=dlen, target_kv=tkv, key=key,
-                       last_draft_hidden=last_hidden)
+                       last_draft_hidden=last_hidden, attn_feat=attn_feat)
+        if st.collect_calibration:
+            s = s._replace(calib_log=_collect_step(st, s, tr, logits, best,
+                                                   acc_len))
         return _commit(st, s, tr, hidden, tkv, best, acc_len, next_tok)
 
     state = jax.lax.while_loop(cond, body, state)

@@ -46,11 +46,14 @@ class Tree(NamedTuple):
     # bookkeeping for calibration features
     node_depth: jnp.ndarray   # [N] int32 == positions
     node_weight: jnp.ndarray  # [N] f32 OPT-Tree path weight (prob space)
+    extras: dict              # optional per-node f32 features gathered from
+    #                           [MAX_DEPTH, TOP_K] matrices (root slot = 0.0)
 
 
 def finalize_tree(cfg: TreeConfig, root_token: jnp.ndarray,
                   weight_mat: jnp.ndarray, token_mat: jnp.ndarray,
-                  parent_mat: jnp.ndarray, use_depth: jnp.ndarray) -> Tree:
+                  parent_mat: jnp.ndarray, use_depth: jnp.ndarray,
+                  extra_mats: dict | None = None) -> Tree:
     """Select top-``num_draft`` of the explored frontier and pack the tree.
 
     weight_mat/token_mat/parent_mat: [MAX_DEPTH, TOP_K]; use_depth: scalar —
@@ -118,9 +121,14 @@ def finalize_tree(cfg: TreeConfig, root_token: jnp.ndarray,
     valid = jnp.concatenate([jnp.ones((1,), jnp.bool_), sel_valid])
     node_w = jnp.concatenate([jnp.ones((1,), jnp.float32),
                               jnp.where(sel_valid, sel_w, 0.0)])
+    extras = {}
+    if extra_mats:
+        for name, mat in extra_mats.items():
+            vals = jnp.where(sel_valid, mat[sel_layer, sel_node].astype(jnp.float32), 0.0)
+            extras[name] = jnp.concatenate([jnp.zeros((1,), jnp.float32), vals])
     return Tree(tokens=tokens, parents=parents, mask=mask, positions=positions,
                 retrieve=retrieve, valid=valid, node_depth=positions,
-                node_weight=node_w)
+                node_weight=node_w, extras=extras)
 
 
 # ---------------------------------------------------------------------------

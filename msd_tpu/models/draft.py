@@ -68,7 +68,7 @@ def draft_forward(params: Params, cfg: DraftConfig, hidden_in: jnp.ndarray,
     """Run the draft decoder layer(s) over pre-fused hidden states.
 
     hidden_in: [T, H] (already through draft_fuse); kv: {'k','v'}
-    [num_layers, Hkv, S, D]. Layer 0 skips input_layernorm (EAGLE convention).
+    [num_layers, S, Hkv, D]. Layer 0 skips input_layernorm (EAGLE convention).
     Returns (hidden [T, H], new_kv[, attn_probs]) — attn_probs [Hq, T, S] from
     layer 0, used for visual-attention calibration features.
     """
@@ -100,8 +100,7 @@ def _layer_attn_probs(lp, tc, x, positions, kv_k, write_pos, bias, cos_t, sin_t)
     q = (h @ lp["q_proj"]).reshape(t, hq, d)
     k = (h @ lp["k_proj"]).reshape(t, hkv, d)
     q, k = apply_rope(q, k, cos_t, sin_t, positions)
-    k_upd = k.transpose(1, 0, 2)
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k_upd, (0, write_pos, 0))
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (write_pos, 0, 0))
     return attention_probs(q, kv_k, bias)
 
 
@@ -119,8 +118,7 @@ def draft_forward_nocache(params: Params, cfg: DraftConfig,
         lp = jax.tree.map(lambda a: a[i], params["layers"])
         resid = x
         q, k, v = L._layer_qkv(lp, tc, x, positions, cos_t, sin_t, i == 0)
-        attn = masked_attention(q, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-                                bias)
+        attn = masked_attention(q, k, v, bias)
         x = L._layer_post_attn(lp, tc, resid, attn)
     return x
 

@@ -2,9 +2,12 @@
 
 Design: pure functions over a parameter pytree (nested dicts), batch size 1
 (the reference engine is strictly bs=1: EAGLE/eagle/model/ea_model.py:235-400),
-one token axis. The KV cache is a preallocated [L, Hkv, S, D] pair written with
-``lax.dynamic_update_slice`` at a traced offset — the functional analog of the
-reference's in-place ``KVCache.cat`` (EAGLE/eagle/model/kv_cache.py:52-66).
+one token axis. The KV cache is a preallocated seq-major [L, S, Hkv, D] pair
+written with ``lax.dynamic_update_slice`` at a traced offset — the functional
+analog of the reference's in-place ``KVCache.cat``
+(EAGLE/eagle/model/kv_cache.py:52-66). Seq-major means new K/V rows are
+written untransposed, which keeps XLA from relayouting the stacked projection
+weights (3x1GB HLO-temp copies at 7B scale otherwise).
 
 Attention masking is an explicit additive bias argument so the exact same
 compiled attention serves prefill, AR decode and tree verification (the
@@ -110,7 +113,7 @@ def init_llama_params_stacked(key, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Para
 def init_kv_cache(cfg: LlamaConfig, max_seq_len: int, dtype=jnp.float32,
                   num_layers: int | None = None) -> Params:
     nl = cfg.num_hidden_layers if num_layers is None else num_layers
-    shape = (nl, cfg.num_key_value_heads, max_seq_len, cfg.head_dim)
+    shape = (nl, max_seq_len, cfg.num_key_value_heads, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -152,13 +155,13 @@ def _layer_forward(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
                    write_pos: jnp.ndarray, bias: jnp.ndarray,
                    cos_t: jnp.ndarray, sin_t: jnp.ndarray,
                    skip_input_norm: bool = False):
-    """One decoder layer. x: [T, H]; kv_k/kv_v: [Hkv, S, D]. Returns (x, k, v)."""
+    """One decoder layer. x: [T, H]; kv_k/kv_v: [S, Hkv, D]. Returns (x, k, v)."""
     resid = x
     q, k, v = _layer_qkv(lp, cfg, x, positions, cos_t, sin_t, skip_input_norm)
 
-    # write new K/V into the preallocated cache at write_pos
-    kv_k = jax.lax.dynamic_update_slice(kv_k, k.transpose(1, 0, 2), (0, write_pos, 0))
-    kv_v = jax.lax.dynamic_update_slice(kv_v, v.transpose(1, 0, 2), (0, write_pos, 0))
+    # write new K/V rows into the preallocated cache at write_pos (no transpose)
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (write_pos, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (write_pos, 0, 0))
 
     attn = masked_attention(q, kv_k, kv_v, bias)
     return _layer_post_attn(lp, cfg, resid, attn), kv_k, kv_v
@@ -171,7 +174,7 @@ def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
     """Run all decoder layers via lax.scan over the stacked layer params.
 
     embeds: [T, H] (already fused multimodal embeddings); positions: [T] int32;
-    kv: {'k','v'} [L, Hkv, S, D]; bias: [T, S]. Returns (hidden [T, H], new kv).
+    kv: {'k','v'} [L, S, Hkv, D]; bias: [T, S]. Returns (hidden [T, H], new kv).
 
     The KV cache rides the scan *carry* and is updated layer-by-layer with
     dynamic_update_slice, so XLA aliases the buffer across iterations instead
@@ -184,11 +187,11 @@ def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
         lp, li = scan_in
         resid = x
         q, k, v = _layer_qkv(lp, cfg, x, positions, cos_t, sin_t, False)
-        # window-write the new tokens' K/V straight into the 4D cache
+        # window-write the new tokens' K/V rows straight into the 4D cache
         kv_k_all = jax.lax.dynamic_update_slice(
-            kv_k_all, k.transpose(1, 0, 2)[None], (li, 0, write_pos, 0))
+            kv_k_all, k[None], (li, write_pos, 0, 0))
         kv_v_all = jax.lax.dynamic_update_slice(
-            kv_v_all, v.transpose(1, 0, 2)[None], (li, 0, write_pos, 0))
+            kv_v_all, v[None], (li, write_pos, 0, 0))
         kv_k = jax.lax.dynamic_index_in_dim(kv_k_all, li, 0, keepdims=False)
         kv_v = jax.lax.dynamic_index_in_dim(kv_v_all, li, 0, keepdims=False)
         attn = masked_attention(q, kv_k, kv_v, bias)

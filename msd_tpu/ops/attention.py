@@ -7,8 +7,11 @@ behavior through HF attention + a tree_mask side channel
 explicit argument, which is both jit-friendly and what makes greedy
 AR-vs-speculative bit-parity possible (same kernel, same reduction order).
 
-Layout choices for TPU: KV cache is [Hkv, S, D] with D=128 (lane dim) and S
-the tiled sublane dim; scores accumulate in fp32 on the MXU
+Layout choices for TPU: the KV cache is seq-major [S, Hkv, D] with D=128
+(lane dim), so newly-projected K/V rows [T, Hkv, D] are written with a plain
+dynamic_update_slice — no transposes on the matmul outputs (transposed
+outputs made XLA relayout the 1GB stacked q/k/v weight arrays into HLO-temp
+copies at 7B scale). Scores accumulate in fp32 on the MXU
 (preferred_element_type), softmax in fp32.
 """
 
@@ -22,22 +25,22 @@ NEG_INF = -1e30  # finite large-negative: avoids NaN from (-inf) - (-inf) rows
 
 def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                      bias: jnp.ndarray) -> jnp.ndarray:
-    """q: [T, Hq, D]; k, v: [Hkv, S, D]; bias: [T, S] additive (0 or NEG_INF).
+    """q: [T, Hq, D]; k, v: [S, Hkv, D]; bias: [T, S] additive (0 or NEG_INF).
 
     Supports GQA (Hq a multiple of Hkv). Returns [T, Hq, D] in q.dtype.
     """
     t, hq, d = q.shape
-    hkv, s, _ = k.shape
+    s, hkv, _ = k.shape
     group = hq // hkv
     scale = 1.0 / (d ** 0.5)
 
     qg = q.reshape(t, hkv, group, d)
     # scores: [Hkv, G, T, S] accumulated in fp32
-    scores = jnp.einsum("thgd,hsd->hgts", qg, k,
+    scores = jnp.einsum("thgd,shd->hgts", qg, k,
                         preferred_element_type=jnp.float32) * scale
     scores = scores + bias.astype(jnp.float32)[None, None, :, :]
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hgts,hsd->thgd", probs.astype(v.dtype), v,
+    out = jnp.einsum("hgts,shd->thgd", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
     return out.reshape(t, hq, d).astype(q.dtype)
 
@@ -49,11 +52,11 @@ def attention_probs(q: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
     image-token span; reference cnets.py:516-575 reads draft-layer attentions).
     """
     t, hq, d = q.shape
-    hkv, s, _ = k.shape
+    s, hkv, _ = k.shape
     group = hq // hkv
     scale = 1.0 / (d ** 0.5)
     qg = q.reshape(t, hkv, group, d)
-    scores = jnp.einsum("thgd,hsd->hgts", qg, k,
+    scores = jnp.einsum("thgd,shd->hgts", qg, k,
                         preferred_element_type=jnp.float32) * scale
     scores = scores + bias.astype(jnp.float32)[None, None, :, :]
     return jax.nn.softmax(scores, axis=-1).reshape(hq, t, s)

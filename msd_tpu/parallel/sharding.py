@@ -95,8 +95,8 @@ def draft_param_specs(cfg: DraftConfig, has_bias: bool = True) -> Dict:
 
 
 def kv_cache_specs() -> Dict:
-    # [L, Hkv, S, D]: shard KV heads over 'model' (follows q/k/v column split)
-    return {"k": P(None, "model", None, None), "v": P(None, "model", None, None)}
+    # [L, S, Hkv, D]: shard KV heads over 'model' (follows q/k/v column split)
+    return {"k": P(None, None, "model", None), "v": P(None, None, "model", None)}
 
 
 def shard_params(params: Dict, specs: Dict, mesh: Mesh) -> Dict:

@@ -1,0 +1,148 @@
+"""Calibrator tests: PAV isotonic, grouped hierarchy, device-table parity,
+and end-to-end calibrated drafting (which must preserve losslessness)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from msd_tpu.calib.device import CalibTables, predict_proba
+from msd_tpu.calib.grouped import GroupedIsotonicCalibrator, soft_labels_from
+from msd_tpu.calib.isotonic import IsotonicRegression
+from msd_tpu.calib.token_class import (classify_text, synthetic_vocab_table,
+                                       CONTENT, FUNC_PUNCT, NUMBER)
+
+from tests.test_spec_engine import make_gen
+
+
+def test_pav_monotone_and_interp():
+    x = np.array([0.1, 0.2, 0.3, 0.4, 0.5])
+    y = np.array([0.0, 1.0, 0.0, 1.0, 1.0])
+    iso = IsotonicRegression().fit(x, y)
+    pred = iso.predict(x)
+    assert np.all(np.diff(pred) >= -1e-12)  # monotone
+    # mean preserved under uniform weights
+    np.testing.assert_allclose(pred.mean(), y.mean(), atol=1e-9)
+    # clipping out of bounds
+    assert iso.predict(np.array([-1.0]))[0] == pred[0]
+    assert iso.predict(np.array([2.0]))[0] == pred[-1]
+
+
+def test_pav_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=50)
+    y = (rng.uniform(size=50) < x).astype(float)  # increasing trend
+    iso = IsotonicRegression().fit(x, y)
+    pred = iso.predict(np.sort(x))
+    # isotonic fit minimizes squared error among monotone fits; check it
+    # beats the constant fit and is monotone
+    assert np.all(np.diff(pred) >= -1e-12)
+    const_err = np.mean((y - y.mean()) ** 2)
+    fit_err = np.mean((iso.predict(x) - y) ** 2)
+    assert fit_err <= const_err + 1e-12
+
+
+def _fake_features(n, rng):
+    return {
+        "token_category": rng.choice(["content", "func_punct", "number"], n),
+        "avg_visual_attention_intensity": rng.uniform(size=n),
+        "tree_depth": rng.integers(1, 7, n).astype(float),
+        "draft_margin": rng.uniform(size=n),
+        "draft_confidence": rng.uniform(size=n),
+    }
+
+
+def test_grouped_calibrator_fit_predict_and_tables():
+    rng = np.random.default_rng(1)
+    n = 3000
+    feats = _fake_features(n, rng)
+    # label correlated with confidence
+    hard = (rng.uniform(size=n) < feats["draft_confidence"]).astype(float)
+    soft = np.clip(feats["draft_confidence"] + rng.normal(0, 0.05, n), 0, 1)
+
+    cal = GroupedIsotonicCalibrator(min_samples_per_group=50,
+                                    max_grouping_level=2, target="soft")
+    cal.fit(feats, soft, hard)
+    p = cal.predict_proba(feats)
+    assert p.shape == (n,)
+    assert np.all((p >= 1e-4) & (p <= 1 - 1e-4))
+    # calibrated probs should correlate strongly with confidence
+    assert np.corrcoef(p, feats["draft_confidence"])[0, 1] > 0.8
+
+    m = cal.evaluate(feats, soft, hard)
+    assert m["ece_eqfreq20"] < 0.1
+
+    # device tables reproduce host predictions
+    export = cal.export_tables(n_breakpoints=1024)
+    vt = synthetic_vocab_table(1000)
+    ct = CalibTables.from_host(export, vt)
+    cmap = {"content": CONTENT, "func_punct": FUNC_PUNCT, "number": NUMBER}
+    # pick token ids whose class matches the synthetic categories
+    cats = np.asarray([cmap[c] for c in feats["token_category"]])
+    tok_ids = np.array([np.nonzero(vt == c)[0][0] for c in cats])
+    p_dev = np.asarray(predict_proba(
+        ct, jnp.asarray(tok_ids), jnp.asarray(feats["draft_confidence"]),
+        jnp.asarray(feats["avg_visual_attention_intensity"]),
+        jnp.asarray(feats["tree_depth"].astype(np.int32)),
+        jnp.asarray(feats["draft_margin"])))
+    # isotonic fits have arbitrarily sharp steps at data points; a dense
+    # table can only bound the error statistically, not pointwise
+    err = np.abs(p_dev - p)
+    assert np.quantile(err, 0.99) < 2e-2
+    assert err.max() < 5e-2
+
+
+def test_soft_labels():
+    np.testing.assert_allclose(
+        soft_labels_from(np.array([0.5, 0.1]), np.array([0.25, 0.2])),
+        np.array([1.0, 0.5]))
+
+
+def test_token_classify():
+    assert classify_text("123") == NUMBER
+    assert classify_text("3.14") == NUMBER
+    assert classify_text(".") == FUNC_PUNCT
+    assert classify_text("the") == FUNC_PUNCT
+    assert classify_text("<s>") == FUNC_PUNCT
+    assert classify_text("cat") == CONTENT
+
+
+def test_collect_then_calibrated_generation_lossless():
+    """Full loop: collect calibration data, fit, install device tables,
+    decode with calibrated tree construction — greedy output must STILL
+    equal AR greedy (calibration only changes what gets drafted)."""
+    gen = make_gen(seed=0)
+    ids = np.arange(3, 12, dtype=np.int32)
+
+    r = gen.generate(ids, max_new_tokens=24, collect_calibration=True)
+    cd = r.calib_data
+    assert cd is not None and cd["token"].shape[0] == r.accept_steps
+    valid = cd["valid"].astype(bool)
+    assert valid.sum() > 0
+    # features behave: confidences in [0,1], accepts subset of valid
+    assert np.all((cd["draft_conf"][valid] >= 0)
+                  & (cd["draft_conf"][valid] <= 1.0 + 1e-5))
+    assert np.all(cd["accept"][valid] >= 0)
+
+    feats = {
+        "token_category": np.asarray(
+            ["content"] * int(valid.sum())),
+        "avg_visual_attention_intensity": cd["attn"][valid],
+        "tree_depth": cd["depth"][valid].astype(float),
+        "draft_margin": cd["margin"][valid],
+        "draft_confidence": cd["draft_conf"][valid],
+    }
+    soft = soft_labels_from(cd["base_conf"][valid],
+                            np.maximum(cd["draft_conf"][valid], 1e-6))
+    hard = cd["base_top1"][valid].astype(float)
+    cal = GroupedIsotonicCalibrator(min_samples_per_group=20,
+                                    max_grouping_level=2, target="soft")
+    cal.fit(feats, soft, hard)
+
+    vt = synthetic_vocab_table(128)
+    gen.set_calibrator(CalibTables.from_host(cal.export_tables(), vt,
+                                             base_alpha=1.0))
+    ar = gen.naive_generate(ids, max_new_tokens=24)
+    msd_cal = gen.generate(ids, max_new_tokens=24, use_calibration=True)
+    np.testing.assert_array_equal(msd_cal.tokens, ar.tokens)
+    assert msd_cal.accept_steps > 0
