@@ -1,0 +1,78 @@
+"""CLI entry point: ``python -m msd_tpu.harness`` — mirrors the reference's
+``python -m lmms_eval`` flag surface (lmms-eval/lmms_eval/__main__.py:85-300),
+including the MSD additions: --msd_model_path, --use_msd, --use_calibration,
+--train_ratio, --bottom.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_model_args(s: str):
+    out = {}
+    if not s:
+        return out
+    for kv in s.split(","):
+        if not kv:
+            continue
+        k, _, v = kv.partition("=")
+        if v.lower() in ("true", "false"):
+            out[k] = v.lower() == "true"
+        else:
+            try:
+                out[k] = int(v)
+            except ValueError:
+                try:
+                    out[k] = float(v)
+                except ValueError:
+                    out[k] = v
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("msd_tpu.harness")
+    ap.add_argument("--model", default="llava_msd_calibrated")
+    ap.add_argument("--model_args", default="",
+                    help="k=v,... incl. pretrained=<ckpt dir>")
+    ap.add_argument("--tasks", required=True, help="comma-separated")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--bottom", type=int, default=None,
+                    help="evaluate only the LAST N docs")
+    ap.add_argument("--msd_model_path", default=None)
+    ap.add_argument("--use_msd", action="store_true", default=True)
+    ap.add_argument("--no_msd", dest="use_msd", action="store_false")
+    ap.add_argument("--use_calibration", action="store_true")
+    ap.add_argument("--train_ratio", type=float, default=0.2)
+    ap.add_argument("--output_path", default=None)
+    ap.add_argument("--log_samples", action="store_true")
+    args = ap.parse_args(argv)
+
+    from msd_tpu.harness.evaluator import simple_evaluate
+
+    out = simple_evaluate(
+        model=args.model,
+        model_args=parse_model_args(args.model_args),
+        tasks=args.tasks.split(","),
+        limit=args.limit, bottom=args.bottom,
+        use_msd=args.use_msd, use_calibration=args.use_calibration,
+        train_ratio=args.train_ratio,
+        msd_model_path=args.msd_model_path)
+
+    payload = {"results": out["results"]}
+    if "msd_stats" in out:
+        payload["msd_stats"] = out["msd_stats"]
+    if args.log_samples:
+        payload["details"] = {
+            t: {"samples": v["samples"]} for t, v in out["details"].items()}
+    text = json.dumps(payload, indent=2, default=str)
+    print(text)
+    if args.output_path:
+        with open(args.output_path, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Evaluation orchestration (mirror of lmms-eval/lmms_eval/evaluator.py).
+
+simple_evaluate resolves the model adapter + tasks, builds requests (with
+rank/world_size sharding and the ``bottom`` tail-slice), dispatches
+``generate_until``, applies per-doc metrics, aggregates, and attaches
+``msd_stats = {avg_accept_len, accept_steps, accept_len}``
+(evaluator.py:655-665).
+
+Multi-host: each process evaluates its rank's shard; metric lists are
+all-gathered over DCN with jax.experimental.multihost_utils when more than
+one process is present (the torch.distributed.gather_object analog,
+evaluator.py:566-597).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+from msd_tpu.harness.registry import TASK_REGISTRY, get_model, get_task
+from msd_tpu.harness.tasks import register_builtin_tasks
+
+
+def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
+             bottom: Optional[int] = None, rank: int = 0,
+             world_size: int = 1) -> Dict:
+    results: Dict[str, Dict] = {}
+    for tname in task_names:
+        task = get_task(tname)
+        docs = task.load_docs(limit=None if bottom else limit)
+        reqs = task.build_requests(docs, rank=rank, world_size=world_size,
+                                   limit=limit, bottom=bottom)
+        t0 = time.time()
+        resps = lm.generate_until(reqs)
+        duration = time.time() - t0
+        per_doc = [task.process_results(r.doc, [resp])
+                   for r, resp in zip(reqs, resps)]
+        per_doc = _gather_metrics(per_doc, world_size)
+        agg = task.aggregate(per_doc)
+        results[tname] = {
+            "metrics": agg,
+            "n_docs": len(per_doc),
+            "duration_seconds": duration,
+            "samples": [
+                {"doc_id": r.doc_id, "response": resp,
+                 "scores": s}
+                for r, resp, s in zip(reqs, resps, per_doc)],
+        }
+    out = {"results": {t: v["metrics"] for t, v in results.items()},
+           "details": results}
+    if hasattr(lm, "msd_stats"):
+        out["msd_stats"] = lm.msd_stats
+    return out
+
+
+def _gather_metrics(per_doc: List[Dict], world_size: int) -> List[Dict]:
+    if world_size <= 1:
+        return per_doc
+    from jax.experimental import multihost_utils
+    import numpy as np
+    keys = sorted({k for d in per_doc for k in d})
+    arr = np.asarray([[d.get(k, np.nan) for k in keys] for d in per_doc])
+    gathered = multihost_utils.process_allgather(arr)
+    gathered = gathered.reshape(-1, len(keys))
+    out = []
+    for row in gathered:
+        out.append({k: float(v) for k, v in zip(keys, row)
+                    if not np.isnan(v)})
+    return out
+
+
+def simple_evaluate(*, model, model_args: Optional[Dict] = None,
+                    tasks: List[str], limit: Optional[int] = None,
+                    bottom: Optional[int] = None, use_msd: bool = True,
+                    use_calibration: bool = False, train_ratio: float = 0.2,
+                    msd_model_path: Optional[str] = None,
+                    rank: int = 0, world_size: int = 1) -> Dict:
+    if not TASK_REGISTRY:
+        register_builtin_tasks()
+    if isinstance(model, str):
+        cls = get_model(model)
+        margs = dict(model_args or {})
+        margs.setdefault("use_msd", use_msd)
+        margs.setdefault("use_calibration", use_calibration)
+        margs.setdefault("train_ratio", train_ratio)
+        pretrained = margs.pop("pretrained", None)
+        if pretrained:
+            lm = cls.from_pretrained(pretrained, msd_model_path, **margs)
+        else:
+            raise ValueError(
+                "model_args must include 'pretrained' (checkpoint dir), or "
+                "pass a constructed adapter instance instead of a name")
+    else:
+        lm = model
+    return evaluate(lm, tasks, limit=limit, bottom=bottom, rank=rank,
+                    world_size=world_size)

@@ -1,0 +1,242 @@
+"""LLaVA MSD model adapters for the harness.
+
+Mirrors lmms-eval/lmms_eval/models/llava_msd_calibrated.py:56-728 — the run
+orchestrator that owns the online calibration phases:
+  docs[0 : train_ratio*N]   -> decode with feature collection (train phase)
+  at the boundary           -> fit GroupedIsotonicCalibrator, export to
+                               device tables (or reuse a saved pickle:
+                               skip_to_test, :374-411)
+  docs[train_ratio*N : N]   -> decode with calibrated tree construction
+plus accept-length accumulation (:606-618) and the final acceptance JSON.
+
+``llava`` (AR baseline adapter, models/llava.py) shares the machinery with
+use_msd=False.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.calib.device import CalibTables
+from msd_tpu.calib.grouped import GroupedIsotonicCalibrator, soft_labels_from
+from msd_tpu.configs import LlavaConfig
+from msd_tpu.engine.generator import MSDGenerator
+from msd_tpu.harness.instance import Instance
+from msd_tpu.harness.registry import register_model
+from msd_tpu.ops.sampling import SamplingParams
+from msd_tpu.utils.conversation import build_msd_prompt
+from msd_tpu.utils.mm_utils import process_image, tokenizer_image_token
+
+
+class SimpleTokenizer:
+    """Byte-level fallback tokenizer for offline/synthetic runs."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def __init__(self, vocab_size: int = 32000):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str):
+        return [self.bos_token_id] + [3 + (b % (self.vocab_size - 3))
+                                      for b in text.encode()]
+
+    def decode(self, ids, skip_special_tokens: bool = True):
+        out = bytes(max(0, min(255, i - 3)) for i in ids
+                    if i not in (self.bos_token_id, self.eos_token_id))
+        return out.decode(errors="replace")
+
+
+@register_model("llava_msd_calibrated", "llava_msd")
+class LlavaMSD:
+    """MSD adapter. Construct via from_components (tests/benchmarks) or
+    from_pretrained (real checkpoints)."""
+
+    def __init__(self, generator: MSDGenerator, tokenizer,
+                 encode_image_fn=None, *, use_msd: bool = True,
+                 use_calibration: bool = False, train_ratio: float = 0.2,
+                 vocab_class: Optional[np.ndarray] = None,
+                 calibrator_path: Optional[str] = None,
+                 base_alpha: float = 1.0, image_size: int = 336):
+        self.gen = generator
+        self.tokenizer = tokenizer
+        self.encode_image_fn = encode_image_fn
+        self.use_msd = use_msd
+        self.use_calibration = use_calibration
+        self.train_ratio = train_ratio
+        self.calibrator_path = calibrator_path
+        self.base_alpha = base_alpha
+        self.vocab_class = vocab_class
+        self.image_size = image_size
+        self.calibrator: Optional[GroupedIsotonicCalibrator] = None
+        self._calib_rows: List[Dict] = []
+        self.total_accept_len = 0
+        self.total_accept_steps = 0
+        self.rank, self.world_size = 0, 1
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, pretrained: str, msd_model_path: str,
+                        dtype=jnp.bfloat16, **kw):
+        from msd_tpu.calib.token_class import classify_vocab
+        from msd_tpu.configs import EngineConfig
+        from msd_tpu.models.llava import encode_image
+        from msd_tpu.utils.weights import load_draft, load_llava
+
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(pretrained,
+                                                      use_fast=True)
+        except Exception:
+            tokenizer = SimpleTokenizer()
+        params, lcfg = load_llava(pretrained, dtype)
+        draft, dcfg = load_draft(msd_model_path, lcfg.text,
+                                 base_embed=params["target"]["embed_tokens"],
+                                 dtype=dtype)
+        eng = EngineConfig()
+        gen = MSDGenerator(params["target"], draft, lcfg.text, dcfg, eng,
+                           n_img=lcfg.num_image_tokens,
+                           eos_id=tokenizer.eos_token_id)
+        llava_params = {"vision": params["vision"],
+                        "projector": params["projector"]}
+        enc = jax.jit(lambda px: encode_image(llava_params, lcfg, px))
+        vc = classify_vocab(tokenizer, lcfg.text.vocab_size)
+        return cls(gen, tokenizer, enc, vocab_class=vc, **kw)
+
+    # ------------------------------------------------------------------
+    def _prepare(self, context: str, visuals) -> tuple:
+        with_image = bool(visuals) and self.gen.n_img > 0
+        prompt = build_msd_prompt(context, with_image=with_image)
+        ids = tokenizer_image_token(prompt, self.tokenizer)
+        feats = None
+        if with_image:
+            px = process_image(visuals[0], image_size=self.image_size)
+            if self.encode_image_fn is None:
+                raise ValueError("image provided but no vision encoder")
+            feats = self.encode_image_fn(jnp.asarray(px))
+        return ids, feats
+
+    def _sp(self, gen_kwargs: Dict) -> SamplingParams:
+        return SamplingParams(
+            temperature=float(gen_kwargs.get("temperature", 0.0)),
+            top_p=float(gen_kwargs.get("top_p", 1.0)),
+            top_k=int(gen_kwargs.get("top_k", 0) or 0))
+
+    def _record_calib(self, calib_data: Dict) -> None:
+        valid = calib_data["valid"].astype(bool)
+        if not valid.any():
+            return
+        vc = self.vocab_class
+        toks = calib_data["token"][valid]
+        cats = (np.asarray(["content", "func_punct", "number"])[
+            np.clip(vc[np.clip(toks, 0, len(vc) - 1)], 0, 2)]
+            if vc is not None else np.asarray(["content"] * len(toks)))
+        self._calib_rows.append({
+            "token_category": cats,
+            "avg_visual_attention_intensity": calib_data["attn"][valid],
+            "tree_depth": calib_data["depth"][valid].astype(float),
+            "draft_margin": calib_data["margin"][valid],
+            "draft_confidence": calib_data["draft_conf"][valid],
+            "base_conf": calib_data["base_conf"][valid],
+            "base_top1": calib_data["base_top1"][valid],
+        })
+
+    def _fit_calibrator(self) -> None:
+        """Train-phase boundary: fit + install device tables
+        (llava_msd_calibrated.py:457-499)."""
+        if self.calibrator_path and os.path.exists(self.calibrator_path):
+            self.calibrator = GroupedIsotonicCalibrator.load(
+                self.calibrator_path)
+        else:
+            if not self._calib_rows:
+                return
+            feats = {k: np.concatenate([r[k] for r in self._calib_rows])
+                     for k in self._calib_rows[0]}
+            soft = soft_labels_from(
+                feats.pop("base_conf"),
+                np.maximum(feats["draft_confidence"], 1e-6))
+            hard = feats.pop("base_top1").astype(float)
+            self.calibrator = GroupedIsotonicCalibrator(
+                min_samples_per_group=200, max_grouping_level=2,
+                target="soft").fit(feats, soft, hard)
+            if self.calibrator_path:
+                os.makedirs(os.path.dirname(self.calibrator_path) or ".",
+                            exist_ok=True)
+                self.calibrator.save(self.calibrator_path)
+        vc = (self.vocab_class if self.vocab_class is not None
+              else np.zeros((self.gen.tcfg.vocab_size,), np.int8))
+        self.gen.set_calibrator(CalibTables.from_host(
+            self.calibrator.export_tables(), vc, base_alpha=self.base_alpha))
+
+    # ------------------------------------------------------------------
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        n = len(requests)
+        train_end = int(n * self.train_ratio) if self.use_calibration else 0
+        skip_to_test = bool(self.calibrator_path
+                            and os.path.exists(self.calibrator_path))
+        if skip_to_test:
+            train_end = 0
+            self._fit_calibrator()
+        t_start = time.time()
+        outputs = []
+        for idx, req in enumerate(requests):
+            context, gen_kwargs, doc_to_visual, doc_id, task, split = \
+                req.arguments
+            visuals = doc_to_visual(req.doc)
+            ids, feats = self._prepare(context, visuals)
+            sp = self._sp(gen_kwargs)
+            max_new = int(gen_kwargs.get("max_new_tokens", 512))
+
+            if self.use_calibration and not skip_to_test and idx == train_end \
+                    and idx > 0:
+                self._fit_calibrator()
+
+            if not self.use_msd:
+                r = self.gen.naive_generate(ids, img_feats=feats,
+                                            max_new_tokens=max_new, sp=sp)
+            elif self.use_calibration and (skip_to_test or idx >= train_end) \
+                    and self.calibrator is not None:
+                r = self.gen.generate(ids, img_feats=feats,
+                                      max_new_tokens=max_new, sp=sp,
+                                      use_calibration=True)
+            elif self.use_calibration and idx < train_end:
+                r = self.gen.generate(ids, img_feats=feats,
+                                      max_new_tokens=max_new, sp=sp,
+                                      collect_calibration=True)
+                self._record_calib(r.calib_data)
+            else:
+                r = self.gen.generate(ids, img_feats=feats,
+                                      max_new_tokens=max_new, sp=sp)
+
+            self.total_accept_len += getattr(r, "accept_len_sum", 0)
+            self.total_accept_steps += getattr(r, "accept_steps", 0)
+            text = self.tokenizer.decode(list(r.tokens),
+                                         skip_special_tokens=True)
+            outputs.append(text.strip())
+        self.total_duration_seconds = time.time() - t_start
+        return outputs
+
+    @property
+    def msd_stats(self) -> Dict[str, float]:
+        steps = max(self.total_accept_steps, 1)
+        return {"avg_accept_len": self.total_accept_len / steps,
+                "accept_steps": self.total_accept_steps,
+                "accept_len": self.total_accept_len}
+
+
+@register_model("llava")
+class LlavaAR(LlavaMSD):
+    """Stock AR adapter (accuracy-parity baseline, models/llava.py)."""
+
+    def __init__(self, *a, **kw):
+        kw["use_msd"] = False
+        kw["use_calibration"] = False
+        super().__init__(*a, **kw)

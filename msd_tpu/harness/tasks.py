@@ -1,0 +1,230 @@
+"""Task definitions (the YAML-driven ConfigurableTask of lmms-eval, in code).
+
+Mirrors lmms-eval/lmms_eval/api/task.py behaviors the MSD pipeline uses:
+- doc iteration with rank/world_size sharding and the ``bottom`` mode that
+  takes the LAST N docs (api/task.py:669-686),
+- generate_until requests with per-task gen_kwargs,
+- per-doc process_results -> metric dict, mean aggregation.
+
+The five benchmark tasks of BASELINE.json are registered (chartqa, textvqa,
+mathvista, ai2d, mathverse, + iconqa). Datasets resolve from (in order)
+``dataset_path`` (a local HF-datasets dir or JSON file) or a deterministic
+synthetic fallback so the full pipeline is testable offline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from msd_tpu.harness import metrics as M
+from msd_tpu.harness.instance import Instance
+from msd_tpu.harness.registry import register_task
+
+
+@dataclass
+class TaskConfig:
+    name: str
+    doc_to_text: Callable[[Dict], str]
+    doc_to_visual: Callable[[Dict], List]
+    process_results: Callable[[Dict, List[str]], Dict[str, float]]
+    dataset_path: Optional[str] = None
+    split: str = "test"
+    gen_kwargs: Dict[str, Any] = field(default_factory=lambda: {
+        "max_new_tokens": 512, "temperature": 0.0})
+    metric_names: Sequence[str] = ("accuracy",)
+    synthetic_docs: Optional[Callable[[int], List[Dict]]] = None
+
+    # ------------------------------------------------------------------
+    def load_docs(self, limit: Optional[int] = None) -> List[Dict]:
+        docs = None
+        if self.dataset_path:
+            docs = _load_local(self.dataset_path, self.split)
+        if docs is None and self.synthetic_docs is not None:
+            docs = self.synthetic_docs(limit or 64)
+        if docs is None:
+            raise FileNotFoundError(
+                f"task {self.name}: no dataset at {self.dataset_path!r} and "
+                "no synthetic fallback")
+        if limit:
+            docs = docs[:limit]
+        return docs
+
+    def doc_iterator(self, docs: List[Dict], rank: int = 0,
+                    world_size: int = 1, limit: Optional[int] = None,
+                    bottom: Optional[int] = None):
+        """Shard docs by rank; ``bottom`` takes the LAST N docs
+        (api/task.py:669-686)."""
+        if bottom:
+            docs = docs[-bottom:]
+        elif limit:
+            docs = docs[:limit]
+        for i, doc in enumerate(docs):
+            if i % world_size == rank:
+                yield i, doc
+
+    def build_requests(self, docs: List[Dict], rank: int = 0,
+                       world_size: int = 1, limit: Optional[int] = None,
+                       bottom: Optional[int] = None) -> List[Instance]:
+        reqs = []
+        for doc_id, doc in self.doc_iterator(docs, rank, world_size, limit,
+                                             bottom):
+            ctx = self.doc_to_text(doc)
+            reqs.append(Instance(
+                request_type="generate_until", doc=doc,
+                arguments=(ctx, dict(self.gen_kwargs), self.doc_to_visual,
+                           doc_id, self.name, self.split),
+                idx=len(reqs), task_name=self.name, doc_id=doc_id))
+        return reqs
+
+    def aggregate(self, results: List[Dict[str, float]]) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for name in self.metric_names:
+            vals = [r[name] for r in results if name in r]
+            if vals:
+                out[name] = M.mean(vals)
+        return out
+
+
+def _load_local(path: str, split: str) -> Optional[List[Dict]]:
+    if not os.path.exists(path):
+        return None
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        with open(path) as f:
+            if path.endswith(".jsonl"):
+                return [json.loads(l) for l in f if l.strip()]
+            return json.load(f)
+    try:
+        import datasets
+        if os.path.isdir(os.path.join(path, split)):
+            ds = datasets.load_from_disk(path)[split]
+        else:
+            ds = datasets.load_dataset(path, split=split)
+        return list(ds)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# synthetic fallback docs (deterministic; for offline runs/tests)
+# ---------------------------------------------------------------------------
+
+def _synth_image(seed: int, size: int = 336) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+    return img
+
+
+def _synth_vqa_docs(n: int) -> List[Dict]:
+    docs = []
+    for i in range(n):
+        docs.append({
+            "question": f"What is the value of bar {i}?",
+            "answer": str(i % 10),
+            "answers": [str(i % 10)] * 10,
+            "image": _synth_image(i),
+            "type": "human_test" if i % 2 == 0 else "augmented_test",
+        })
+    return docs
+
+
+# ---------------------------------------------------------------------------
+# benchmark task definitions
+# ---------------------------------------------------------------------------
+
+def _visual(doc):
+    return [doc["image"]]
+
+
+def _chartqa_results(doc, results):
+    score = 1.0 if M.relaxed_correctness(results[0], doc["answer"]) else 0.0
+    out = {"relaxed_overall": score}
+    if doc.get("type") == "human_test":
+        out["relaxed_human_split"] = score
+    else:
+        out["relaxed_augmented_split"] = score
+    return out
+
+
+def make_chartqa(dataset_path=None) -> TaskConfig:
+    return TaskConfig(
+        name="chartqa",
+        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question with "
+                               "a single word."),
+        doc_to_visual=_visual,
+        process_results=_chartqa_results,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16, "temperature": 0.0},
+        metric_names=("relaxed_overall", "relaxed_human_split",
+                      "relaxed_augmented_split"),
+        synthetic_docs=_synth_vqa_docs)
+
+
+def make_textvqa(dataset_path=None) -> TaskConfig:
+    return TaskConfig(
+        name="textvqa",
+        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question using "
+                               "a single word or phrase."),
+        doc_to_visual=_visual,
+        process_results=lambda d, r: {
+            "exact_match": M.vqa_accuracy(r[0], d.get("answers",
+                                                      [d.get("answer", "")]))},
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16, "temperature": 0.0},
+        metric_names=("exact_match",),
+        synthetic_docs=_synth_vqa_docs)
+
+
+def make_mc_task(name: str, dataset_path=None) -> TaskConfig:
+    return TaskConfig(
+        name=name,
+        doc_to_text=lambda d: (
+            d["question"] + ("\n" + "\n".join(d["options"])
+                             if d.get("options") else "")
+            + "\nAnswer with the option's letter from the given choices "
+              "directly."),
+        doc_to_visual=_visual,
+        process_results=lambda d, r: {
+            "accuracy": M.mc_accuracy(r[0], d["answer"])},
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 8, "temperature": 0.0},
+        metric_names=("accuracy",),
+        synthetic_docs=lambda n: [{
+            "question": f"Which option is number {i % 4}?",
+            "options": [f"{c}. option {j}" for j, c in enumerate("ABCD")],
+            "answer": "ABCD"[i % 4],
+            "image": _synth_image(i),
+        } for i in range(n)])
+
+
+def make_freeform_task(name: str, dataset_path=None) -> TaskConfig:
+    return TaskConfig(
+        name=name,
+        doc_to_text=lambda d: d["question"],
+        doc_to_visual=_visual,
+        process_results=lambda d, r: {
+            "exact_match": M.exact_match(r[0], d["answer"])},
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 64, "temperature": 0.0},
+        metric_names=("exact_match",),
+        synthetic_docs=_synth_vqa_docs)
+
+
+def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
+    root = dataset_root or os.environ.get("MSD_TPU_DATASETS", "")
+
+    def p(name):
+        path = os.path.join(root, name) if root else None
+        return path if path and os.path.exists(path) else None
+
+    register_task("chartqa", make_chartqa(p("ChartQA")))
+    register_task("textvqa", make_textvqa(p("TextVQA")))
+    register_task("ai2d", make_mc_task("ai2d", p("AI2D")))
+    register_task("iconqa", make_mc_task("iconqa", p("IconQA")))
+    register_task("mathvista", make_freeform_task("mathvista", p("MathVista")))
+    register_task("mathverse", make_freeform_task("mathverse", p("MathVerse")))
+    register_task("synthetic_vqa", make_chartqa(None))

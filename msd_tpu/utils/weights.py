@@ -1,0 +1,118 @@
+"""Checkpoint loading: HF LLaVA-1.5 + MSD draft heads -> our param pytrees.
+
+Reference loader: LLaVA/llava/model/builder.py:26-167 (load_pretrained_model)
+and EAGLE/eagle/model/ea_model.py:116-142 (draft weights from
+pytorch_model.bin or model.safetensors). This loader reads safetensors/torch
+checkpoints lazily and converts straight into device arrays in the requested
+dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from msd_tpu.configs import (ClipVisionConfig, DraftConfig, LlamaConfig,
+                             LlavaConfig)
+
+
+def _load_state(path: str) -> Dict[str, np.ndarray]:
+    """Load all tensors from a checkpoint dir (safetensors preferred)."""
+    state: Dict[str, np.ndarray] = {}
+    st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if st_files:
+        from safetensors.numpy import load_file
+        for f in st_files:
+            state.update(load_file(f))
+        return state
+    bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+    if bins:
+        import torch
+        for f in bins:
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            state.update({k: v.float().numpy() for k, v in sd.items()})
+        return state
+    raise FileNotFoundError(f"no safetensors/bin checkpoints under {path}")
+
+
+def llama_config_from_json(path: str) -> LlamaConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+    return LlamaConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        num_key_value_heads=cfg.get("num_key_value_heads",
+                                    cfg["num_attention_heads"]),
+        max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+    )
+
+
+def load_llava(path: str, dtype=jnp.bfloat16
+               ) -> Tuple[Dict, LlavaConfig]:
+    """Load a local LLaVA-1.5 checkpoint dir -> {target, vision, projector}.
+
+    Expects the standard llava-hf or liuhaotian layout: LM weights under
+    ``model.*``, projector under ``model.mm_projector.*``, CLIP tower under
+    ``model.vision_tower.vision_tower.vision_model.*`` (or a separate
+    vision checkpoint configured via mm_vision_tower).
+    """
+    from msd_tpu.models.clip_vit import params_from_hf_clip
+    from msd_tpu.models.llama import params_from_hf
+    from msd_tpu.models.llava import params_from_hf_projector
+
+    state = _load_state(path)
+    tcfg = llama_config_from_json(path)
+    vcfg = ClipVisionConfig()
+    lcfg = LlavaConfig(text=tcfg, vision=vcfg)
+
+    target = params_from_hf(state, tcfg, prefix="model.", dtype=dtype)
+    projector = params_from_hf_projector(state, dtype=dtype)
+
+    tower_prefix = "model.vision_tower.vision_tower.vision_model."
+    if any(k.startswith(tower_prefix) for k in state):
+        vis_state = {k[len("model.vision_tower.vision_tower."):]: v
+                     for k, v in state.items() if k.startswith(tower_prefix)}
+        vision = params_from_hf_clip(vis_state, vcfg, dtype=dtype)
+    else:
+        # separate CLIP checkpoint (openai/clip-vit-large-patch14-336 layout)
+        with open(os.path.join(path, "config.json")) as f:
+            tower_path = json.load(f).get("mm_vision_tower")
+        if tower_path and os.path.isdir(tower_path):
+            vis_state = _load_state(tower_path)
+            vision = params_from_hf_clip(vis_state, vcfg, dtype=dtype)
+        else:
+            raise FileNotFoundError(
+                "vision tower weights not found in checkpoint; set "
+                "mm_vision_tower in config.json to a local CLIP dir")
+
+    return {"target": target, "vision": vision, "projector": projector}, lcfg
+
+
+def load_draft(path: str, tcfg: LlamaConfig,
+               base_embed: Optional[jnp.ndarray] = None,
+               dtype=jnp.bfloat16) -> Tuple[Dict, DraftConfig]:
+    """Load an MSD/EAGLE draft checkpoint (lucylyn/MSD-LLaVA1.5-*B layout)."""
+    from msd_tpu.models.draft import params_from_torch_draft
+
+    state = dict(_load_state(path))
+    dcfg = DraftConfig(text=tcfg)
+    if "embed_tokens.weight" not in state:
+        # draft checkpoints trained with load_emb=True freeze the base
+        # embedding and may not serialize it (main_deepspeed.py:145-163)
+        if base_embed is None:
+            raise ValueError("draft checkpoint lacks embed_tokens; pass "
+                             "base_embed from the target model")
+        state["embed_tokens.weight"] = np.asarray(base_embed)
+    params = params_from_torch_draft(state, dcfg, dtype=dtype)
+    return params, dcfg
