@@ -10,7 +10,9 @@ decode with identical greedy outputs):
   image prompt (576 image tokens) — the reference's serving configuration.
 - t_ar   = wall-clock per AR decoded token (same kernels as verification).
 - t_step = wall-clock per MSD verify step (draft tree expansion + tree-masked
-  verification + acceptance + KV gather), tree budget 60 nodes.
+  verification + acceptance + KV gather), tree budget 128 nodes (the MXU
+  tile: verification cost is flat in node count up to 128, so the TPU build
+  drafts bigger trees than the reference's ~60).
 - A random draft cannot anticipate a random target (alpha ~= 1), so the
   end-to-end speedup is reported AT the reference's published acceptance
   length alpha = 6.69 (ChartQA, LLaVA-7B, temp 0 — BASELINE.md):
@@ -78,12 +80,13 @@ def main():
     log(f"params initialized in {time.time()-t0:.1f}s")
 
     n_img = 576 if args.image else 0
+    # reserve prompt + generation + one tree + accepted-path pad
     max_seq = args.max_seq or (
-        ((args.prompt_tokens + (575 if n_img else 0) + args.max_new + 127)
-         // 128) * 128)
+        ((args.prompt_tokens + (575 if n_img else 0) + args.max_new
+          + 128 + 16 + 127) // 128) * 128)
     log(f"max_seq_len={max_seq}, image={bool(n_img)}")
     eng = EngineConfig(max_seq_len=max_seq, prompt_pad_multiple=128,
-                       tree=TreeConfig(top_k=10, max_depth=10, num_nodes=60))
+                       tree=TreeConfig(top_k=10, max_depth=10, num_nodes=128))
     gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
 
     rng = np.random.default_rng(0)

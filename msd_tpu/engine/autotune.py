@@ -1,0 +1,79 @@
+"""Tree-budget auto-tuning — the ``total_token = -1`` path.
+
+Reference: EAGLE/eagle/model/ea_model.py:156-179 — when total_token is -1,
+time 20 base-model forwards at each candidate length in {40, 48, 50, 56, 60}
+and pick the cheapest per-token one. TPU version: time the actual verify-step
+forward (tree-masked target forward at the candidate node count) and score
+candidate budgets by (verify_time / expected_tokens); since verification on
+the MXU is flat in node count up to a tile (128), larger budgets usually win.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.configs import EngineConfig, LlamaConfig, TreeConfig
+from msd_tpu.models import llama as L
+from msd_tpu.ops.attention import tree_bias
+
+
+def time_verify_forward(params: Dict, cfg: LlamaConfig, n_nodes: int,
+                        s_target: int, prefix_len: int = 640,
+                        repeats: int = 5) -> float:
+    """Wall-clock one tree-masked target forward over n_nodes draft tokens."""
+    cos_t, sin_t = L.make_rope(cfg, s_target + 64)
+    kv = L.init_kv_cache(cfg, s_target,
+                         params["layers"]["q_proj"].dtype)
+    emb = jnp.zeros((n_nodes, cfg.hidden_size),
+                    params["layers"]["q_proj"].dtype)
+    mask = jnp.tril(jnp.ones((n_nodes, n_nodes), jnp.bool_))
+    pos = prefix_len + jnp.arange(n_nodes, dtype=jnp.int32)
+
+    @jax.jit
+    def fwd(kv):
+        bias = tree_bias(mask, jnp.int32(prefix_len), s_target)
+        hidden, kv = L.llama_forward(params, cfg, emb, pos, kv,
+                                     jnp.int32(prefix_len), bias, cos_t, sin_t)
+        return hidden, kv
+
+    h, kv = fwd(kv)
+    jax.block_until_ready(h)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        h, kv = fwd(kv)
+        jax.block_until_ready(h)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def autotune_total_token(params: Dict, cfg: LlamaConfig,
+                         eng: EngineConfig,
+                         candidates: Tuple[int, ...] = (40, 48, 50, 56, 60,
+                                                        96, 128),
+                         expected_alpha_fn=None, log=None) -> TreeConfig:
+    """Pick the tree budget minimizing verify-time per expected token.
+
+    expected_alpha_fn(n) estimates accepted length at budget n; default uses
+    a saturating curve (more nodes help sublinearly) mirroring the
+    reference's empirical preference for larger trees until the forward cost
+    bites (ea_model.py:156-179).
+    """
+    if expected_alpha_fn is None:
+        def expected_alpha_fn(n):
+            return n ** 0.25  # saturating proxy; relative ranking only
+
+    best, best_n = float("inf"), candidates[0]
+    for n in candidates:
+        t = time_verify_forward(params, cfg, n, eng.max_seq_len + n)
+        score = t / expected_alpha_fn(n)
+        if log:
+            log(f"autotune: nodes={n} verify={t*1e3:.2f}ms score={score:.5f}")
+        if score < best:
+            best, best_n = score, n
+    return replace(eng.tree, num_nodes=best_n)

@@ -248,7 +248,7 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
         # early stop on weight-sum increment over layers [0, layer)
         row = jnp.arange(D)[:, None]
         masked = jnp.where(row < layer, wm, 0.0).reshape(-1)
-        s_now = jnp.sum(jax.lax.top_k(masked, n_draft)[0])
+        s_now = jnp.sum(jax.lax.top_k(masked, min(n_draft, D * K))[0])
         stop2 = (s_now - s_prev) <= t.early_stop_threshold
         use_depth2 = jnp.where(stop2, layer, layer + 1)
 

@@ -68,7 +68,15 @@ def finalize_tree(cfg: TreeConfig, root_token: jnp.ndarray,
     flat_w = jnp.where(depth_idx < use_depth, weight_mat, NEG).reshape(-1)
 
     # global top-n_draft. depth-major flatten => ties resolved toward parents.
-    top_w, top_pos = jax.lax.top_k(flat_w, n_draft)
+    # budget may exceed the explored frontier (num_nodes > depth*top_k, as
+    # with the reference's nodes=500 kwarg) — dead-pad the difference.
+    n_sel = min(n_draft, D * K)
+    top_w, top_pos = jax.lax.top_k(flat_w, n_sel)
+    if n_sel < n_draft:
+        top_w = jnp.concatenate(
+            [top_w, jnp.full((n_draft - n_sel,), NEG, top_w.dtype)])
+        top_pos = jnp.concatenate(
+            [top_pos, jnp.zeros((n_draft - n_sel,), top_pos.dtype)])
     sel_layer = top_pos // K
     sel_node = top_pos % K
     sel_valid = top_w > 0.0

@@ -65,7 +65,8 @@ class LlavaMSD:
                  use_calibration: bool = False, train_ratio: float = 0.2,
                  vocab_class: Optional[np.ndarray] = None,
                  calibrator_path: Optional[str] = None,
-                 base_alpha: float = 1.0, image_size: int = 336):
+                 base_alpha: float = 1.0, image_size: int = 336,
+                 log_dir: Optional[str] = None):
         self.gen = generator
         self.tokenizer = tokenizer
         self.encode_image_fn = encode_image_fn
@@ -76,6 +77,9 @@ class LlavaMSD:
         self.base_alpha = base_alpha
         self.vocab_class = vocab_class
         self.image_size = image_size
+        self.log_dir = log_dir
+        from msd_tpu.calib.logger import CalibrationLogger
+        self.calib_logger = CalibrationLogger(log_dir)
         self.calibrator: Optional[GroupedIsotonicCalibrator] = None
         self._calib_rows: List[Dict] = []
         self.total_accept_len = 0
@@ -212,6 +216,7 @@ class LlavaMSD:
                                       max_new_tokens=max_new, sp=sp,
                                       collect_calibration=True)
                 self._record_calib(r.calib_data)
+                self.calib_logger.log_request(r.calib_data)
             else:
                 r = self.gen.generate(ids, img_feats=feats,
                                       max_new_tokens=max_new, sp=sp)
@@ -222,7 +227,29 @@ class LlavaMSD:
                                          skip_special_tokens=True)
             outputs.append(text.strip())
         self.total_duration_seconds = time.time() - t_start
+        if self.log_dir:
+            self.write_run_outputs()
         return outputs
+
+    def write_run_outputs(self) -> Dict[str, str]:
+        """Final acceptance-rate JSON + calibration stats/reliability dump
+        (llava_msd_calibrated.py:635-668)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        paths = {}
+        acc_path = os.path.join(self.log_dir, "acceptance_rate.json")
+        with open(acc_path, "w") as f:
+            json.dump({**self.msd_stats,
+                       "total_duration_seconds":
+                           getattr(self, "total_duration_seconds", 0.0)}, f)
+        paths["acceptance"] = acc_path
+        if self.calib_logger.rows:
+            paths["calibration"] = self.calib_logger.save_data(
+                os.path.join(self.log_dir, "calibration_data.json"))
+            fig = self.calib_logger.save_reliability_plot(
+                os.path.join(self.log_dir, "reliability.svg"))
+            if fig:
+                paths["reliability_plot"] = fig
+        return paths
 
     @property
     def msd_stats(self) -> Dict[str, float]:

@@ -46,9 +46,12 @@ def init_layer_params(key, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
     return {
         "input_layernorm": jnp.ones((h,), dtype),
         "post_attention_layernorm": jnp.ones((h,), dtype),
+        # q/k/v stored [out, in] (HF orientation): XLA prefers the
+        # contracting dim minormost for matmuls inside while loops; storing
+        # [in, out] made it relayout 3x1GB HLO-temp copies at 7B scale.
         "q_proj": mat(ks[0], (h, h)),
-        "k_proj": mat(ks[1], (h, hkv)),
-        "v_proj": mat(ks[2], (h, hkv)),
+        "k_proj": mat(ks[1], (hkv, h)),
+        "v_proj": mat(ks[2], (hkv, h)),
         "o_proj": mat(ks[3], (h, h)),
         "gate_proj": mat(ks[4], (h, inter)),
         "up_proj": mat(ks[5], (h, inter)),
@@ -85,7 +88,7 @@ def init_llama_params_stacked(key, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Para
     h, inter, nl = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
     hkv = cfg.num_key_value_heads * cfg.head_dim
     names = [("input_layernorm", None), ("post_attention_layernorm", None),
-             ("q_proj", (h, h)), ("k_proj", (h, hkv)), ("v_proj", (h, hkv)),
+             ("q_proj", (h, h)), ("k_proj", (hkv, h)), ("v_proj", (hkv, h)),
              ("o_proj", (h, h)), ("gate_proj", (h, inter)),
              ("up_proj", (h, inter)), ("down_proj", (inter, h))]
     keys = jax.random.split(key, len(names) + 2)
@@ -132,9 +135,9 @@ def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
         h = x
     else:
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = (h @ lp["q_proj"]).reshape(t, hq, d)
-    k = (h @ lp["k_proj"]).reshape(t, hkv, d)
-    v = (h @ lp["v_proj"]).reshape(t, hkv, d)
+    q = jnp.einsum("th,oh->to", h, lp["q_proj"]).reshape(t, hq, d)
+    k = jnp.einsum("th,oh->to", h, lp["k_proj"]).reshape(t, hkv, d)
+    v = jnp.einsum("th,oh->to", h, lp["v_proj"]).reshape(t, hkv, d)
     q, k = apply_rope(q, k, cos_t, sin_t, positions)
     return q, k, v
 
@@ -225,9 +228,9 @@ def make_rope(cfg: LlamaConfig, max_seq_len: int):
 _HF_LAYER_MAP = {
     "input_layernorm": ("input_layernorm.weight", False),
     "post_attention_layernorm": ("post_attention_layernorm.weight", False),
-    "q_proj": ("self_attn.q_proj.weight", True),
-    "k_proj": ("self_attn.k_proj.weight", True),
-    "v_proj": ("self_attn.v_proj.weight", True),
+    "q_proj": ("self_attn.q_proj.weight", False),  # kept [out, in]
+    "k_proj": ("self_attn.k_proj.weight", False),
+    "v_proj": ("self_attn.v_proj.weight", False),
     "o_proj": ("self_attn.o_proj.weight", True),
     "gate_proj": ("mlp.gate_proj.weight", True),
     "up_proj": ("mlp.up_proj.weight", True),

@@ -64,9 +64,10 @@ def llama_param_specs(cfg: LlamaConfig, stacked: bool = True) -> Dict:
     layer = {
         "input_layernorm": spec(None),
         "post_attention_layernorm": spec(None),
-        "q_proj": spec(None, "model"),
-        "k_proj": spec(None, "model"),
-        "v_proj": spec(None, "model"),
+        # q/k/v stored [out, in]: output (head) dim is axis 0
+        "q_proj": spec("model", None),
+        "k_proj": spec("model", None),
+        "v_proj": spec("model", None),
         "o_proj": spec("model", None),
         "gate_proj": spec(None, "model"),
         "up_proj": spec(None, "model"),

@@ -1,0 +1,199 @@
+"""Teacher-state dataset generation — the ge_data analog.
+
+Reference: EAGLE/eagle/ge_data/ge_data_all_llava15.py:94-262 — builds
+vicuna_v1 conversations from LLaVA-instruct JSON, tokenizes with the -200
+placeholder, loss-masks assistant turns only, runs the frozen target once and
+saves {input_ids, inputs_embeds, hidden_state, loss_mask} per sample; and
+allocation.py:60-85 which shards sample ranges across devices.
+
+TPU-native shape: one jitted teacher forward per prompt-length bucket; the
+emitted record is already in the draft trainer's shift-by-one layout
+(emb_next/hidden/target/loss_mask/img_mask, see train/draft_train.py Batch),
+saved as .npz.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.configs import IMAGE_TOKEN_INDEX, LlamaConfig
+from msd_tpu.models import llama as L
+from msd_tpu.models.llava import expand_ids, fuse_embeddings
+from msd_tpu.ops.attention import causal_prefill_bias
+from msd_tpu.utils.conversation import Conversation, DEFAULT_VICUNA_SYSTEM
+
+
+def build_conversation_ids(tokenizer, turns: Sequence[Tuple[str, str]],
+                           with_image: bool,
+                           system: str = DEFAULT_VICUNA_SYSTEM
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize a multi-turn conversation; loss_mask=1 on assistant replies.
+
+    turns: [(user_msg, assistant_msg), ...]; the first user message gets the
+    <image>\\n prefix when with_image (ge_data_all_llava15.py:94-176).
+    """
+    from msd_tpu.utils.mm_utils import tokenizer_image_token
+
+    conv = Conversation(system=system)
+    for i, (u, a) in enumerate(turns):
+        if i == 0 and with_image:
+            u = "<image>\n" + u
+        conv.append_message(conv.roles[0], u)
+        conv.append_message(conv.roles[1], a)
+    prompt = conv.get_prompt()
+    ids = tokenizer_image_token(prompt, tokenizer)
+
+    # loss mask: tokens belonging to assistant replies (+ trailing sep2)
+    mask = np.zeros_like(ids, np.float32)
+    cursor = conv.system + conv.sep if conv.system else ""
+    for i, (u, a) in enumerate(turns):
+        if i == 0 and with_image:
+            u = "<image>\n" + u
+        cursor += f"{conv.roles[0]}: {u}{conv.sep}"
+        n_before = len(tokenizer_image_token(
+            cursor + f"{conv.roles[1]}:", tokenizer))
+        cursor += f"{conv.roles[1]}: {a}{conv.sep2}"
+        n_after = len(tokenizer_image_token(cursor, tokenizer))
+        mask[n_before:n_after] = 1.0
+    return ids, mask
+
+
+def teacher_forward(params: Dict, cfg: LlamaConfig, ids: np.ndarray,
+                    img_feats: Optional[jnp.ndarray], img_pos: int,
+                    n_img: int, pad_to: int) -> Dict[str, np.ndarray]:
+    """One frozen-target forward -> post-norm hidden states + fused embeds."""
+    P_exp = pad_to + max(n_img - 1, 0)
+    padded = np.zeros((pad_to,), np.int32)
+    padded[:len(ids)] = ids
+    padded_j = jnp.asarray(padded)
+    cos_t, sin_t = L.make_rope(cfg, P_exp + 8)
+    if n_img > 0:
+        fused = fuse_embeddings(params["embed_tokens"], padded_j, img_feats,
+                                jnp.int32(img_pos), P_exp)
+        exp_ids = expand_ids(jnp.where(padded_j < 0, 0, padded_j),
+                             jnp.int32(img_pos), n_img, P_exp)
+    else:
+        fused = params["embed_tokens"][jnp.maximum(padded_j, 0)]
+        exp_ids = padded_j
+    kv = L.init_kv_cache(cfg, P_exp, fused.dtype)
+    bias = causal_prefill_bias(P_exp, P_exp)
+    hidden, _ = L.llama_forward(params, cfg, fused, jnp.arange(P_exp), kv,
+                                jnp.int32(0), bias, cos_t, sin_t)
+    return {"fused": np.asarray(fused), "hidden": np.asarray(hidden),
+            "exp_ids": np.asarray(exp_ids)}
+
+
+def make_training_record(params: Dict, cfg: LlamaConfig, tokenizer,
+                         turns: Sequence[Tuple[str, str]],
+                         img_feats: Optional[jnp.ndarray] = None,
+                         n_img: int = 0, pad_to: int = 512,
+                         system: str = DEFAULT_VICUNA_SYSTEM
+                         ) -> Dict[str, np.ndarray]:
+    """Full record in the draft trainer's layout (shift-by-one applied)."""
+    with_image = img_feats is not None and n_img > 0
+    ids, loss_mask = build_conversation_ids(tokenizer, turns, with_image,
+                                            system=system)
+    ids = ids[:pad_to]
+    loss_mask = loss_mask[:pad_to]
+    img_positions = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+    img_pos = int(img_positions[0]) if len(img_positions) else pad_to
+
+    out = teacher_forward(params, cfg, ids, img_feats, img_pos, n_img, pad_to)
+    P_exp = out["hidden"].shape[0]
+    e_len = len(ids) + (n_img - 1 if with_image else 0)
+
+    # expand loss mask to post-image coordinates (image rows -> 0)
+    exp_mask = np.zeros((P_exp,), np.float32)
+    if with_image:
+        exp_mask[:img_pos] = loss_mask[:img_pos]
+        exp_mask[img_pos + n_img:img_pos + n_img + len(ids) - img_pos - 1] = \
+            loss_mask[img_pos + 1:]
+    else:
+        exp_mask[:len(ids)] = loss_mask
+
+    # shift-by-one: row j pairs emb(t_{j+1}) with hidden_j, target hidden_{j+1}
+    fused, hidden = out["fused"], out["hidden"]
+    emb_next = np.concatenate([fused[1:], np.zeros_like(fused[:1])])
+    target = np.concatenate([hidden[1:], np.zeros_like(hidden[:1])])
+    tmask = np.concatenate([exp_mask[1:], np.zeros((1,), np.float32)])
+    tmask[e_len - 1:] = 0.0  # last row predicts nothing
+    j = np.arange(P_exp)
+    img_mask = ((j + 1 >= img_pos) & (j + 1 < img_pos + n_img)) if with_image \
+        else np.zeros((P_exp,), bool)
+
+    return {"emb_next": emb_next, "hidden": hidden, "target": target,
+            "loss_mask": tmask, "attn_len": np.int32(e_len),
+            "img_mask": img_mask, "exp_ids": out["exp_ids"]}
+
+
+def make_record_from_ids(params: Dict, cfg: LlamaConfig, ids: np.ndarray,
+                         loss_mask: np.ndarray, pad_to: int,
+                         img_feats: Optional[jnp.ndarray] = None,
+                         n_img: int = 0, img_pos: Optional[int] = None
+                         ) -> Dict[str, np.ndarray]:
+    """Record directly from token ids (on-policy distillation / custom data).
+
+    ids: [T] (may contain IMAGE_TOKEN_INDEX); loss_mask: [T] 1.0 where the
+    NEXT-token prediction at that source position should be trained.
+    """
+    ids = np.asarray(ids, np.int32)[:pad_to]
+    loss_mask = np.asarray(loss_mask, np.float32)[:pad_to]
+    with_image = img_feats is not None and n_img > 0
+    if img_pos is None:
+        pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+        img_pos = int(pos[0]) if len(pos) else pad_to
+
+    out = teacher_forward(params, cfg, ids, img_feats, img_pos, n_img, pad_to)
+    P_exp = out["hidden"].shape[0]
+    e_len = len(ids) + (n_img - 1 if with_image else 0)
+    exp_mask = np.zeros((P_exp,), np.float32)
+    if with_image:
+        exp_mask[:img_pos] = loss_mask[:img_pos]
+        exp_mask[img_pos + n_img:img_pos + n_img + len(ids) - img_pos - 1] = \
+            loss_mask[img_pos + 1:]
+    else:
+        exp_mask[:len(ids)] = loss_mask
+
+    fused, hidden = out["fused"], out["hidden"]
+    emb_next = np.concatenate([fused[1:], np.zeros_like(fused[:1])])
+    target = np.concatenate([hidden[1:], np.zeros_like(hidden[:1])])
+    tmask = np.concatenate([exp_mask[1:], np.zeros((1,), np.float32)])
+    tmask[e_len - 1:] = 0.0
+    j = np.arange(P_exp)
+    img_mask = ((j + 1 >= img_pos) & (j + 1 < img_pos + n_img)) if with_image \
+        else np.zeros((P_exp,), bool)
+    return {"emb_next": emb_next, "hidden": hidden, "target": target,
+            "loss_mask": tmask, "attn_len": np.int32(e_len),
+            "img_mask": img_mask, "exp_ids": out["exp_ids"]}
+
+
+def generate_dataset(params: Dict, cfg: LlamaConfig, tokenizer,
+                     samples: List[Dict], out_dir: str, *,
+                     encode_image_fn=None, n_img: int = 0, pad_to: int = 512,
+                     start: int = 0, end: Optional[int] = None) -> int:
+    """Dump teacher-state records [start, end) to out_dir/rec_%06d.npz.
+
+    The [start, end) range is the allocation.py-style shard; run one process
+    per host over disjoint ranges.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    end = end if end is not None else len(samples)
+    n = 0
+    for i in range(start, min(end, len(samples))):
+        s = samples[i]
+        feats = None
+        if n_img and s.get("image") is not None and encode_image_fn:
+            from msd_tpu.utils.mm_utils import process_image
+            feats = encode_image_fn(jnp.asarray(process_image(s["image"])))
+        rec = make_training_record(params, cfg, tokenizer, s["turns"],
+                                   img_feats=feats, n_img=n_img if feats
+                                   is not None else 0, pad_to=pad_to)
+        np.savez(os.path.join(out_dir, f"rec_{i:06d}.npz"), **rec)
+        n += 1
+    return n

@@ -1,0 +1,161 @@
+"""Draft-head training driver — the main_deepspeed.py analog.
+
+Epoch loop over .npz teacher-state shards with:
+- text -> visual curriculum (main_deepspeed.py:179-191 update_ratio),
+- uniform hidden-state noise (applied in-step, :71-80),
+- AdamW + warmup + global-norm clip (train_config :98-126),
+- per-epoch orbax checkpoints (the save_16bit_model analog, :476-483) with
+  full optimizer-state resume (which the reference lacks),
+- optional (data, model)-mesh sharding via msd_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from msd_tpu.configs import DraftConfig
+from msd_tpu.models.llama import make_rope
+from msd_tpu.train.draft_train import (Batch, TrainConfig,
+                                       curriculum_visual_ratio,
+                                       make_optimizer, train_step)
+
+
+@dataclass
+class TrainerConfig:
+    train: TrainConfig = field(default_factory=TrainConfig)
+    batch_size: int = 2
+    max_len: int = 512
+    num_epochs: int = 40
+    ckpt_dir: str = "checkpoints/draft"
+    log_every: int = 50
+
+
+def _load_records(paths: List[str]) -> List[Dict[str, np.ndarray]]:
+    return [dict(np.load(p)) for p in paths]
+
+
+def batches_from_records(records: List[Dict], batch_size: int, max_len: int,
+                         rng: np.random.Generator) -> Iterator[Batch]:
+    order = rng.permutation(len(records))
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        group = [records[j] for j in order[i:i + batch_size]]
+
+        def pad(a, length, value=0.0):
+            out = np.full((length,) + a.shape[1:], value, a.dtype)
+            out[:min(len(a), length)] = a[:length]
+            return out
+
+        yield Batch(
+            emb_next=jnp.asarray(np.stack(
+                [pad(g["emb_next"], max_len) for g in group])),
+            hidden=jnp.asarray(np.stack(
+                [pad(g["hidden"], max_len) for g in group])),
+            target=jnp.asarray(np.stack(
+                [pad(g["target"], max_len) for g in group])),
+            loss_mask=jnp.asarray(np.stack(
+                [pad(g["loss_mask"], max_len) for g in group])),
+            attn_len=jnp.asarray(np.asarray(
+                [min(int(g["attn_len"]), max_len) for g in group], np.int32)),
+            img_mask=jnp.asarray(np.stack(
+                [pad(g["img_mask"], max_len) for g in group])))
+
+
+class DraftTrainer:
+    def __init__(self, dcfg: DraftConfig, dparams: Dict, head_w,
+                 tc: TrainerConfig = TrainerConfig(), mesh=None):
+        self.dcfg, self.tc = dcfg, tc
+        self.params = dparams
+        self.head_w = head_w
+        self.opt = make_optimizer(tc.train)
+        self.opt_state = self.opt.init(dparams)
+        self.cos_t, self.sin_t = make_rope(dcfg.text, tc.max_len + 8)
+        self.key = jax.random.PRNGKey(0)
+        self.step_count = 0
+        self.epoch = 0
+        self._step = jax.jit(functools.partial(
+            train_step, cfg=dcfg, tcfg=tc.train, opt=self.opt))
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, visual_records: List[Dict], text_records: List[Dict],
+                  log=print) -> Dict[str, float]:
+        ratio = curriculum_visual_ratio(self.epoch, self.tc.num_epochs)
+        rng = np.random.default_rng(self.epoch)
+        n = max(len(visual_records) + len(text_records), 1)
+        n_vis = int(round(ratio * min(len(visual_records), n)))
+        pool = (list(rng.choice(len(visual_records), n_vis, replace=False))
+                if n_vis else [])
+        records = [visual_records[i] for i in pool] + text_records
+        metrics_acc: Dict[str, float] = {}
+        count = 0
+        t0 = time.time()
+        for batch in batches_from_records(records, self.tc.batch_size,
+                                          self.tc.max_len, rng):
+            self.params, self.opt_state, self.key, metrics = self._step(
+                self.params, self.opt_state, head_w=self.head_w, batch=batch,
+                key=self.key, cos_t=self.cos_t, sin_t=self.sin_t)
+            self.step_count += 1
+            count += 1
+            for k, v in metrics.items():
+                metrics_acc[k] = metrics_acc.get(k, 0.0) + float(v)
+            if count % self.tc.log_every == 0:
+                log(f"epoch {self.epoch} step {count}: " + " ".join(
+                    f"{k}={metrics_acc[k]/count:.4f}" for k in metrics_acc))
+        out = {k: v / max(count, 1) for k, v in metrics_acc.items()}
+        out["steps"] = count
+        out["visual_ratio"] = ratio
+        out["seconds"] = time.time() - t0
+        self.epoch += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def save(self, tag: Optional[str] = None) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(
+            self.tc.ckpt_dir, tag or f"epoch_{self.epoch}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "state"), {
+            "params": self.params, "opt_state": self.opt_state,
+        }, force=True)
+        ckptr.wait_until_finished()
+        with open(os.path.join(path, "trainer.json"), "w") as f:
+            json.dump({"epoch": self.epoch, "step_count": self.step_count}, f)
+        return path
+
+    def restore(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.params, "opt_state": self.opt_state}
+        state = ckptr.restore(os.path.join(os.path.abspath(path), "state"),
+                              target)
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        with open(os.path.join(path, "trainer.json")) as f:
+            meta = json.load(f)
+        self.epoch = meta["epoch"]
+        self.step_count = meta["step_count"]
+
+
+def train_from_dirs(dcfg: DraftConfig, dparams: Dict, head_w,
+                    visual_dir: str, text_dir: str,
+                    tc: TrainerConfig = TrainerConfig(), log=print):
+    trainer = DraftTrainer(dcfg, dparams, head_w, tc)
+    vis = _load_records(sorted(glob.glob(os.path.join(visual_dir, "*.npz"))))
+    txt = _load_records(sorted(glob.glob(os.path.join(text_dir, "*.npz"))))
+    for _ in range(tc.num_epochs):
+        m = trainer.run_epoch(vis, txt, log=log)
+        log(f"epoch {trainer.epoch - 1} done: {m}")
+        trainer.save()
+    return trainer

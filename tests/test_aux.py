@@ -1,0 +1,120 @@
+"""Aux subsystem tests: profiling, response cache, calibration logger,
+static-tree layout, autotune plumbing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from msd_tpu.calib.logger import CalibrationLogger, get_calibration_logger
+from msd_tpu.engine.static_tree import (choices_to_structure, mc_sim_7b_63,
+                                        static_layout, tree_from_tokens)
+from msd_tpu.harness.cache import CachingLM, ResponseCache, request_key
+from msd_tpu.harness.instance import Instance
+from msd_tpu.utils.profiling import StepStats, Timer, time_fn
+
+
+def test_timer_and_time_fn():
+    with Timer("t") as t:
+        sum(range(1000))
+    assert t.elapsed > 0
+    f = lambda x: x * 2  # noqa: E731
+    assert time_fn(f, jnp.ones((8,)), repeats=2) > 0
+
+
+def test_step_stats():
+    s = StepStats()
+    s.update(prompt_tokens=10, new_tokens=7, steps=1, acc_sum=7,
+             hist=[0, 0, 0, 0, 0, 0, 0, 1])
+    s.update(prompt_tokens=10, new_tokens=3, steps=1, acc_sum=3, hist=None)
+    assert s.avg_accept_len == 5.0
+    assert s.summary()["alpha_hist"][7] == 1
+
+
+def test_response_cache(tmp_path):
+    path = str(tmp_path / "cache.db")
+    c = ResponseCache(path)
+    c.put("k", "v")
+    assert c.get("k") == "v"
+    assert c.get("missing") is None
+
+    class FakeLM:
+        calls = 0
+
+        def generate_until(self, reqs):
+            FakeLM.calls += 1
+            return [f"resp-{r.doc_id}" for r in reqs]
+
+    def req(i):
+        return Instance("generate_until", {}, (f"ctx{i}", {"t": 0}, None, i,
+                                               "task", "test"), i, "task", i)
+
+    lm = CachingLM(FakeLM(), path, "m1")
+    out1 = lm.generate_until([req(0), req(1)])
+    out2 = lm.generate_until([req(0), req(1)])
+    assert out1 == out2 == ["resp-0", "resp-1"]
+    assert FakeLM.calls == 1  # second call fully cached
+
+
+def test_calibration_logger(tmp_path):
+    lg = CalibrationLogger(str(tmp_path))
+    rng = np.random.default_rng(0)
+    n = 200
+    conf = rng.uniform(size=(4, 50))
+    acc = (rng.uniform(size=(4, 50)) < conf).astype(np.int32)
+    lg.log_request({
+        "token": np.ones((4, 50), np.int32), "depth": np.ones((4, 50), np.int32),
+        "draft_conf": conf, "attn": conf * 0, "margin": conf * 0,
+        "base_conf": conf, "base_top1": acc, "base_margin": conf * 0,
+        "accept": acc, "valid": np.ones((4, 50), np.int32)})
+    stats = lg.get_calibration_stats()
+    assert stats["n_candidates"] == n
+    assert 0 <= stats["ece_fixed"] <= 1
+    assert stats["oce"] >= 0 and stats["uce"] >= 0
+    p = lg.save_data()
+    with open(p) as f:
+        data = json.load(f)
+    assert data["stats"]["n_candidates"] == n
+    assert len(data["reliability"]) == 20
+    # singleton
+    assert get_calibration_logger() is get_calibration_logger()
+
+
+def test_static_tree_layout():
+    parents, depths, n = choices_to_structure(mc_sim_7b_63)
+    assert n == 64  # 63 choices + root
+    assert depths.max() == 10
+    _, _, mask, retrieve = static_layout(mc_sim_7b_63, max_path_len=11)
+    # every node's mask row contains its full ancestor chain
+    for i in range(1, n):
+        j = i
+        while j != 0:
+            assert mask[i, j]
+            j = parents[j]
+        assert mask[i, 0]
+    # retrieve rows terminate at the node itself
+    for i in range(n):
+        assert retrieve[i, depths[i]] == i
+
+    tr = tree_from_tokens(mc_sim_7b_63, jnp.int32(5),
+                          jnp.arange(63, dtype=jnp.int32) + 100, 11)
+    assert int(tr.tokens[0]) == 5
+    assert tr.mask.shape == (64, 64)
+
+
+def test_autotune_smoke():
+    import jax
+    from msd_tpu.configs import EngineConfig, LlamaConfig, TreeConfig
+    from msd_tpu.engine.autotune import autotune_total_token
+    from msd_tpu.models import llama as L
+
+    cfg = LlamaConfig.tiny(vocab_size=64, hidden_size=32, layers=1, heads=4,
+                           intermediate_size=64)
+    params = L.init_llama_params(jax.random.PRNGKey(0), cfg)
+    eng = EngineConfig(max_seq_len=128, tree=TreeConfig(top_k=4, max_depth=4,
+                                                        num_nodes=16))
+    tree = autotune_total_token(params, cfg, eng, candidates=(8, 16))
+    assert tree.num_nodes in (8, 16)
