@@ -43,9 +43,11 @@ class MSDGenerator:
                  tcfg: LlamaConfig, dcfg: DraftConfig,
                  eng: EngineConfig = EngineConfig(), *,
                  n_img: int = 0, eos_id: int = 2,
-                 sp: SamplingParams = SamplingParams()):
+                 sp: SamplingParams = SamplingParams(),
+                 image_mode: str = "expand", mrope_section=None):
         self.tcfg, self.dcfg, self.eng = tcfg, dcfg, eng
         self.n_img, self.eos_id = n_img, eos_id
+        self.image_mode, self.mrope_section = image_mode, mrope_section
         max_pos = eng.max_seq_len + eng.tree.num_nodes + 64
         cos_t, sin_t = L.make_rope(tcfg, max_pos)
         self.params = {"target": target_params, "draft": draft_params,
@@ -59,6 +61,8 @@ class MSDGenerator:
         return SE.Statics(tcfg=self.tcfg, dcfg=self.dcfg, tree=self.eng.tree,
                           eng=self.eng, sp=sp, n_img=self.n_img,
                           eos_id=self.eos_id, max_new=max_new,
+                          image_mode=self.image_mode,
+                          mrope_section=self.mrope_section,
                           use_calibration=use_calibration,
                           collect_calibration=collect_calibration)
 
@@ -75,14 +79,31 @@ class MSDGenerator:
         return out
 
     def _img_pos(self, ids: np.ndarray) -> int:
+        if self.image_mode == "inline":
+            from msd_tpu.models.qwen2vl import IMAGE_PAD_ID
+            pos = np.nonzero(ids == IMAGE_PAD_ID)[0]
+            return int(pos[0]) if len(pos) else len(ids)
         pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
         return int(pos[0]) if len(pos) else len(ids)
+
+    def _qwen_pos(self, ids_padded: np.ndarray, prompt_len: int,
+                  img_grid) -> tuple:
+        """(pos3 [3, P_pad] or None, pos_delta) for inline mode."""
+        from msd_tpu.models.qwen2vl import mrope_positions
+        if not self.n_img or img_grid is None:
+            return None, 0
+        gh, gw = img_grid
+        img_start = self._img_pos(ids_padded[:prompt_len])
+        pos3, delta = mrope_positions(len(ids_padded), img_start,
+                                      self.n_img, gh, gw)
+        return jnp.asarray(pos3, jnp.int32), delta
 
     def generate(self, ids: np.ndarray, img_feats: Optional[jnp.ndarray] = None,
                  max_new_tokens: Optional[int] = None, seed: int = 0,
                  sp: Optional[SamplingParams] = None,
                  use_calibration: bool = False,
-                 collect_calibration: bool = False) -> GenResult:
+                 collect_calibration: bool = False,
+                 img_grid=None) -> GenResult:
         """Speculative (MSD) generation; lossless wrt the target model.
 
         use_calibration: calibrated tree rerank (set_calibrator first).
@@ -94,13 +115,22 @@ class MSDGenerator:
         if use_calibration and "calib" not in self.params:
             raise ValueError("set_calibrator() before use_calibration=True")
         st = self._statics(max_new, sp, use_calibration, collect_calibration)
-        padded = jnp.asarray(self._pad(ids))
+        padded_np = self._pad(ids)
+        padded = jnp.asarray(padded_np)
         key = jax.random.PRNGKey(seed)
-        state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
-                           img_feats, jnp.int32(self._img_pos(ids)), key)
+        if self.image_mode == "inline":
+            pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
+            state = SE.qwen_prefill(st, self.params, padded,
+                                    jnp.int32(len(ids)), img_feats,
+                                    jnp.int32(self._img_pos(ids)), pos3,
+                                    jnp.int32(delta), key)
+        else:
+            state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
+                               img_feats, jnp.int32(self._img_pos(ids)), key)
         state = SE.decode(st, self.params, state)
 
-        e0 = len(ids) + max(self.n_img - 1, 0)
+        e0 = len(ids) + (max(self.n_img - 1, 0)
+                         if self.image_mode == "expand" else 0)
         cur = int(state.cur_len)
         out = np.asarray(state.ids[e0:cur + 1])
         out = _trim(out, self.eos_id, max_new)
@@ -117,18 +147,29 @@ class MSDGenerator:
     def naive_generate(self, ids: np.ndarray,
                        img_feats: Optional[jnp.ndarray] = None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,
-                       sp: Optional[SamplingParams] = None) -> GenResult:
+                       sp: Optional[SamplingParams] = None,
+                       img_grid=None) -> GenResult:
         """Plain AR baseline with the same kernels/KV cache."""
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
         st = self._statics(max_new, sp)
-        padded = jnp.asarray(self._pad(ids))
+        padded_np = self._pad(ids)
+        padded = jnp.asarray(padded_np)
         key = jax.random.PRNGKey(seed)
-        carry = SE.ar_prefill(st, self.params, padded, jnp.int32(len(ids)),
-                              img_feats, jnp.int32(self._img_pos(ids)), key)
+        if self.image_mode == "inline":
+            pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
+            carry = SE.qwen_ar_prefill(st, self.params, padded,
+                                       jnp.int32(len(ids)), img_feats,
+                                       jnp.int32(self._img_pos(ids)), pos3,
+                                       jnp.int32(delta), key)
+        else:
+            carry = SE.ar_prefill(st, self.params, padded,
+                                  jnp.int32(len(ids)), img_feats,
+                                  jnp.int32(self._img_pos(ids)), key)
         ids_buf, cur, n_new = SE.ar_decode(st, self.params, carry)
-        e0 = len(ids) + max(self.n_img - 1, 0)
+        e0 = len(ids) + (max(self.n_img - 1, 0)
+                         if self.image_mode == "expand" else 0)
         out = np.asarray(ids_buf[e0:int(cur) + 1])
         out = _trim(out, self.eos_id, max_new)
         return GenResult(tokens=out)

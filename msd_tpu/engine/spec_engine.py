@@ -59,6 +59,12 @@ class Statics:
     n_img: int          # 0 (text-only) or vision.num_patches (e.g. 576)
     eos_id: int
     max_new: int
+    # "expand": LLaVA -200 placeholder expands to n_img rows.
+    # "inline": Qwen2-VL — the prompt already contains the image-pad span;
+    #           positions follow mrope with a post-image delta.
+    image_mode: str = "expand"
+    # mrope frequency sections (Qwen2-VL); None = standard 1D rope
+    mrope_section: Optional[Tuple[int, int, int]] = None
     # calibrated tree construction (params must carry a "calib" CalibTables)
     use_calibration: bool = False
     # record per-node calibration features/labels each step (training phase)
@@ -94,6 +100,9 @@ class EngineState(NamedTuple):
     done: jnp.ndarray
     key: jnp.ndarray
     img_pos: jnp.ndarray        # placeholder index (= image span start)
+    pos_delta: jnp.ndarray      # rope position minus cache index (Qwen mrope
+    #                             collapse: max(grid_h, grid_w) - n_img; 0 for
+    #                             LLaVA)
     attn_feat: jnp.ndarray      # [TOP_K] visual-attention intensity per child
     #                             slot from the latest draft prefix forward
     #                             (cnets.py:516-575 candidate_idx semantics)
@@ -157,7 +166,8 @@ def _rerank(st: Statics, params: Dict, logits: jnp.ndarray,
 
 def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
                   last_hidden: jnp.ndarray, root_token: jnp.ndarray,
-                  cos_t, sin_t, attn_feat: jnp.ndarray) -> Tuple[Tree, Dict]:
+                  cos_t, sin_t, attn_feat: jnp.ndarray,
+                  pos_delta: jnp.ndarray = 0) -> Tuple[Tree, Dict]:
     """Expand the draft tree from the last draft hidden state.
 
     Mirrors cnets.py:1066-1427: layer 0 = top-k of head(last_hidden); depth
@@ -210,7 +220,7 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
         d = layer - 1  # scratch slot of the frontier being forwarded
         emb = dp["embed_tokens"][f_tok]
         hin = draft_mod.draft_fuse(dp, emb, f_hid)
-        pos = jnp.broadcast_to(E + d, (K,)).astype(jnp.int32)
+        pos = jnp.broadcast_to(E + pos_delta + d, (K,)).astype(jnp.int32)
         write = E + d * K
 
         kpos = jnp.arange(s_d)[None, :]
@@ -270,7 +280,8 @@ def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
                           draft_len: jnp.ndarray, suffix_tokens: jnp.ndarray,
                           suffix_hidden: jnp.ndarray, suffix_len: jnp.ndarray,
                           last_hidden_prev: jnp.ndarray, cos_t, sin_t,
-                          img_pos: jnp.ndarray, attn_feat_prev: jnp.ndarray):
+                          img_pos: jnp.ndarray, attn_feat_prev: jnp.ndarray,
+                          pos_delta: jnp.ndarray = 0):
     """Extend the draft stable KV with the accepted rows (cnets.py:998-1047).
 
     Always runs MAX_PATH rows (suffix_len of them valid). Returns
@@ -280,7 +291,7 @@ def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
     P = st.tree.max_path_len
     emb = dp["embed_tokens"][jnp.maximum(suffix_tokens, 0)]
     hin = draft_mod.draft_fuse(dp, emb, suffix_hidden)
-    pos = (draft_len + jnp.arange(P)).astype(jnp.int32)
+    pos = (draft_len + pos_delta + jnp.arange(P)).astype(jnp.int32)
     # causal over the growing prefix: row i sees keys [0, draft_len + i]
     kpos = jnp.arange(st.s_draft)[None, :]
     keep = kpos <= pos[:, None]
@@ -306,12 +317,12 @@ def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
 # ---------------------------------------------------------------------------
 
 def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
-            tr: Tree, key, cos_t, sin_t):
+            tr: Tree, key, cos_t, sin_t, pos_delta: jnp.ndarray = 0):
     """One tree-masked target forward + lossless acceptance
     (utils.py:320-366 tree_decoding + :372-450 evaluate_posterior)."""
     tp = params["target"]
     emb = tp["embed_tokens"][jnp.maximum(tr.tokens, 0)]
-    pos = (E + tr.positions).astype(jnp.int32)
+    pos = (E + pos_delta + tr.positions).astype(jnp.int32)
     bias = tree_bias(tr.mask, E, st.s_target)
     hidden, target_kv = L.llama_forward(tp, st.tcfg, emb, pos, target_kv, E,
                                         bias, cos_t, sin_t)
@@ -510,7 +521,7 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
         new_tokens=jnp.int32(0), steps=jnp.int32(0), acc_sum=jnp.int32(0),
         alpha_hist=jnp.zeros((16,), jnp.int32),
         done=jnp.bool_(False), key=key, img_pos=img_pos,
-        attn_feat=attn_feat, calib_log=calib_log)
+        pos_delta=jnp.int32(0), attn_feat=attn_feat, calib_log=calib_log)
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
@@ -525,11 +536,12 @@ def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
         last_hidden, dkv, dlen, attn_feat = _draft_suffix_forward(
             st, params, s.draft_kv, s.draft_len, s.suffix_tokens,
             s.suffix_hidden, s.suffix_len, s.last_draft_hidden, cos_t, sin_t,
-            s.img_pos, s.attn_feat)
+            s.img_pos, s.attn_feat, s.pos_delta)
         tr, dkv = _draft_expand(st, params, dkv, dlen, last_hidden, s.bonus,
-                                cos_t, sin_t, attn_feat)
+                                cos_t, sin_t, attn_feat, s.pos_delta)
         hidden, tkv, best, acc_len, next_tok, key, logits = _verify(
-            st, params, s.target_kv, s.cur_len, tr, s.key, cos_t, sin_t)
+            st, params, s.target_kv, s.cur_len, tr, s.key, cos_t, sin_t,
+            s.pos_delta)
         s = s._replace(draft_kv=dkv, draft_len=dlen, target_kv=tkv, key=key,
                        last_draft_hidden=last_hidden, attn_feat=attn_feat)
         if st.collect_calibration:
@@ -541,6 +553,115 @@ def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
     # surface the final pending token so hosts can read ids[:cur_len+1]
     ids = jax.lax.dynamic_update_slice(state.ids, state.bonus[None], (state.cur_len,))
     return state._replace(ids=ids)
+
+
+
+
+@partial(jax.jit, static_argnums=(0,))
+def qwen_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
+                 prompt_len: jnp.ndarray, img_feats: Optional[jnp.ndarray],
+                 img_start: jnp.ndarray, pos3: Optional[jnp.ndarray],
+                 pos_delta: jnp.ndarray, key: jnp.ndarray) -> EngineState:
+    """Qwen2-VL prefill: inline image span + mrope positions.
+
+    ids: [P_pad] already-expanded prompt (contains the <|image_pad|> span);
+    pos3: [3, P_pad] mrope position ids (models/qwen2vl.mrope_positions) or
+    None for text-only; pos_delta: max(grid_h, grid_w) - n_img (0 if no
+    image). Statics.image_mode must be "inline".
+    """
+    assert st.image_mode == "inline"
+    tcfg, dcfg = st.tcfg, st.dcfg
+    n_img = st.n_img
+    P_pad = ids.shape[0]
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+    tp, dp = params["target"], params["draft"]
+    E0 = prompt_len
+
+    has_image = n_img > 0 and img_feats is not None
+    if has_image:
+        from msd_tpu.models.qwen2vl import fuse_qwen_embeddings
+        fused = fuse_qwen_embeddings(tp["embed_tokens"], ids, img_feats,
+                                     img_start, n_img)
+    else:
+        fused = tp["embed_tokens"][jnp.maximum(ids, 0)]
+    exp_ids = ids
+
+    if pos3 is not None:
+        from msd_tpu.models.qwen2vl import mrope_gather
+        g_cos, g_sin = mrope_gather(cos_t, sin_t, pos3, st.mrope_section)
+        # gathered-cos trick: tables ARE the per-token values, positions are
+        # row indices
+        eff_cos, eff_sin = g_cos, g_sin
+        positions = jnp.arange(P_pad, dtype=jnp.int32)
+    else:
+        eff_cos, eff_sin = cos_t, sin_t
+        positions = jnp.arange(P_pad, dtype=jnp.int32)
+
+    bias = causal_prefill_bias(P_pad, st.s_target)
+    target_kv = L.init_kv_cache(tcfg, st.s_target, fused.dtype)
+    hidden, target_kv = L.llama_forward(tp, tcfg, fused, positions, target_kv,
+                                        jnp.int32(0), bias, eff_cos, eff_sin)
+    last_logits = L.lm_head(tp, hidden[E0 - 1][None])[0]
+    key, sub = jax.random.split(key)
+    bonus = sample_token(sub, last_logits, st.sp)
+
+    # draft prefill: SE[j] = fused[j+1] for image-successor rows, else
+    # draft embed of the next token (cnets.py:245-252, 315-323)
+    j = jnp.arange(P_pad)
+    exp_shift = jnp.concatenate([exp_ids[1:], jnp.zeros((1,), jnp.int32)])
+    se = dp["embed_tokens"][jnp.maximum(exp_shift, 0)]
+    if has_image:
+        img_next = ((j + 1) >= img_start) & ((j + 1) < img_start + n_img)
+        fused_shift = jnp.concatenate([fused[1:], jnp.zeros_like(fused[:1])])
+        se = jnp.where(img_next[:, None], fused_shift, se)
+    else:
+        img_next = jnp.zeros((P_pad,), jnp.bool_)
+    se = jnp.where((j == E0 - 1)[:, None], dp["embed_tokens"][bonus][None], se)
+
+    dh_in = draft_mod.draft_fuse(dp, se, hidden, image_row_mask=img_next)
+    d_bias = causal_prefill_bias(P_pad, st.s_draft)
+    draft_kv = draft_mod.init_draft_kv(dcfg, st.s_draft, fused.dtype)
+    need_attn = st.use_calibration or st.collect_calibration
+    if need_attn:
+        d_out, draft_kv, attn_p = draft_mod.draft_forward(
+            dp, dcfg, dh_in, positions, draft_kv, jnp.int32(0), d_bias,
+            eff_cos, eff_sin, return_attn=True)
+        attn_feat = _attn_feature_vec(st, attn_p, img_start, jnp.int32(P_pad))
+    else:
+        d_out, draft_kv = draft_mod.draft_forward(dp, dcfg, dh_in, positions,
+                                                  draft_kv, jnp.int32(0),
+                                                  d_bias, eff_cos, eff_sin)
+        attn_feat = jnp.zeros((st.tree.top_k,), jnp.float32)
+    last_draft_hidden = d_out[E0 - 1]
+
+    P = st.tree.max_path_len
+    H = tcfg.hidden_size
+    ids_buf = jnp.zeros((st.s_target,), jnp.int32)
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, exp_ids, (0,))
+
+    if st.collect_calibration:
+        N, M = st.tree.num_nodes, st.max_new
+        f32 = lambda: jnp.zeros((M, N), jnp.float32)  # noqa: E731
+        i32 = lambda: jnp.zeros((M, N), jnp.int32)    # noqa: E731
+        calib_log = {"token": i32(), "depth": i32(), "draft_conf": f32(),
+                     "attn": f32(), "margin": f32(), "base_conf": f32(),
+                     "base_top1": i32(), "base_margin": f32(),
+                     "accept": i32(), "valid": i32()}
+    else:
+        calib_log = {}
+
+    return EngineState(
+        ids=ids_buf, cur_len=E0, bonus=bonus,
+        suffix_tokens=jnp.zeros((P,), jnp.int32),
+        suffix_hidden=jnp.zeros((P, H), hidden.dtype),
+        suffix_len=jnp.int32(0),
+        last_draft_hidden=last_draft_hidden,
+        target_kv=target_kv, draft_kv=draft_kv, draft_len=E0,
+        new_tokens=jnp.int32(0), steps=jnp.int32(0), acc_sum=jnp.int32(0),
+        alpha_hist=jnp.zeros((16,), jnp.int32),
+        done=jnp.bool_(False), key=key, img_pos=img_start,
+        pos_delta=jnp.int32(pos_delta), attn_feat=attn_feat,
+        calib_log=calib_log)
 
 
 # ---------------------------------------------------------------------------
@@ -577,13 +698,51 @@ def ar_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
     ids_buf = jnp.zeros((st.s_target,), jnp.int32)
     ids_buf = jax.lax.dynamic_update_slice(ids_buf, exp_ids[:P_exp], (0,))
     ids_buf = jax.lax.dynamic_update_slice(ids_buf, tok[None], (E0,))
-    return ids_buf, target_kv, E0, tok, key
+    return ids_buf, target_kv, E0, tok, jnp.int32(0), key
+
+
+@partial(jax.jit, static_argnums=(0,))
+def qwen_ar_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
+                    prompt_len: jnp.ndarray,
+                    img_feats: Optional[jnp.ndarray],
+                    img_start: jnp.ndarray, pos3: Optional[jnp.ndarray],
+                    pos_delta: jnp.ndarray, key: jnp.ndarray):
+    """AR prefill for inline-image (Qwen2-VL) prompts with mrope."""
+    tcfg = st.tcfg
+    n_img = st.n_img
+    P_pad = ids.shape[0]
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+    tp = params["target"]
+    E0 = prompt_len
+    if n_img > 0 and img_feats is not None:
+        from msd_tpu.models.qwen2vl import fuse_qwen_embeddings
+        fused = fuse_qwen_embeddings(tp["embed_tokens"], ids, img_feats,
+                                     img_start, n_img)
+    else:
+        fused = tp["embed_tokens"][jnp.maximum(ids, 0)]
+    if pos3 is not None:
+        from msd_tpu.models.qwen2vl import mrope_gather
+        eff_cos, eff_sin = mrope_gather(cos_t, sin_t, pos3, st.mrope_section)
+    else:
+        eff_cos, eff_sin = cos_t, sin_t
+    positions = jnp.arange(P_pad, dtype=jnp.int32)
+    bias = causal_prefill_bias(P_pad, st.s_target)
+    target_kv = L.init_kv_cache(tcfg, st.s_target, fused.dtype)
+    hidden, target_kv = L.llama_forward(tp, tcfg, fused, positions, target_kv,
+                                        jnp.int32(0), bias, eff_cos, eff_sin)
+    logits = L.lm_head(tp, hidden[E0 - 1][None])[0]
+    key, sub = jax.random.split(key)
+    tok = sample_token(sub, logits, st.sp)
+    ids_buf = jnp.zeros((st.s_target,), jnp.int32)
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, ids, (0,))
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, tok[None], (E0,))
+    return ids_buf, target_kv, E0, tok, jnp.int32(pos_delta), key
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
 def ar_decode(st: Statics, params: Dict, carry):
     """Plain AR decode while_loop with the same kernels as verification."""
-    ids_buf, target_kv, E0, tok, key = carry
+    ids_buf, target_kv, E0, tok, pos_delta, key = carry
     cos_t, sin_t = params["cos_t"], params["sin_t"]
     tp = params["target"]
     kpos = jnp.arange(st.s_target)
@@ -596,8 +755,8 @@ def ar_decode(st: Statics, params: Dict, carry):
         ids_buf, kv, cur, tok, n_new, done, key = c
         emb = tp["embed_tokens"][tok][None]
         bias = jnp.where(kpos <= cur, 0.0, NEG_INF)[None, :].astype(jnp.float32)
-        hidden, kv = L.llama_forward(tp, st.tcfg, emb, cur[None], kv, cur,
-                                     bias, cos_t, sin_t)
+        hidden, kv = L.llama_forward(tp, st.tcfg, emb, (cur + pos_delta)[None],
+                                     kv, cur, bias, cos_t, sin_t)
         logits = L.lm_head(tp, hidden)[0]
         key, sub = jax.random.split(key)
         nxt = sample_token(sub, logits, st.sp)

@@ -105,26 +105,28 @@ def finalize_tree(cfg: TreeConfig, root_token: jnp.ndarray,
     par_ptr = jnp.where(sel_valid, par_ptr, 0)
     parents = jnp.concatenate([jnp.zeros((1,), jnp.int32), par_ptr.astype(jnp.int32)])
 
-    # ancestor mask by propagation in topo order (parents precede children)
-    mask0 = jnp.eye(N, dtype=jnp.bool_)
-
-    def mask_body(i, m):
-        row = m[i] | m[parents[i]]
-        return m.at[i].set(row)
-
-    mask = jax.lax.fori_loop(1, N, mask_body, mask0)
-    # dead nodes: keep self+root only (harmless, never retrieved)
+    # ancestor mask by doubling: A_{2k} = A_k @ A_k over the parent one-hot
+    # relation (+ identity). log2(max_depth) boolean matmuls instead of N
+    # sequential row updates — the Python-loop bookkeeping the reference does
+    # per node (cnets.py:1476-1484) becomes 4-5 MXU ops.
+    node_idx = jnp.arange(N)
+    parent_onehot = (parents[:, None] == node_idx[None, :]) & (node_idx[:, None] > 0)
+    reach = parent_onehot.astype(jnp.float32) + jnp.eye(N, dtype=jnp.float32)
+    hops = max(1, (cfg.max_depth).bit_length())
+    for _ in range(hops):
+        reach = jnp.minimum(reach @ reach, 1.0)
+    mask = reach > 0.0
     positions = jnp.sum(mask, axis=1).astype(jnp.int32) - 1
 
-    # retrieve paths: path[i] = path[parent[i]] + [i] (topo order again)
+    # retrieve paths from the ancestor mask: slot d of row i holds i's
+    # ancestor at depth d — a one-hot-by-depth matmul, no sequential walk.
     P = cfg.max_path_len
-    retrieve0 = jnp.full((N, P), -1, jnp.int32).at[0, 0].set(0)
-
-    def path_body(i, r):
-        row = r[parents[i]].at[positions[i]].set(i)
-        return r.at[i].set(row)
-
-    retrieve = jax.lax.fori_loop(1, N, path_body, retrieve0)
+    depth_onehot = (positions[:, None] ==
+                    jnp.arange(P)[None, :]).astype(jnp.float32)  # [N, P]
+    maskf = mask.astype(jnp.float32)
+    count = maskf @ depth_onehot                                  # [N, P]
+    val = maskf @ (depth_onehot * node_idx[:, None].astype(jnp.float32))
+    retrieve = jnp.where(count > 0, val, -1.0).astype(jnp.int32)
 
     valid = jnp.concatenate([jnp.ones((1,), jnp.bool_), sel_valid])
     node_w = jnp.concatenate([jnp.ones((1,), jnp.float32),

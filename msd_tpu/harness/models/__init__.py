@@ -1,1 +1,1 @@
-from msd_tpu.harness.models import llava_msd  # noqa: F401  (registers models)
+from msd_tpu.harness.models import llava_msd, qwen2_vl_msd  # noqa: F401

@@ -1,0 +1,98 @@
+"""Qwen2-VL MSD adapter (mirror of lmms-eval/lmms_eval/models/qwen2_vl_msd.py
+:29-316 — processor-based prompting, get_input_embeds_qwen2vl fusion,
+msdgenerate/naivegenerate; no calibrator path in the reference adapter).
+
+Prompts follow the Qwen2-VL chat template with an inline
+<|vision_start|><|image_pad|>*N<|vision_end|> span; image features arrive via
+``encode_image_fn`` (the Qwen ViT runs outside the engine, like the reference
+runs HF's visual tower).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from msd_tpu.harness.instance import Instance
+from msd_tpu.harness.registry import register_model
+from msd_tpu.models.qwen2vl import IMAGE_PAD_ID, VISION_END_ID, VISION_START_ID
+from msd_tpu.ops.sampling import SamplingParams
+
+
+def qwen_chat_ids(tokenizer, question: str, n_img: int,
+                  with_image: bool) -> Tuple[np.ndarray, Optional[int]]:
+    """Token ids for '<|im_start|>user ... <|im_end|><|im_start|>assistant'
+    with an inline image span; returns (ids, img_start or None)."""
+    pre = tokenizer.encode("<|im_start|>user\n")
+    post = tokenizer.encode(f"{question}<|im_end|>\n<|im_start|>assistant\n")
+    ids: List[int] = list(pre)
+    img_start = None
+    if with_image:
+        ids.append(VISION_START_ID)
+        img_start = len(ids)
+        ids.extend([IMAGE_PAD_ID] * n_img)
+        ids.append(VISION_END_ID)
+    ids.extend(post)
+    return np.asarray(ids, np.int32), img_start
+
+
+@register_model("qwen2_vl_msd", "qwen2_vl")
+class Qwen2VLMSD:
+    """Constructed from components (weights loaders follow the LLaVA path)."""
+
+    def __init__(self, generator, tokenizer, encode_image_fn=None, *,
+                 use_msd: bool = True, img_grid: Tuple[int, int] = (24, 24),
+                 **_ignored):
+        assert generator.image_mode == "inline"
+        self.gen = generator
+        self.tokenizer = tokenizer
+        self.encode_image_fn = encode_image_fn
+        self.use_msd = use_msd
+        self.img_grid = img_grid
+        self.total_accept_len = 0
+        self.total_accept_steps = 0
+        self.rank, self.world_size = 0, 1
+
+    def _sp(self, gen_kwargs: Dict) -> SamplingParams:
+        return SamplingParams(
+            temperature=float(gen_kwargs.get("temperature", 0.0)),
+            top_p=float(gen_kwargs.get("top_p", 1.0)),
+            top_k=int(gen_kwargs.get("top_k", 0) or 0))
+
+    def generate_until(self, requests: List[Instance]) -> List[str]:
+        outputs = []
+        t0 = time.time()
+        for req in requests:
+            context, gen_kwargs, doc_to_visual, *_ = req.arguments
+            visuals = doc_to_visual(req.doc) if doc_to_visual else []
+            with_image = bool(visuals) and self.gen.n_img > 0
+            ids, _ = qwen_chat_ids(self.tokenizer, context, self.gen.n_img,
+                                   with_image)
+            feats = None
+            if with_image:
+                from msd_tpu.utils.mm_utils import process_image
+                px = process_image(visuals[0],
+                                   image_size=self.img_grid[0] * 14)
+                feats = self.encode_image_fn(jnp.asarray(px))
+            sp = self._sp(gen_kwargs)
+            max_new = int(gen_kwargs.get("max_new_tokens", 512))
+            fn = self.gen.generate if self.use_msd else self.gen.naive_generate
+            r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp,
+                   img_grid=self.img_grid if with_image else None)
+            self.total_accept_len += getattr(r, "accept_len_sum", 0)
+            self.total_accept_steps += getattr(r, "accept_steps", 0)
+            outputs.append(self.tokenizer.decode(
+                list(r.tokens), skip_special_tokens=True).strip())
+        self.total_duration_seconds = time.time() - t0
+        return outputs
+
+    @property
+    def msd_stats(self) -> Dict[str, float]:
+        steps = max(self.total_accept_steps, 1)
+        return {"avg_accept_len": self.total_accept_len / steps,
+                "accept_steps": self.total_accept_steps,
+                "accept_len": self.total_accept_len}

@@ -135,9 +135,16 @@ def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
         h = x
     else:
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = jnp.einsum("th,oh->to", h, lp["q_proj"]).reshape(t, hq, d)
-    k = jnp.einsum("th,oh->to", h, lp["k_proj"]).reshape(t, hkv, d)
-    v = jnp.einsum("th,oh->to", h, lp["v_proj"]).reshape(t, hkv, d)
+    q = jnp.einsum("th,oh->to", h, lp["q_proj"])
+    k = jnp.einsum("th,oh->to", h, lp["k_proj"])
+    v = jnp.einsum("th,oh->to", h, lp["v_proj"])
+    if "q_bias" in lp:  # Qwen2 attention carries qkv biases
+        q = q + lp["q_bias"]
+        k = k + lp["k_bias"]
+        v = v + lp["v_bias"]
+    q = q.reshape(t, hq, d)
+    k = k.reshape(t, hkv, d)
+    v = v.reshape(t, hkv, d)
     q, k = apply_rope(q, k, cos_t, sin_t, positions)
     return q, k, v
 
