@@ -70,8 +70,16 @@ def main(argv=None):
     text = json.dumps(payload, indent=2, default=str)
     print(text)
     if args.output_path:
-        with open(args.output_path, "w") as f:
-            f.write(text)
+        if args.output_path.endswith(".json"):
+            with open(args.output_path, "w") as f:
+                f.write(text)
+        else:
+            from msd_tpu.harness.loggers import EvaluationTracker
+            tracker = EvaluationTracker(args.output_path)
+            tracker.save_results_aggregated(payload, args.model)
+            if args.log_samples:
+                for t, v in out["details"].items():
+                    tracker.save_results_samples(t, v["samples"], args.model)
 
 
 if __name__ == "__main__":

@@ -118,3 +118,28 @@ def test_autotune_smoke():
                                                         num_nodes=16))
     tree = autotune_total_token(params, cfg, eng, candidates=(8, 16))
     assert tree.num_nodes in (8, 16)
+
+
+def test_filters():
+    from msd_tpu.harness.filters import (MultiChoiceRegexFilter, RegexFilter,
+                                         WhitespaceFilter, chain)
+    f = RegexFilter(r"#### (\-?[0-9\.\,]+)")
+    assert f("thinking... #### 42") == "42"
+    assert f("no answer") == "[invalid]"
+    mc = MultiChoiceRegexFilter()
+    assert mc("The answer is (B).") == "B"
+    assert mc.filter_with_choices("it is clearly a cat",
+                                  ["A. dog", "B. cat", "C. fish"]) == "B"
+    c = chain(WhitespaceFilter(), mc)
+    assert c("  A) ") == "A"
+
+
+def test_evaluation_tracker(tmp_path):
+    from msd_tpu.harness.loggers import EvaluationTracker
+    tr = EvaluationTracker(str(tmp_path))
+    p = tr.save_results_aggregated({"results": {"t": {"acc": 1.0}}}, "m/x")
+    with open(p) as f:
+        data = json.load(f)
+    assert data["results"]["t"]["acc"] == 1.0
+    p2 = tr.save_results_samples("t", [{"doc_id": 0, "response": "hi"}], "m/x")
+    assert open(p2).read().strip()
