@@ -42,7 +42,38 @@ def qwen_chat_ids(tokenizer, question: str, n_img: int,
 
 @register_model("qwen2_vl_msd", "qwen2_vl")
 class Qwen2VLMSD:
-    """Constructed from components (weights loaders follow the LLaVA path)."""
+    """Qwen2-VL MSD adapter with the native vision tower."""
+
+    @classmethod
+    def from_pretrained(cls, pretrained: str, msd_model_path: str,
+                        dtype=None, **kw):
+        import jax
+        import jax.numpy as jnp
+        from msd_tpu.configs import EngineConfig
+        from msd_tpu.engine.generator import MSDGenerator
+        from msd_tpu.models.qwen2vl_vision import qwen_vision_encode
+        from msd_tpu.utils.weights import load_draft, load_qwen2_vl
+
+        dtype = dtype or jnp.bfloat16
+        lm, vision, tcfg, vcfg = load_qwen2_vl(pretrained, dtype)
+        lc = tcfg.as_llama()
+        draft, dcfg = load_draft(msd_model_path, lc,
+                                 base_embed=lm["embed_tokens"], dtype=dtype)
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(pretrained)
+        except Exception:
+            from msd_tpu.harness.models.llava_msd import SimpleTokenizer
+            tokenizer = SimpleTokenizer(tcfg.vocab_size)
+        grid = kw.pop("img_grid", (24, 24))
+        n_img = (grid[0] // vcfg.spatial_merge_size) *             (grid[1] // vcfg.spatial_merge_size)
+        gen = MSDGenerator(lm, draft, lc, dcfg, EngineConfig(),
+                           n_img=n_img, eos_id=getattr(
+                               tokenizer, "eos_token_id", 151645),
+                           image_mode="inline",
+                           mrope_section=tcfg.mrope_section)
+        enc = jax.jit(lambda px: qwen_vision_encode(vision, vcfg, px))
+        return cls(gen, tokenizer, enc, img_grid=grid, **kw)
 
     def __init__(self, generator, tokenizer, encode_image_fn=None, *,
                  use_msd: bool = True, img_grid: Tuple[int, int] = (24, 24),
@@ -52,7 +83,9 @@ class Qwen2VLMSD:
         self.tokenizer = tokenizer
         self.encode_image_fn = encode_image_fn
         self.use_msd = use_msd
-        self.img_grid = img_grid
+        self.img_grid = img_grid  # PATCH grid (pre-merge) for preprocessing
+        # mrope positions use the post-merge token grid (spatial_merge=2)
+        self.merged_grid = (img_grid[0] // 2, img_grid[1] // 2)
         self.total_accept_len = 0
         self.total_accept_steps = 0
         self.rank, self.world_size = 0, 1
@@ -82,7 +115,7 @@ class Qwen2VLMSD:
             max_new = int(gen_kwargs.get("max_new_tokens", 512))
             fn = self.gen.generate if self.use_msd else self.gen.naive_generate
             r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp,
-                   img_grid=self.img_grid if with_image else None)
+                   img_grid=self.merged_grid if with_image else None)
             self.total_accept_len += getattr(r, "accept_len_sum", 0)
             self.total_accept_steps += getattr(r, "accept_steps", 0)
             outputs.append(self.tokenizer.decode(

@@ -116,3 +116,41 @@ def load_draft(path: str, tcfg: LlamaConfig,
         state["embed_tokens.weight"] = np.asarray(base_embed)
     params = params_from_torch_draft(state, dcfg, dtype=dtype)
     return params, dcfg
+
+
+def load_qwen2_vl(path: str, dtype=jnp.bfloat16):
+    """Load a local Qwen2-VL checkpoint dir -> (lm_params, vision_params,
+    text_cfg, vision_cfg)."""
+    from msd_tpu.models.qwen2vl import (Qwen2VLTextConfig,
+                                        params_from_hf_qwen2)
+    from msd_tpu.models.qwen2vl_vision import (Qwen2VisionConfig,
+                                               params_from_hf_qwen_vision)
+
+    state = _load_state(path)
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+    tcfg = Qwen2VLTextConfig(
+        vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        num_key_value_heads=cfg.get("num_key_value_heads",
+                                    cfg["num_attention_heads"]),
+        max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 1e6),
+        mrope_section=tuple(cfg.get("rope_scaling", {}).get(
+            "mrope_section", (16, 24, 24))))
+    vc = cfg.get("vision_config", {})
+    vcfg = Qwen2VisionConfig(
+        embed_dim=vc.get("embed_dim", 1280), depth=vc.get("depth", 32),
+        num_heads=vc.get("num_heads", 16),
+        mlp_ratio=vc.get("mlp_ratio", 4.0),
+        patch_size=vc.get("patch_size", 14),
+        temporal_patch_size=vc.get("temporal_patch_size", 2),
+        spatial_merge_size=vc.get("spatial_merge_size", 2),
+        hidden_size=cfg["hidden_size"])
+    lm = params_from_hf_qwen2(state, tcfg, prefix="model.", dtype=dtype)
+    vision = params_from_hf_qwen_vision(state, vcfg, prefix="visual.",
+                                        dtype=dtype)
+    return lm, vision, tcfg, vcfg
