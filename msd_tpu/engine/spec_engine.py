@@ -317,7 +317,8 @@ def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
 # ---------------------------------------------------------------------------
 
 def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
-            tr: Tree, key, cos_t, sin_t, pos_delta: jnp.ndarray = 0):
+            tr: Tree, key, cos_t, sin_t, pos_delta: jnp.ndarray = 0,
+            ids_buf: Optional[jnp.ndarray] = None):
     """One tree-masked target forward + lossless acceptance
     (utils.py:320-366 tree_decoding + :372-450 evaluate_posterior)."""
     tp = params["target"]
@@ -331,7 +332,12 @@ def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
     if st.sp.greedy:
         best, acc_len, next_tok = tree_mod.evaluate_greedy(tr, logits)
     else:
-        probs = jax.nn.softmax(process_logits(logits, st.sp), axis=-1)
+        from msd_tpu.ops.sampling import apply_repetition_penalty
+        plogits = logits
+        if st.sp.repetition_penalty != 1.0:
+            plogits = apply_repetition_penalty(
+                plogits, ids_buf, E, st.sp.repetition_penalty)
+        probs = jax.nn.softmax(process_logits(plogits, st.sp), axis=-1)
         key, sub = jax.random.split(key)
         best, acc_len, next_tok = tree_mod.evaluate_sampling(tr, probs, sub)
     return hidden, target_kv, best, acc_len, next_tok, key, logits
@@ -541,7 +547,7 @@ def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
                                 cos_t, sin_t, attn_feat, s.pos_delta)
         hidden, tkv, best, acc_len, next_tok, key, logits = _verify(
             st, params, s.target_kv, s.cur_len, tr, s.key, cos_t, sin_t,
-            s.pos_delta)
+            s.pos_delta, s.ids)
         s = s._replace(draft_kv=dkv, draft_len=dlen, target_kv=tkv, key=key,
                        last_draft_hidden=last_hidden, attn_feat=attn_feat)
         if st.collect_calibration:
@@ -758,6 +764,10 @@ def ar_decode(st: Statics, params: Dict, carry):
         hidden, kv = L.llama_forward(tp, st.tcfg, emb, (cur + pos_delta)[None],
                                      kv, cur, bias, cos_t, sin_t)
         logits = L.lm_head(tp, hidden)[0]
+        if (not st.sp.greedy) and st.sp.repetition_penalty != 1.0:
+            from msd_tpu.ops.sampling import apply_repetition_penalty
+            logits = apply_repetition_penalty(logits, ids_buf, cur + 1,
+                                              st.sp.repetition_penalty)
         key, sub = jax.random.split(key)
         nxt = sample_token(sub, logits, st.sp)
         cur = cur + 1

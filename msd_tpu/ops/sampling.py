@@ -22,6 +22,7 @@ class SamplingParams:
     temperature: float = 0.0
     top_p: float = 1.0
     top_k: int = 0
+    repetition_penalty: float = 1.0
 
     @property
     def greedy(self) -> bool:
@@ -46,6 +47,24 @@ def process_logits(logits: jnp.ndarray, sp: SamplingParams) -> jnp.ndarray:
         kth = jnp.take_along_axis(sorted_x, jnp.maximum(cutoff - 1, 0), axis=-1)
         x = jnp.where(x < kth, NEG_INF, x)
     return x
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, ids_buf: jnp.ndarray,
+                             cur_len: jnp.ndarray, penalty: float
+                             ) -> jnp.ndarray:
+    """HF RepetitionPenaltyLogitsProcessor over the committed context.
+
+    logits: [..., V]; ids_buf: [S] committed token buffer; tokens at index
+    >= cur_len ignored. (The reference constructs this processor in
+    prepare_logits_processor but its MSD verify path passes input_ids=None,
+    so a nonzero penalty would crash there — this is the working version.)
+    """
+    v = logits.shape[-1]
+    s = ids_buf.shape[0]
+    safe = jnp.where(jnp.arange(s) < cur_len, ids_buf, v)  # OOB -> dropped
+    present = jnp.zeros((v,), jnp.bool_).at[safe].set(True, mode="drop")
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(present, pen, logits)
 
 
 def sample_token(key: jnp.ndarray, logits: jnp.ndarray,

@@ -1,0 +1,94 @@
+"""CLI: draft-head training / teacher-state generation.
+
+Usage (main_deepspeed.py analog):
+  python -m msd_tpu.train fit --basepath /ckpt/llava-7b \
+      --tmpdir_v data/visual --tmpdir_t data/text --cpdir checkpoints/draft
+
+  python -m msd_tpu.train gen-data --basepath /ckpt/llava-7b \
+      --data llava_instruct.json --outdir data/visual --start 0 --end 10000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("msd_tpu.train")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    fit = sub.add_parser("fit")
+    fit.add_argument("--basepath", required=True, help="target checkpoint dir")
+    fit.add_argument("--tmpdir_v", default=None, help="visual records dir")
+    fit.add_argument("--tmpdir_t", default=None, help="text records dir")
+    fit.add_argument("--cpdir", default="checkpoints/draft")
+    fit.add_argument("--epochs", type=int, default=40)
+    fit.add_argument("--bs", type=int, default=2)
+    fit.add_argument("--lr", type=float, default=2e-4)
+    fit.add_argument("--max-len", type=int, default=2048)
+    fit.add_argument("--resume", default=None)
+
+    gen = sub.add_parser("gen-data")
+    gen.add_argument("--basepath", required=True)
+    gen.add_argument("--data", required=True, help="LLaVA-instruct style JSON")
+    gen.add_argument("--outdir", required=True)
+    gen.add_argument("--start", type=int, default=0)
+    gen.add_argument("--end", type=int, default=None)
+    gen.add_argument("--pad-to", type=int, default=2048)
+    gen.add_argument("--no-image", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    from msd_tpu.utils.weights import load_llava
+
+    if args.cmd == "fit":
+        import jax
+        from msd_tpu.models.draft import init_draft_params
+        from msd_tpu.train.draft_train import TrainConfig
+        from msd_tpu.train.trainer import TrainerConfig, train_from_dirs
+        from msd_tpu.configs import DraftConfig
+
+        params, lcfg = load_llava(args.basepath, jnp.bfloat16)
+        dcfg = DraftConfig(text=lcfg.text)
+        dparams = init_draft_params(jax.random.PRNGKey(0), dcfg, jnp.bfloat16)
+        dparams["embed_tokens"] = params["target"]["embed_tokens"]
+        tc = TrainerConfig(
+            train=TrainConfig(lr=args.lr), batch_size=args.bs,
+            max_len=args.max_len, num_epochs=args.epochs, ckpt_dir=args.cpdir)
+        trainer = train_from_dirs(dcfg, dparams, params["target"]["lm_head"],
+                                  args.tmpdir_v or "", args.tmpdir_t or "", tc)
+        print(f"done: {trainer.step_count} steps, saved under {args.cpdir}")
+    else:
+        import jax
+        from transformers import AutoTokenizer
+        from msd_tpu.models.llava import encode_image
+        from msd_tpu.train.data_gen import generate_dataset
+
+        params, lcfg = load_llava(args.basepath, jnp.bfloat16)
+        tokenizer = AutoTokenizer.from_pretrained(args.basepath)
+        with open(args.data) as f:
+            raw = json.load(f)
+        # LLaVA-instruct format: conversations [{from: human/gpt, value}, ...]
+        samples = []
+        for r in raw:
+            conv = r.get("conversations", [])
+            turns = [(conv[i]["value"].replace("<image>", "").strip(),
+                      conv[i + 1]["value"])
+                     for i in range(0, len(conv) - 1, 2)]
+            samples.append({"turns": turns, "image": r.get("image")})
+        enc = (None if args.no_image else
+               jax.jit(lambda px: encode_image(
+                   {"vision": params["vision"],
+                    "projector": params["projector"]}, lcfg, px)))
+        n = generate_dataset(params["target"], lcfg.text, tokenizer, samples,
+                             args.outdir, encode_image_fn=enc,
+                             n_img=0 if args.no_image else lcfg.num_image_tokens,
+                             pad_to=args.pad_to, start=args.start,
+                             end=args.end)
+        print(f"wrote {n} records to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()

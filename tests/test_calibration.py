@@ -146,3 +146,38 @@ def test_collect_then_calibrated_generation_lossless():
     msd_cal = gen.generate(ids, max_new_tokens=24, use_calibration=True)
     np.testing.assert_array_equal(msd_cal.tokens, ar.tokens)
     assert msd_cal.accept_steps > 0
+
+
+def test_compare_ece_and_timing():
+    from msd_tpu.calib.evaluate import (benchmark_calibrator_timing,
+                                        compare_ece_train_val)
+    rng = np.random.default_rng(2)
+    n = 2000
+    feats = _fake_features(n, rng)
+    hard = (rng.uniform(size=n) < feats["draft_confidence"] ** 2).astype(float)
+    soft = np.clip(feats["draft_confidence"] ** 2
+                   + rng.normal(0, 0.03, n), 0, 1)
+    out = compare_ece_train_val(feats, soft, hard, min_samples_per_group=50)
+    # conf^2 labels make raw confidence badly calibrated; fit must improve ECE
+    assert out["val"]["post"]["ece_eqfreq20"] < out["val"]["pre"]["ece_eqfreq20"]
+    t = benchmark_calibrator_timing(out["calibrator"], feats, repeats=2,
+                                    vocab_size=500)
+    assert t["host_predict_s"] > 0 and t["device_predict_s"] > 0
+
+
+def test_repetition_penalty_op():
+    import jax.numpy as jnp
+    from msd_tpu.ops.sampling import apply_repetition_penalty
+    logits = jnp.asarray([1.0, -1.0, 2.0, 0.5])
+    ids = jnp.asarray([0, 1, 3, 99], jnp.int32)   # 99 beyond cur_len
+    out = np.asarray(apply_repetition_penalty(logits, ids, jnp.int32(3), 2.0))
+    np.testing.assert_allclose(out, [0.5, -2.0, 2.0, 0.25])
+
+
+def test_sampling_with_repetition_penalty_runs():
+    from msd_tpu.ops.sampling import SamplingParams
+    gen = make_gen()
+    ids = np.arange(3, 11, dtype=np.int32)
+    sp = SamplingParams(temperature=1.0, repetition_penalty=1.3)
+    r = gen.generate(ids, max_new_tokens=12, sp=sp, seed=3)
+    assert r.accept_steps > 0
