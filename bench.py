@@ -7,7 +7,8 @@ Prints ONE JSON line:
 Methodology (BASELINE.md north star: >=2.5x wall-clock over AR LLaVA-1.5-7B
 decode with identical greedy outputs):
 - LLaVA-7B-shaped target + MSD draft head, bf16, random weights, bs=1,
-  image prompt (576 image tokens) — the reference's serving configuration.
+  576-image-token prompt — the reference's serving configuration, on ONE
+  v5e chip (fits after the q/k/v weight-layout fix).
 - t_ar   = wall-clock per AR decoded token (same kernels as verification).
 - t_step = wall-clock per MSD verify step (draft tree expansion + tree-masked
   verification + acceptance + KV gather), tree budget 128 nodes (the MXU
@@ -38,11 +39,9 @@ def main():
     ap.add_argument("--prompt-tokens", type=int, default=64)
     ap.add_argument("--max-new", type=int, default=128)
     ap.add_argument("--max-seq", type=int, default=0, help="0 = auto")
-    # 7B bf16 params (13.9G) + image-length KV in+out leave no headroom in one
-    # v5e chip's 15.75G on the AOT-compile path (no input aliasing), so the
-    # single-chip bench defaults to text-only decode — identical kernels, the
-    # prefix is merely shorter. Use --image on multi-chip / larger HBM.
-    ap.add_argument("--image", action="store_true")
+    ap.add_argument("--image", dest="image", action="store_true",
+                    default=True, help="576-image-token prompt (default)")
+    ap.add_argument("--no-image", dest="image", action="store_false")
     ap.add_argument("--ref-alpha", type=float, default=6.69)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
