@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--no-image", dest="image", action="store_false")
     ap.add_argument("--ref-alpha", type=float, default=6.69)
     ap.add_argument("--repeats", type=int, default=3)
+    # on-chip on-policy distillation of the random draft against the random
+    # target's own generations, to measure a real end-to-end alpha > 1
+    ap.add_argument("--distill-steps", type=int, default=0)
+    ap.add_argument("--distill-prompts", type=int, default=6)
     args = ap.parse_args()
 
     import jax
@@ -110,6 +114,65 @@ def main():
     log(f"AR: {n_ar} tokens, best {min(ar_times):.3f}s -> {t_ar*1e3:.2f} ms/tok "
         f"({1/t_ar:.1f} tok/s)")
 
+    # ---- optional on-policy distillation for a real measured alpha ----
+    # Distills the draft on the (random) target's own greedy continuations —
+    # incl. the benchmark prompt's — so the measured alpha reflects a draft
+    # that actually knows this target's trajectories. (With real checkpoints
+    # the published draft heads play this role.)
+    if args.distill_steps > 0:
+        from msd_tpu.train.data_gen import make_record_from_ids
+        from msd_tpu.train.draft_train import TrainConfig
+        from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
+
+        t0 = time.time()
+        recs = []
+        pad_rec = ((args.prompt_tokens + (575 if n_img else 0) + 96 + 127)
+                   // 128) * 128
+        prompts = [ids] + [
+            rng.integers(3, 31000, size=args.prompt_tokens).astype(np.int32)
+            for _ in range(args.distill_prompts - 1)]
+        for pi, p_ids in enumerate(prompts):
+            has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
+            p_feats = feats if has_img else None
+            cont = gen.naive_generate(p_ids, img_feats=p_feats,
+                                      max_new_tokens=96).tokens
+            full = np.concatenate([p_ids, cont]).astype(np.int32)
+            mask = np.zeros((len(full),), np.float32)
+            mask[len(p_ids) - 1:] = 1.0
+            recs.append(make_record_from_ids(
+                tp, tcfg, full, mask, pad_to=pad_rec,
+                img_feats=p_feats, n_img=n_img if has_img else 0))
+        log(f"distill data: {len(recs)} on-policy records "
+            f"in {time.time()-t0:.1f}s")
+
+        # free the 13.4GB target while training (deterministic re-init after)
+        head_w = tp["lm_head"]
+        gen.params = None
+        del tp
+        import gc
+        gc.collect()
+
+        tc = TrainerConfig(
+            train=TrainConfig(lr=1e-3, warmup_steps=20,
+                              total_steps=max(args.distill_steps, 21),
+                              noise_std=0.0),
+            batch_size=2, max_len=recs[0]["hidden"].shape[0],
+            num_epochs=1, log_every=10 ** 9)
+        trainer = DraftTrainer(dcfg, dp, head_w, tc)
+        t0 = time.time()
+        last = {}
+        while trainer.step_count < args.distill_steps:
+            last = trainer.run_epoch([], recs, log=lambda *a: None)
+        log(f"distilled {trainer.step_count} steps in {time.time()-t0:.1f}s "
+            f"(top1_agree={last.get('top1_agree', 0):.3f})")
+
+        del trainer.opt_state
+        gc.collect()
+        tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
+        dp = dict(trainer.params)
+        dp["embed_tokens"] = tp["embed_tokens"]
+        gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
+
     # ---- MSD ----
     t0 = time.time()
     m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new)
@@ -139,7 +202,9 @@ def main():
             "ar_ms_per_token": round(t_ar * 1e3, 3),
             "ar_tokens_per_s": round(1 / t_ar, 1),
             "msd_ms_per_step": round(t_step * 1e3, 3),
-            "measured_alpha_random_draft": round(m.avg_accept_len, 3),
+            "measured_alpha": round(m.avg_accept_len, 3),
+            "measured_speedup": round(speedup_measured, 3),
+            "distill_steps": args.distill_steps,
             "tree_nodes": eng.tree.num_nodes,
             "image_tokens": n_img,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),

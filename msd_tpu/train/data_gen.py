@@ -197,3 +197,66 @@ def generate_dataset(params: Dict, cfg: LlamaConfig, tokenizer,
         np.savez(os.path.join(out_dir, f"rec_{i:06d}.npz"), **rec)
         n += 1
     return n
+
+
+def qwen_teacher_forward(params: Dict, tcfg, ids: np.ndarray,
+                         img_feats: Optional[jnp.ndarray], img_start: int,
+                         n_img: int, grid_hw, pad_to: int
+                         ) -> Dict[str, np.ndarray]:
+    """Qwen2-VL teacher forward (ge_data_all_qwen2vl.py analog): inline image
+    span fusion + mrope positions."""
+    from msd_tpu.models.qwen2vl import (fuse_qwen_embeddings, mrope_gather,
+                                        mrope_positions)
+
+    lc = tcfg.as_llama() if hasattr(tcfg, "as_llama") else tcfg
+    padded = np.zeros((pad_to,), np.int32)
+    padded[:len(ids)] = ids
+    padded_j = jnp.asarray(padded)
+    cos_t, sin_t = L.make_rope(lc, pad_to + 64)
+    if n_img > 0 and img_feats is not None:
+        fused = fuse_qwen_embeddings(params["embed_tokens"], padded_j,
+                                     img_feats, jnp.int32(img_start), n_img)
+        gh, gw = grid_hw
+        pos3, _ = mrope_positions(pad_to, img_start, n_img, gh, gw)
+        eff_cos, eff_sin = mrope_gather(cos_t, sin_t,
+                                        jnp.asarray(pos3, jnp.int32),
+                                        tcfg.mrope_section)
+    else:
+        fused = params["embed_tokens"][jnp.maximum(padded_j, 0)]
+        eff_cos, eff_sin = cos_t, sin_t
+    kv = L.init_kv_cache(lc, pad_to, fused.dtype)
+    bias = causal_prefill_bias(pad_to, pad_to)
+    hidden, _ = L.llama_forward(params, lc, fused, jnp.arange(pad_to), kv,
+                                jnp.int32(0), bias, eff_cos, eff_sin)
+    return {"fused": np.asarray(fused), "hidden": np.asarray(hidden),
+            "exp_ids": padded}
+
+
+def make_qwen_record_from_ids(params: Dict, tcfg, ids: np.ndarray,
+                              loss_mask: np.ndarray, pad_to: int,
+                              img_feats: Optional[jnp.ndarray] = None,
+                              grid_hw=None) -> Dict[str, np.ndarray]:
+    """Qwen2-VL training record: inline span, no expansion, shift-by-one."""
+    from msd_tpu.models.qwen2vl import IMAGE_PAD_ID
+
+    ids = np.asarray(ids, np.int32)[:pad_to]
+    loss_mask = np.asarray(loss_mask, np.float32)[:pad_to]
+    pos = np.nonzero(ids == IMAGE_PAD_ID)[0]
+    img_start = int(pos[0]) if len(pos) else pad_to
+    n_img = int(len(pos))
+
+    out = qwen_teacher_forward(params, tcfg, ids, img_feats, img_start,
+                               n_img, grid_hw, pad_to)
+    fused, hidden = out["fused"], out["hidden"]
+    e_len = len(ids)
+    exp_mask = np.zeros((pad_to,), np.float32)
+    exp_mask[:e_len] = loss_mask
+    emb_next = np.concatenate([fused[1:], np.zeros_like(fused[:1])])
+    target = np.concatenate([hidden[1:], np.zeros_like(hidden[:1])])
+    tmask = np.concatenate([exp_mask[1:], np.zeros((1,), np.float32)])
+    tmask[e_len - 1:] = 0.0
+    j = np.arange(pad_to)
+    img_mask = (j + 1 >= img_start) & (j + 1 < img_start + n_img)
+    return {"emb_next": emb_next, "hidden": hidden, "target": target,
+            "loss_mask": tmask, "attn_len": np.int32(e_len),
+            "img_mask": img_mask, "exp_ids": out["exp_ids"]}

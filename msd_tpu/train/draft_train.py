@@ -44,6 +44,9 @@ class TrainConfig:
     total_steps: int = 800_000
     noise_std: float = 0.2
     weight_decay: float = 0.0
+    # train_embed=False freezes embed_tokens (reference default,
+    # cnets.py:130-132) and skips its optimizer state
+    train_embed: bool = False
 
 
 class Batch(NamedTuple):
@@ -119,9 +122,16 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         [optax.linear_schedule(0.0, tc.lr, tc.warmup_steps),
          optax.linear_schedule(tc.lr, 0.0, max(tc.total_steps - tc.warmup_steps, 1))],
         [tc.warmup_steps])
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
         optax.adamw(sched, b1=tc.b1, b2=tc.b2, weight_decay=tc.weight_decay))
+    if not tc.train_embed:
+        def mask(params):
+            return jax.tree.map_with_path(
+                lambda path, _: not (path and getattr(path[0], "key", "")
+                                     == "embed_tokens"), params)
+        opt = optax.masked(opt, mask)
+    return opt
 
 
 def train_step(dparams: Dict, opt_state, cfg: DraftConfig, tcfg: TrainConfig,

@@ -48,13 +48,23 @@ def _resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(pil, np.float32)
 
 
-def process_image(img, image_size: int = 336, pad_square: bool = True
-                  ) -> np.ndarray:
-    """PIL image / HWC array -> CLIP-normalized CHW float32 [3, S, S]."""
+def process_image(img, image_size: int = 336, pad_square: bool = True,
+                  use_native: bool = True) -> np.ndarray:
+    """PIL image / HWC array -> CLIP-normalized CHW float32 [3, S, S].
+
+    use_native: route through the C++ pipeline (csrc/image_prep.cpp) when
+    built — ~10x faster than the PIL path; falls back transparently.
+    """
     if not isinstance(img, np.ndarray):
         img = np.asarray(img.convert("RGB"))
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
+    if use_native and img.dtype == np.uint8:
+        from msd_tpu.utils.native import image_prep_native
+        out = image_prep_native(img, image_size, CLIP_MEAN, CLIP_STD,
+                                pad_square)
+        if out is not None:
+            return out
     if pad_square:
         img = expand2square(img)
     img = _resize_bilinear(img, image_size)

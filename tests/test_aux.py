@@ -143,3 +143,30 @@ def test_evaluation_tracker(tmp_path):
     assert data["results"]["t"]["acc"] == 1.0
     p2 = tr.save_results_samples("t", [{"doc_id": 0, "response": "hi"}], "m/x")
     assert open(p2).read().strip()
+
+
+def test_native_image_prep_matches_pil():
+    from msd_tpu.utils.mm_utils import process_image
+    from msd_tpu.utils.native import image_prep_native, build
+    import time
+    if build() is None:
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(300, 220, 3), dtype=np.uint8)
+    ref = process_image(img, image_size=112, use_native=False)
+    out = process_image(img, image_size=112, use_native=True)
+    assert out.shape == ref.shape
+    # PIL's fixed-point resampling vs our float path: within ~2/255 per pixel
+    diff = np.abs(out - ref) * np.asarray(
+        [0.26862954, 0.26130258, 0.27577711])[:, None, None]  # de-normalize
+    assert np.quantile(diff, 0.999) < 3 / 255, np.quantile(diff, 0.999)
+
+    t0 = time.perf_counter()
+    for _ in range(10):
+        process_image(img, image_size=336, use_native=False)
+    t_pil = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        process_image(img, image_size=336, use_native=True)
+    t_nat = time.perf_counter() - t0
+    assert t_nat < t_pil  # native must actually be faster

@@ -87,3 +87,38 @@ def test_long_generation_consistency(gen):
     msd = gen.generate(ids, max_new_tokens=48)
     np.testing.assert_array_equal(msd.tokens, ar.tokens)
     assert msd.accept_steps >= 2
+
+
+def test_speculative_sampling_preserves_distribution():
+    """Core spec-sampling guarantee (utils.py:411-450): the first token
+    emitted after the root (accepted draft child or residual-sampled bonus)
+    is distributed EXACTLY as the target's conditional distribution,
+    regardless of what the draft proposed."""
+    from msd_tpu.engine.static_tree import tree_from_tokens
+    from msd_tpu.engine.tree import evaluate_sampling
+
+    V = 16
+    rng = np.random.default_rng(0)
+    # a small tree: root with 3 children, one grandchild
+    choices = [[0], [1], [2], [0, 0]]
+    draft_tokens = jnp.asarray([3, 7, 12, 5], jnp.int32)  # children tokens
+    tree = tree_from_tokens(choices, jnp.int32(2), draft_tokens,
+                            max_path_len=3)
+
+    logits = rng.normal(size=(5, V)) * 1.5
+    probs = jnp.asarray(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True),
+                        jnp.float32)
+
+    def one(key):
+        best, acc, nxt = evaluate_sampling(tree, probs, key)
+        first = jnp.where(acc >= 1, tree.tokens[tree.retrieve[best, 1]], nxt)
+        return first
+
+    n = 4000
+    keys = jax.random.split(jax.random.PRNGKey(42), n)
+    firsts = np.asarray(jax.jit(jax.vmap(one))(keys))
+    emp = np.bincount(firsts, minlength=V) / n
+    expected = np.asarray(probs[0])
+    tv = 0.5 * np.abs(emp - expected).sum()
+    assert tv < 0.05, f"total variation {tv:.4f} (empirical {emp}, " \
+                      f"target {expected})"

@@ -125,3 +125,25 @@ def test_training_reduces_loss_and_improves_acceptance(setup, tmp_path):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         trainer.params, t2.params)
     assert t2.epoch == trainer.epoch
+
+
+def test_qwen_record_layout():
+    from msd_tpu.models.qwen2vl import (IMAGE_PAD_ID, Qwen2VLTextConfig,
+                                        init_qwen2_params)
+    from msd_tpu.train.data_gen import make_qwen_record_from_ids
+
+    qcfg = Qwen2VLTextConfig.tiny(vocab=256, hidden=64, layers=2, heads=4,
+                                  kv_heads=2, inter=128)
+    params = init_qwen2_params(jax.random.PRNGKey(0), qcfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 250, size=30).astype(np.int32)
+    ids[5:11] = IMAGE_PAD_ID
+    mask = np.zeros((30,), np.float32)
+    mask[20:] = 1.0
+    feats = jnp.asarray(rng.normal(size=(6, 64)) * 0.1, jnp.float32)
+    rec = make_qwen_record_from_ids(params, qcfg, ids, mask, pad_to=32,
+                                    img_feats=feats, grid_hw=(2, 3))
+    np.testing.assert_allclose(rec["target"][:-1], rec["hidden"][1:])
+    assert rec["img_mask"][4] and rec["img_mask"][9]
+    assert not rec["img_mask"][11]
+    assert rec["loss_mask"].sum() > 0
