@@ -128,9 +128,15 @@ def main():
         recs = []
         pad_rec = ((args.prompt_tokens + (575 if n_img else 0) + 96 + 127)
                    // 128) * 128
-        prompts = [ids] + [
-            rng.integers(3, 31000, size=args.prompt_tokens).astype(np.int32)
-            for _ in range(args.distill_prompts - 1)]
+        def mk_prompt():
+            q = rng.integers(3, 31000,
+                             size=args.prompt_tokens).astype(np.int32)
+            if n_img:
+                q[1] = IMAGE_TOKEN_INDEX  # engine is in image mode
+            return q
+
+        prompts = [ids] + [mk_prompt()
+                           for _ in range(args.distill_prompts - 1)]
         for pi, p_ids in enumerate(prompts):
             has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
             p_feats = feats if has_img else None

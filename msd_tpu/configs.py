@@ -31,6 +31,10 @@ class LlamaConfig:
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # attention backend: "xla" (masked einsum) or "pallas" (length-aware
+    # flash kernel — skips dead KV-cache blocks; requires cache len % 128 == 0
+    # and head_dim == 128; TPU only)
+    attn_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:

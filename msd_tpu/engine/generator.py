@@ -8,8 +8,7 @@ stat accumulation (llava_msd_calibrated.py:606-618).
 
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax

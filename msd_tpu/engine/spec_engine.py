@@ -28,7 +28,6 @@ cnets.py:995-1001) vanish under this convention.
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, NamedTuple, Optional, Tuple
@@ -42,8 +41,7 @@ from msd_tpu.engine.tree import Tree
 from msd_tpu.models import draft as draft_mod
 from msd_tpu.models import llama as L
 from msd_tpu.models.llava import expand_ids, fuse_embeddings
-from msd_tpu.ops.attention import (NEG_INF, causal_prefill_bias,
-                                   length_mask_bias, tree_bias)
+from msd_tpu.ops.attention import NEG_INF, causal_prefill_bias, tree_bias
 from msd_tpu.ops.sampling import SamplingParams, process_logits, sample_token
 
 
@@ -326,7 +324,8 @@ def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
     pos = (E + pos_delta + tr.positions).astype(jnp.int32)
     bias = tree_bias(tr.mask, E, st.s_target)
     hidden, target_kv = L.llama_forward(tp, st.tcfg, emb, pos, target_kv, E,
-                                        bias, cos_t, sin_t)
+                                        bias, cos_t, sin_t,
+                                        kv_len=E + st.tree.num_nodes)
     logits = L.lm_head(tp, hidden)  # [N, V] fp32
 
     if st.sp.greedy:
@@ -762,7 +761,8 @@ def ar_decode(st: Statics, params: Dict, carry):
         emb = tp["embed_tokens"][tok][None]
         bias = jnp.where(kpos <= cur, 0.0, NEG_INF)[None, :].astype(jnp.float32)
         hidden, kv = L.llama_forward(tp, st.tcfg, emb, (cur + pos_delta)[None],
-                                     kv, cur, bias, cos_t, sin_t)
+                                     kv, cur, bias, cos_t, sin_t,
+                                     kv_len=cur + 1)
         logits = L.lm_head(tp, hidden)[0]
         if (not st.sp.greedy) and st.sp.repetition_penalty != 1.0:
             from msd_tpu.ops.sampling import apply_repetition_penalty

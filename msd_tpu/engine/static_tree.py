@@ -12,13 +12,12 @@ OPT-Tree dynamic path supersedes this, but the static layout is still useful
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
 import jax.numpy as jnp
 
-from msd_tpu.configs import TreeConfig
 from msd_tpu.engine.tree import Tree
 
 # the 63-node tree shipped with EAGLE for 7B models (choices.py:1-3):

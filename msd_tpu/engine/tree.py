@@ -25,8 +25,7 @@ with fixed-shape XLA ops:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

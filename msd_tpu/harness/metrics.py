@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import re
 import string
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from msd_tpu.calib.device import CalibTables
 from msd_tpu.calib.grouped import GroupedIsotonicCalibrator, soft_labels_from
-from msd_tpu.configs import LlavaConfig
 from msd_tpu.engine.generator import MSDGenerator
 from msd_tpu.harness.instance import Instance
 from msd_tpu.harness.registry import register_model

@@ -13,7 +13,7 @@ reference's per-sample Python splicing.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from msd_tpu.configs import DraftConfig
 from msd_tpu.models import llama as L
 from msd_tpu.ops.attention import attention_probs, masked_attention
-from msd_tpu.ops.norms import rms_norm
 from msd_tpu.ops.rope import apply_rope
 
 Params = Dict

@@ -160,11 +160,20 @@ def _layer_post_attn(lp: Params, cfg: LlamaConfig, resid: jnp.ndarray,
     return resid + (gate * up) @ lp["down_proj"]
 
 
+def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len):
+    """Attention backend dispatch (cfg.attn_impl)."""
+    if cfg.attn_impl == "pallas" and kv_len is not None \
+            and kv_k.shape[0] % 128 == 0 and cfg.head_dim == 128:
+        from msd_tpu.ops.pallas.decode_attention import decode_attention
+        return decode_attention(q, kv_k, kv_v, bias, kv_len, block_s=128)
+    return masked_attention(q, kv_k, kv_v, bias)
+
+
 def _layer_forward(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
                    positions: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                    write_pos: jnp.ndarray, bias: jnp.ndarray,
                    cos_t: jnp.ndarray, sin_t: jnp.ndarray,
-                   skip_input_norm: bool = False):
+                   skip_input_norm: bool = False, kv_len=None):
     """One decoder layer. x: [T, H]; kv_k/kv_v: [S, Hkv, D]. Returns (x, k, v)."""
     resid = x
     q, k, v = _layer_qkv(lp, cfg, x, positions, cos_t, sin_t, skip_input_norm)
@@ -173,14 +182,14 @@ def _layer_forward(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
     kv_k = jax.lax.dynamic_update_slice(kv_k, k, (write_pos, 0, 0))
     kv_v = jax.lax.dynamic_update_slice(kv_v, v, (write_pos, 0, 0))
 
-    attn = masked_attention(q, kv_k, kv_v, bias)
+    attn = _attend(cfg, q, kv_k, kv_v, bias, kv_len)
     return _layer_post_attn(lp, cfg, resid, attn), kv_k, kv_v
 
 
 def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
                   positions: jnp.ndarray, kv: Params, write_pos: jnp.ndarray,
-                  bias: jnp.ndarray, cos_t: jnp.ndarray, sin_t: jnp.ndarray
-                  ) -> Tuple[jnp.ndarray, Params]:
+                  bias: jnp.ndarray, cos_t: jnp.ndarray, sin_t: jnp.ndarray,
+                  kv_len=None) -> Tuple[jnp.ndarray, Params]:
     """Run all decoder layers via lax.scan over the stacked layer params.
 
     embeds: [T, H] (already fused multimodal embeddings); positions: [T] int32;
@@ -204,7 +213,7 @@ def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
             kv_v_all, v[None], (li, write_pos, 0, 0))
         kv_k = jax.lax.dynamic_index_in_dim(kv_k_all, li, 0, keepdims=False)
         kv_v = jax.lax.dynamic_index_in_dim(kv_v_all, li, 0, keepdims=False)
-        attn = masked_attention(q, kv_k, kv_v, bias)
+        attn = _attend(cfg, q, kv_k, kv_v, bias, kv_len)
         x = _layer_post_attn(lp, cfg, resid, attn)
         return (x, kv_k_all, kv_v_all), None
 

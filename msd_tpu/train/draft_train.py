@@ -19,8 +19,7 @@ over 'model', optimizer state sharded like the params (ZeRO-equivalent).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,6 @@ import optax
 
 from msd_tpu.configs import DraftConfig
 from msd_tpu.models import draft as draft_mod
-from msd_tpu.models.llama import make_rope
 from msd_tpu.ops.attention import NEG_INF
 
 
