@@ -48,6 +48,7 @@ def main():
     # target's own generations, to measure a real end-to-end alpha > 1
     ap.add_argument("--distill-steps", type=int, default=0)
     ap.add_argument("--distill-prompts", type=int, default=6)
+    ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -62,6 +63,7 @@ def main():
     log("devices:", jax.devices())
     dtype = jnp.bfloat16
 
+    import dataclasses
     if args.model == "7b":
         tcfg = LlamaConfig.llava_7b()
     elif args.model == "13b":
@@ -70,6 +72,7 @@ def main():
         tcfg = LlamaConfig.tiny(vocab_size=32000, hidden_size=512, layers=4,
                                 heads=8, intermediate_size=1376, max_pos=4096)
         dtype = jnp.float32
+    tcfg = dataclasses.replace(tcfg, attn_impl=args.attn_impl)
     dcfg = DraftConfig(text=tcfg)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
