@@ -45,30 +45,44 @@ def _load_records(paths: List[str]) -> List[Dict[str, np.ndarray]]:
     return [dict(np.load(p)) for p in paths]
 
 
+_PREPAD_CACHE: Dict[int, Dict[str, jnp.ndarray]] = {}
+
+
+def prepad_records(records: List[Dict], max_len: int) -> Dict[str, jnp.ndarray]:
+    """Pad + stack + device-put ALL records once; batches then slice on
+    device. Re-padding per epoch on the host dominated wall clock at 7B."""
+    key = (id(records), max_len)
+    hit = _PREPAD_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def pad(a, value=0.0):
+        out = np.full((max_len,) + a.shape[1:], value, a.dtype)
+        out[:min(len(a), max_len)] = a[:max_len]
+        return out
+
+    stacked = {
+        "emb_next": jnp.asarray(np.stack([pad(g["emb_next"]) for g in records])),
+        "hidden": jnp.asarray(np.stack([pad(g["hidden"]) for g in records])),
+        "target": jnp.asarray(np.stack([pad(g["target"]) for g in records])),
+        "loss_mask": jnp.asarray(np.stack(
+            [pad(g["loss_mask"]) for g in records])),
+        "attn_len": jnp.asarray(np.asarray(
+            [min(int(g["attn_len"]), max_len) for g in records], np.int32)),
+        "img_mask": jnp.asarray(np.stack([pad(g["img_mask"]) for g in records])),
+    }
+    _PREPAD_CACHE.clear()   # hold at most one dataset
+    _PREPAD_CACHE[key] = stacked
+    return stacked
+
+
 def batches_from_records(records: List[Dict], batch_size: int, max_len: int,
                          rng: np.random.Generator) -> Iterator[Batch]:
+    data = prepad_records(records, max_len)
     order = rng.permutation(len(records))
     for i in range(0, len(order) - batch_size + 1, batch_size):
-        group = [records[j] for j in order[i:i + batch_size]]
-
-        def pad(a, length, value=0.0):
-            out = np.full((length,) + a.shape[1:], value, a.dtype)
-            out[:min(len(a), length)] = a[:length]
-            return out
-
-        yield Batch(
-            emb_next=jnp.asarray(np.stack(
-                [pad(g["emb_next"], max_len) for g in group])),
-            hidden=jnp.asarray(np.stack(
-                [pad(g["hidden"], max_len) for g in group])),
-            target=jnp.asarray(np.stack(
-                [pad(g["target"], max_len) for g in group])),
-            loss_mask=jnp.asarray(np.stack(
-                [pad(g["loss_mask"], max_len) for g in group])),
-            attn_len=jnp.asarray(np.asarray(
-                [min(int(g["attn_len"]), max_len) for g in group], np.int32)),
-            img_mask=jnp.asarray(np.stack(
-                [pad(g["img_mask"], max_len) for g in group])))
+        idx = jnp.asarray(order[i:i + batch_size])
+        yield Batch(**{k: v[idx] for k, v in data.items()})
 
 
 class DraftTrainer:
