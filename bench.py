@@ -175,10 +175,18 @@ def main():
         log(f"distilled {trainer.step_count} steps in {time.time()-t0:.1f}s "
             f"(top1_agree={last.get('top1_agree', 0):.3f})")
 
-        del trainer.opt_state
+        # drop EVERYTHING still holding device memory: optimizer state, the
+        # stale embed/lm_head inside the trainer, the device-resident
+        # dataset, and the jitted step's donated buffers
+        trained = dict(trainer.params)
+        trained.pop("embed_tokens", None)
+        del trainer, head_w, recs
+        from msd_tpu.train.trainer import _PREPAD_CACHE
+        _PREPAD_CACHE.clear()
         gc.collect()
+
         tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
-        dp = dict(trainer.params)
+        dp = dict(trained)
         dp["embed_tokens"] = tp["embed_tokens"]
         gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
 

@@ -119,14 +119,13 @@ class MSDGenerator:
         key = jax.random.PRNGKey(seed)
         if self.image_mode == "inline":
             pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
-            state = SE.qwen_prefill(st, self.params, padded,
-                                    jnp.int32(len(ids)), img_feats,
-                                    jnp.int32(self._img_pos(ids)), pos3,
-                                    jnp.int32(delta), key)
+            state = SE.qwen_generate_program(
+                st, self.params, padded, jnp.int32(len(ids)), img_feats,
+                jnp.int32(self._img_pos(ids)), pos3, jnp.int32(delta), key)
         else:
-            state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
-                               img_feats, jnp.int32(self._img_pos(ids)), key)
-        state = SE.decode(st, self.params, state)
+            state = SE.generate_program(st, self.params, padded,
+                                        jnp.int32(len(ids)), img_feats,
+                                        jnp.int32(self._img_pos(ids)), key)
 
         e0 = len(ids) + (max(self.n_img - 1, 0)
                          if self.image_mode == "expand" else 0)

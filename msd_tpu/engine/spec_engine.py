@@ -669,6 +669,35 @@ def qwen_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
         calib_log=calib_log)
 
 
+
+@partial(jax.jit, static_argnums=(0,))
+def generate_program(st: Statics, params: Dict, ids: jnp.ndarray,
+                     prompt_len: jnp.ndarray,
+                     img_feats: Optional[jnp.ndarray], img_pos: jnp.ndarray,
+                     key: jnp.ndarray) -> EngineState:
+    """prefill + decode fused into ONE program.
+
+    Avoids the cross-program KV-cache handoff (XLA could not alias the
+    donated caches between the separate prefill and decode executables,
+    costing a full extra KV allocation at 7B image sizes)."""
+    state = prefill.__wrapped__(st, params, ids, prompt_len, img_feats,
+                                img_pos, key)
+    return decode.__wrapped__(st, params, state)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def qwen_generate_program(st: Statics, params: Dict, ids: jnp.ndarray,
+                          prompt_len: jnp.ndarray,
+                          img_feats: Optional[jnp.ndarray],
+                          img_start: jnp.ndarray,
+                          pos3: Optional[jnp.ndarray],
+                          pos_delta: jnp.ndarray,
+                          key: jnp.ndarray) -> EngineState:
+    state = qwen_prefill.__wrapped__(st, params, ids, prompt_len, img_feats,
+                                     img_start, pos3, pos_delta, key)
+    return decode.__wrapped__(st, params, state)
+
+
 # ---------------------------------------------------------------------------
 # Autoregressive baseline (naivegenerate, ea_model.py:402-487)
 # ---------------------------------------------------------------------------
