@@ -51,7 +51,8 @@ _PREPAD_CACHE: Dict[int, Dict[str, jnp.ndarray]] = {}
 def prepad_records(records: List[Dict], max_len: int) -> Dict[str, jnp.ndarray]:
     """Pad + stack + device-put ALL records once; batches then slice on
     device. Re-padding per epoch on the host dominated wall clock at 7B."""
-    key = (id(records), max_len)
+    # key on the record OBJECTS (run_epoch rebuilds the list each epoch)
+    key = (tuple(id(r) for r in records), max_len)
     hit = _PREPAD_CACHE.get(key)
     if hit is not None:
         return hit
