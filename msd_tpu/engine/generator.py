@@ -119,13 +119,30 @@ class MSDGenerator:
         key = jax.random.PRNGKey(seed)
         if self.image_mode == "inline":
             pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
-            state = SE.qwen_generate_program(
-                st, self.params, padded, jnp.int32(len(ids)), img_feats,
-                jnp.int32(self._img_pos(ids)), pos3, jnp.int32(delta), key)
-        else:
-            state = SE.generate_program(st, self.params, padded,
+            try:
+                state = SE.qwen_generate_program(
+                    st, self.params, padded, jnp.int32(len(ids)), img_feats,
+                    jnp.int32(self._img_pos(ids)), pos3, jnp.int32(delta), key)
+            except Exception as e:  # OOM: retry as two smaller programs
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                state = SE.qwen_prefill(st, self.params, padded,
                                         jnp.int32(len(ids)), img_feats,
-                                        jnp.int32(self._img_pos(ids)), key)
+                                        jnp.int32(self._img_pos(ids)), pos3,
+                                        jnp.int32(delta), key)
+                state = SE.decode(st, self.params, state)
+        else:
+            try:
+                state = SE.generate_program(st, self.params, padded,
+                                            jnp.int32(len(ids)), img_feats,
+                                            jnp.int32(self._img_pos(ids)), key)
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                state = SE.prefill(st, self.params, padded,
+                                   jnp.int32(len(ids)), img_feats,
+                                   jnp.int32(self._img_pos(ids)), key)
+                state = SE.decode(st, self.params, state)
 
         e0 = len(ids) + (max(self.n_img - 1, 0)
                          if self.image_mode == "expand" else 0)
