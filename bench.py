@@ -202,6 +202,9 @@ def main():
         msd_times.append(time.time() - t0)
     steps = max(m.accept_steps, 1)
     t_step = min(msd_times) / steps
+    n_cmp = min(len(m.tokens), len(r.tokens))
+    lossless = bool(np.array_equal(m.tokens[:n_cmp], r.tokens[:n_cmp]))
+    log(f"greedy MSD == AR on first {n_cmp} tokens: {lossless}")
     log(f"MSD: {steps} steps, best {min(msd_times):.3f}s -> "
         f"{t_step*1e3:.2f} ms/step, measured alpha={m.avg_accept_len:.3f}")
 
@@ -220,6 +223,7 @@ def main():
             "ar_tokens_per_s": round(1 / t_ar, 1),
             "msd_ms_per_step": round(t_step * 1e3, 3),
             "measured_alpha": round(m.avg_accept_len, 3),
+            "greedy_lossless_vs_ar": lossless,
             "measured_speedup": round(speedup_measured, 3),
             "distill_steps": args.distill_steps,
             "tree_nodes": eng.tree.num_nodes,
