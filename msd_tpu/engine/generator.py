@@ -144,8 +144,9 @@ class MSDGenerator:
                                    jnp.int32(self._img_pos(ids)), key)
                 state = SE.decode(st, self.params, state)
 
+        has_img = img_feats is not None
         e0 = len(ids) + (max(self.n_img - 1, 0)
-                         if self.image_mode == "expand" else 0)
+                         if self.image_mode == "expand" and has_img else 0)
         cur = int(state.cur_len)
         out = np.asarray(state.ids[e0:cur + 1])
         out = _trim(out, self.eos_id, max_new)
@@ -184,7 +185,8 @@ class MSDGenerator:
                                   jnp.int32(self._img_pos(ids)), key)
         ids_buf, cur, n_new = SE.ar_decode(st, self.params, carry)
         e0 = len(ids) + (max(self.n_img - 1, 0)
-                         if self.image_mode == "expand" else 0)
+                         if self.image_mode == "expand"
+                         and img_feats is not None else 0)
         out = np.asarray(ids_buf[e0:int(cur) + 1])
         out = _trim(out, self.eos_id, max_new)
         return GenResult(tokens=out)

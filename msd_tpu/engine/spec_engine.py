@@ -444,7 +444,8 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
     unlike utils.py:537-542 which re-runs CLIP every step).
     """
     tcfg, dcfg = st.tcfg, st.dcfg
-    n_img = st.n_img
+    # an image-capable engine still serves text-only prompts (feats is None)
+    n_img = st.n_img if img_feats is not None else 0
     P_pad = ids.shape[0]
     P_exp = P_pad + max(n_img - 1, 0)
     cos_t, sin_t = params["cos_t"], params["sin_t"]
@@ -707,7 +708,7 @@ def ar_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
                prompt_len: jnp.ndarray, img_feats: Optional[jnp.ndarray],
                img_pos: jnp.ndarray, key: jnp.ndarray):
     tcfg = st.tcfg
-    n_img = st.n_img
+    n_img = st.n_img if img_feats is not None else 0
     P_pad = ids.shape[0]
     P_exp = P_pad + max(n_img - 1, 0)
     cos_t, sin_t = params["cos_t"], params["sin_t"]

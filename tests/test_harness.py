@@ -150,3 +150,42 @@ def test_task_bottom_slicing():
     assert ids_bottom[0] is docs[-3]
     sharded = list(task.doc_iterator(docs, rank=1, world_size=2))
     assert all(i % 2 == 1 for i, _ in sharded)
+
+
+def test_http_server_generate(tiny_adapter_parts):
+    """End-to-end over the HTTP surface: /health + /generate."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from msd_tpu.serve.server import serve_forever
+
+    lm = tiny_adapter_parts()
+    httpd = serve_forever(lm, port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            assert _json.loads(r.read())["status"] == "ok"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=_json.dumps({"prompt": "hi there",
+                              "max_new_tokens": 8}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = _json.loads(r.read())
+        assert out["tokens_generated"] > 0
+        assert "text" in out and "tokens_per_second" in out
+        # bad request surfaces cleanly
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"{}",
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req2, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
