@@ -181,19 +181,32 @@ def evaluate_sampling(tree: Tree, tree_probs: jnp.ndarray, key: jnp.ndarray
     """
     N, V = tree_probs.shape
 
+    # The drafting frontier caps children per node at top_k; iterating all N
+    # nodes per depth serialized 128 tiny steps. Instead gather each depth's
+    # <=K children of the current node (ascending tree order, matching the
+    # reference's sorted-row visit order) and loop over those.
+    K = min(N - 1, 16)
+
     def depth_step(carry, _):
         cur, acc_len, residual, alive, key = carry
 
-        def child_step(j, c):
+        node_idx = jnp.arange(N)
+        is_child = (tree.parents == cur) & tree.valid & (tree.tokens >= 0) \
+            & (node_idx > 0)
+        # indices of the first K children in ascending node order
+        order_key = jnp.where(is_child, node_idx, N)
+        child_ids = jnp.sort(order_key)[:K]                 # [K], N = none
+
+        def child_step(i, c):
             cur_c, acc_c, res, alive_c, key_c, advanced = c
-            tok = tree.tokens[j]
-            is_child = (tree.parents[j] == cur_c) & tree.valid[j] & (tok >= 0) \
-                & alive_c & (~advanced) & (j > 0)
+            j = child_ids[i]
+            valid_child = (j < N) & alive_c & (~advanced)
+            tok = tree.tokens[jnp.minimum(j, N - 1)]
             p_tok = res[jnp.maximum(tok, 0)]
             key_c, sub = jax.random.split(key_c)
             r = jax.random.uniform(sub)
-            accept = is_child & (r <= p_tok)
-            reject = is_child & (r > p_tok)
+            accept = valid_child & (r <= p_tok)
+            reject = valid_child & (r > p_tok)
             # on rejection: zero the token's mass and renormalize
             res_zero = res.at[jnp.maximum(tok, 0)].set(0.0)
             res_zero = res_zero / jnp.maximum(jnp.sum(res_zero), 1e-20)
@@ -204,7 +217,8 @@ def evaluate_sampling(tree: Tree, tree_probs: jnp.ndarray, key: jnp.ndarray
             return (cur_c, acc_c, res, alive_c, key_c, advanced)
 
         cur2, acc2, res2, alive2, key2, advanced = jax.lax.fori_loop(
-            0, N, child_step, (cur, acc_len, residual, alive, key, jnp.bool_(False)))
+            0, K, child_step,
+            (cur, acc_len, residual, alive, key, jnp.bool_(False)))
         # if we advanced, the residual for the NEXT depth is the new node's dist
         res_next = jnp.where(advanced, tree_probs[cur2], res2)
         alive_next = alive2 & advanced
