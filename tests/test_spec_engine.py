@@ -122,3 +122,61 @@ def test_speculative_sampling_preserves_distribution():
     tv = 0.5 * np.abs(emp - expected).sum()
     assert tv < 0.05, f"total variation {tv:.4f} (empirical {emp}, " \
                       f"target {expected})"
+
+
+@pytest.mark.parametrize("tree_kw", [
+    dict(top_k=4, max_depth=4, num_nodes=12),
+    dict(top_k=3, max_depth=6, num_nodes=32),   # budget > depth*top_k: dead-pad
+    dict(top_k=8, max_depth=3, num_nodes=20),
+])
+def test_losslessness_across_tree_shapes(tree_kw):
+    gen = make_gen(seed=2, tree=TreeConfig(**tree_kw))
+    rng = np.random.default_rng(7)
+    ids = rng.integers(3, 120, size=13).astype(np.int32)
+    ar = gen.naive_generate(ids, max_new_tokens=20)
+    msd = gen.generate(ids, max_new_tokens=20)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_losslessness_gqa_target():
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=64, layers=2, heads=8,
+                           kv_heads=2, intermediate_size=128, max_pos=1024)
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    tp = L.init_llama_params(k1, cfg)
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=2)
+    ids = np.arange(3, 17, dtype=np.int32)
+    np.testing.assert_array_equal(gen.generate(ids, max_new_tokens=16).tokens,
+                                  gen.naive_generate(ids, max_new_tokens=16).tokens)
+
+
+def test_prompt_at_bucket_boundary(gen):
+    ids = np.arange(3, 3 + 32, dtype=np.int32)  # == prompt_pad_multiple
+    ar = gen.naive_generate(ids, max_new_tokens=12)
+    msd = gen.generate(ids, max_new_tokens=12)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_max_new_one(gen):
+    ids = np.arange(3, 9, dtype=np.int32)
+    r = gen.generate(ids, max_new_tokens=1)
+    a = gen.naive_generate(ids, max_new_tokens=1)
+    assert len(r.tokens) >= 1 and len(a.tokens) >= 1
+    assert r.tokens[0] == a.tokens[0]
+
+
+def test_eos_stops_generation():
+    """Whatever token the target emits first, make IT the eos: generation
+    must stop immediately in both engines."""
+    g0 = make_gen(seed=0)
+    ids = np.arange(3, 10, dtype=np.int32)
+    first = int(g0.naive_generate(ids, max_new_tokens=4).tokens[0])
+    cfg, dcfg, tp, dp = build_tiny(0)
+    eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    g1 = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=first)
+    assert len(g1.naive_generate(ids, max_new_tokens=16).tokens) == 0
+    assert len(g1.generate(ids, max_new_tokens=16).tokens) == 0
