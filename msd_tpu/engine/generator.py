@@ -73,6 +73,15 @@ class MSDGenerator:
     def _pad(self, ids: np.ndarray) -> np.ndarray:
         m = self.eng.prompt_pad_multiple
         p = ((len(ids) + m - 1) // m) * m
+        n_exp = len(ids) + (max(self.n_img - 1, 0)
+                            if self.image_mode == "expand" else 0)
+        limit = self.eng.max_seq_len - self.eng.tree.num_nodes \
+            - self.eng.tree.max_path_len - 2
+        if n_exp >= limit:
+            raise ValueError(
+                f"prompt too long: {n_exp} expanded tokens, engine budget "
+                f"allows < {limit} (max_seq_len={self.eng.max_seq_len}, "
+                f"tree={self.eng.tree.num_nodes} nodes)")
         out = np.zeros((p,), np.int32)
         out[:len(ids)] = ids
         return out

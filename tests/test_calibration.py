@@ -181,3 +181,64 @@ def test_sampling_with_repetition_penalty_runs():
     sp = SamplingParams(temperature=1.0, repetition_penalty=1.3)
     r = gen.generate(ids, max_new_tokens=12, sp=sp, seed=3)
     assert r.accept_steps > 0
+
+
+def test_rerank_changes_candidate_order():
+    """A calibrator that kills one candidate's acceptance probability must
+    push it down the reranked order (behavioral check of _rerank)."""
+    import jax
+    from msd_tpu.engine import spec_engine as SE
+    from msd_tpu.configs import (DraftConfig, EngineConfig, LlamaConfig,
+                                 TreeConfig)
+    from msd_tpu.ops.sampling import SamplingParams
+
+    V, K = 64, 4
+    # tables: probability depends ONLY on token type; type-2 tokens ~0
+    table = np.full((3, 5, 2, 3, 8), 0.5, np.float32)
+    table[2] = 1e-3   # 'number' type: near-zero acceptance
+    vt = np.zeros((V,), np.int8)
+    bad_token = 7
+    vt[bad_token] = 2
+    export = {"table": table, "attn_quantiles": np.asarray([.2, .4, .6, .8]),
+              "margin_quantiles": np.asarray([.33, .67]),
+              "global_mean": np.float32(0.5)}
+    ct = CalibTables.from_host(export, vt, base_alpha=10.0)
+
+    cfg = LlamaConfig.tiny(vocab_size=V)
+    st = SE.Statics(tcfg=cfg, dcfg=DraftConfig(text=cfg),
+                    tree=TreeConfig(top_k=K, max_depth=4, num_nodes=12),
+                    eng=EngineConfig(max_seq_len=128), sp=SamplingParams(),
+                    n_img=0, eos_id=2, max_new=8, use_calibration=True)
+    params = {"calib": ct}
+
+    logits = np.zeros((1, V), np.float32)
+    cand = np.asarray([[bad_token, 3, 5, 9]], np.int32)
+    probs = np.asarray([[0.4, 0.3, 0.2, 0.1]], np.float32)
+    new_ids, new_scores, margin = SE._rerank(
+        st, params, jnp.asarray(logits), jnp.asarray(cand),
+        jnp.asarray(probs), jnp.zeros((K,), jnp.float32), jnp.int32(1))
+    new_ids = np.asarray(new_ids[0])
+    # the killed token drops from rank 0; order among others preserved
+    assert new_ids[0] != bad_token
+    assert list(new_ids[:3]) == [3, 5, 9]
+    assert new_ids[3] == bad_token
+
+
+def test_adaptive_alpha_semantics():
+    from msd_tpu.calib.device import adaptive_alpha
+    vt = np.zeros((10,), np.int8)
+    vt[4] = 2  # number token
+    export = {"table": np.full((3, 5, 2, 3, 8), 0.5, np.float32),
+              "attn_quantiles": np.asarray([.2, .4, .6, .8]),
+              "margin_quantiles": np.asarray([.33, .67]),
+              "global_mean": np.float32(0.5)}
+    ct = CalibTables.from_host(export, vt, base_alpha=1.0)
+    toks = jnp.asarray([0, 1, 4, 2], jnp.int32)
+    conf = jnp.asarray([0.9, 0.5, 0.5, 0.1])
+    attn = jnp.asarray([0.9, 0.5, 0.5, 0.1])
+    depth = jnp.asarray([1, 3, 3, 6], jnp.int32)
+    margin = jnp.asarray([0.9, 0.5, 0.5, 0.05])
+    a = np.asarray(adaptive_alpha(ct, toks, conf, attn, depth, margin))
+    assert np.all((a >= 0.2 - 1e-6) & (a <= 0.8 + 1e-6))  # clip range
+    assert a[3] > a[0]            # deeper + low margin + low attn -> higher
+    assert a[2] > a[1] or np.isclose(a[2], min(a[2], 0.8))  # number boost

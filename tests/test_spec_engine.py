@@ -180,3 +180,9 @@ def test_eos_stops_generation():
     g1 = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=first)
     assert len(g1.naive_generate(ids, max_new_tokens=16).tokens) == 0
     assert len(g1.generate(ids, max_new_tokens=16).tokens) == 0
+
+
+def test_prompt_too_long_raises(gen):
+    with pytest.raises(ValueError, match="prompt too long"):
+        gen.generate(np.arange(3, 3 + 600, dtype=np.int32) % 100 + 3,
+                     max_new_tokens=4)
