@@ -156,6 +156,11 @@ class TreeConfig:
     max_depth: int = 10          # drafting depth bound (while_loop bound)
     num_nodes: int = 60          # total draft tokens incl. root sample token
     early_stop_threshold: float = 0.2  # weight-sum increment threshold
+    # legacy static-tree drafting (utils.py:115-233 generate_tree_buffers):
+    # a tuple of top-k-index paths (e.g. engine.static_tree.mc_sim_7b_63 as
+    # tuples). When set, drafting follows this fixed shape instead of
+    # OPT-Tree; num_nodes/max_depth must cover it.
+    static_choices: Optional[tuple] = None
 
     @property
     def num_draft(self) -> int:

@@ -162,6 +162,95 @@ def _rerank(st: Statics, params: Dict, logits: jnp.ndarray,
     return new_ids, new_scores, margin_row
 
 
+def _draft_expand_static(st: Statics, params: Dict, draft_kv: Dict,
+                         E: jnp.ndarray, last_hidden: jnp.ndarray,
+                         root_token: jnp.ndarray, cos_t, sin_t,
+                         pos_delta: jnp.ndarray = 0) -> Tuple[Tree, Dict]:
+    """Legacy static-tree drafting (utils.py:115-233 + choices.py): the tree
+    SHAPE is fixed; node at path [..., s] takes its parent distribution's
+    rank-s token. Depth loop is unrolled over the (static) level structure;
+    each level's rows attend to the stable prefix + their static ancestors
+    written at fixed scratch offsets E + (node_id - 1)."""
+    from msd_tpu.engine.static_tree import (per_depth_structure,
+                                            static_layout, tree_from_tokens)
+
+    dp = params["draft"]
+    head = params["target"]["lm_head"]
+    choices = [list(c) for c in st.tree.static_choices]
+    parents_np, depths_np, n, levels = per_depth_structure(choices)
+    _, _, anc_mask_np, _ = static_layout(choices, st.tree.max_path_len)
+    max_slot = max(s for lv in levels.values() for _, _, s in lv) + 1
+    s_d = st.s_draft
+
+    child_tokens = jnp.zeros((n - 1,), jnp.int32)
+    # per-node draft hidden output, indexed by node id (0 = root)
+    node_hidden = jnp.zeros((n,) + last_hidden.shape, last_hidden.dtype)
+    node_hidden = node_hidden.at[0].set(last_hidden)
+
+    # root children from head(last_hidden)
+    logits0 = (last_hidden @ head).astype(jnp.float32)
+    _, top0 = jax.lax.top_k(logits0, max_slot)
+    for node_id, parent_id, slot in levels.get(1, []):
+        child_tokens = child_tokens.at[node_id - 1].set(top0[slot])
+
+    kpos = jnp.arange(s_d)[None, :]
+    for d in sorted(levels):
+        lv = levels[d]
+        rows = jnp.asarray([node for node, _, _ in lv], jnp.int32)
+        par = jnp.asarray([p for _, p, _ in lv], jnp.int32)
+        toks = child_tokens[rows - 1]
+        hid = node_hidden[par]
+        emb = dp["embed_tokens"][toks]
+        hin = draft_mod.draft_fuse(dp, emb, hid)
+        pos = jnp.broadcast_to(E + pos_delta + d - 1, rows.shape).astype(jnp.int32)
+        # per-row bias: prefix + static ancestors (incl. self). Scratch slot
+        # of node i is E + i - 1, so the node id at key position p is
+        # rel = p - E + 1.
+        anc = jnp.asarray(anc_mask_np)[rows]            # [W_d, n] bool
+        rel = kpos - E + 1                              # [1, s_d]
+        relc = jnp.clip(rel, 0, n - 1)
+        anc_g = jnp.take_along_axis(
+            anc, jnp.broadcast_to(relc, (len(lv), s_d)), axis=1)
+        keep = (kpos < E) | ((rel >= 1) & (rel < n) & anc_g)
+        bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
+        # rows of one level are contiguous node ids -> contiguous scratch
+        write = E + rows[0] - 1
+        out, draft_kv = draft_mod.draft_forward(dp, st.dcfg, hin, pos,
+                                                draft_kv, write, bias,
+                                                cos_t, sin_t)
+        node_hidden = node_hidden.at[rows].set(out)
+        if d + 1 in levels:
+            logits = (out @ head).astype(jnp.float32)
+            _, topd = jax.lax.top_k(logits, max_slot)   # [W_d, max_slot]
+            row_of = {node: i for i, (node, _, _) in enumerate(lv)}
+            for node_id, parent_id, slot in levels[d + 1]:
+                child_tokens = child_tokens.at[node_id - 1].set(
+                    topd[row_of[parent_id], slot])
+
+    tr = tree_from_tokens(choices, root_token, child_tokens,
+                          st.tree.max_path_len)
+    # pad the static tree (n nodes) out to the engine budget (num_nodes)
+    N = st.tree.num_nodes
+    if n < N:
+        pad = N - n
+        tr = Tree(
+            tokens=jnp.concatenate([tr.tokens, jnp.full((pad,), -1, jnp.int32)]),
+            parents=jnp.concatenate([tr.parents, jnp.zeros((pad,), jnp.int32)]),
+            mask=jnp.pad(tr.mask, ((0, pad), (0, pad))) |
+                 jnp.eye(N, dtype=jnp.bool_),
+            positions=jnp.concatenate([tr.positions, jnp.ones((pad,), jnp.int32)]),
+            retrieve=jnp.concatenate([
+                tr.retrieve, jnp.full((pad, st.tree.max_path_len), -1,
+                                      jnp.int32)]),
+            valid=jnp.concatenate([tr.valid, jnp.zeros((pad,), jnp.bool_)]),
+            node_depth=jnp.concatenate([tr.node_depth,
+                                        jnp.ones((pad,), jnp.int32)]),
+            node_weight=jnp.concatenate([tr.node_weight,
+                                         jnp.zeros((pad,), jnp.float32)]),
+            extras={})
+    return tr, draft_kv
+
+
 def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
                   last_hidden: jnp.ndarray, root_token: jnp.ndarray,
                   cos_t, sin_t, attn_feat: jnp.ndarray,
@@ -177,6 +266,9 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
     layer is discarded on stop, :1429-1437).
     """
     t = st.tree
+    if t.static_choices is not None:
+        return _draft_expand_static(st, params, draft_kv, E, last_hidden,
+                                    root_token, cos_t, sin_t, pos_delta)
     K, D, n_draft = t.top_k, t.max_depth, t.num_draft
     dp = params["draft"]
     head = params["target"]["lm_head"]

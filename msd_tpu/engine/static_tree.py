@@ -98,3 +98,20 @@ def tree_from_tokens(choices: Sequence[Sequence[int]],
                 node_depth=jnp.asarray(depths),
                 node_weight=jnp.ones((n,), jnp.float32),
                 extras={})
+
+
+def per_depth_structure(choices: Sequence[Sequence[int]]):
+    """Static per-depth frontier structure for legacy-tree DRAFTING.
+
+    Returns (parents, depths, n, levels) where levels[d] (d >= 1) is a list
+    of (node_id, parent_id, child_slot) for the nodes at depth d, in tree
+    order. child_slot is the top-k index the node takes from its parent's
+    distribution (the last element of its choices path).
+    """
+    sorted_choices = sorted(choices, key=lambda p: (len(p), tuple(p)))
+    parents, depths, n = choices_to_structure(choices)
+    levels = {}
+    for i, path in enumerate(sorted_choices, start=1):
+        d = len(path)
+        levels.setdefault(d, []).append((i, int(parents[i]), int(path[-1])))
+    return parents, depths, n, levels

@@ -186,3 +186,34 @@ def test_prompt_too_long_raises(gen):
     with pytest.raises(ValueError, match="prompt too long"):
         gen.generate(np.arange(3, 3 + 600, dtype=np.int32) % 100 + 3,
                      max_new_tokens=4)
+
+
+def test_static_tree_drafting_lossless():
+    """Legacy static-tree drafting (generate_tree_buffers analog): greedy MSD
+    with a hand-written choices tree == AR greedy."""
+    choices = ((0,), (1,), (2,), (0, 0), (0, 1), (1, 0), (0, 0, 0),
+               (0, 0, 1), (0, 0, 0, 0))
+    tree = TreeConfig(top_k=4, max_depth=5, num_nodes=12,
+                      static_choices=choices)
+    gen = make_gen(seed=3, tree=tree)
+    rng = np.random.default_rng(11)
+    for trial in range(2):
+        ids = rng.integers(3, 120, size=rng.integers(5, 20)).astype(np.int32)
+        ar = gen.naive_generate(ids, max_new_tokens=20)
+        msd = gen.generate(ids, max_new_tokens=20)
+        np.testing.assert_array_equal(msd.tokens, ar.tokens,
+                                      err_msg=f"static trial {trial}")
+        assert msd.accept_steps > 0
+
+
+def test_static_mc_sim_tree_lossless():
+    """The shipped 63-node EAGLE tree drives the engine losslessly."""
+    from msd_tpu.engine.static_tree import mc_sim_7b_63
+    choices = tuple(tuple(c) for c in mc_sim_7b_63)
+    tree = TreeConfig(top_k=4, max_depth=10, num_nodes=64,
+                      static_choices=choices)
+    gen = make_gen(seed=4, tree=tree)
+    ids = np.arange(3, 14, dtype=np.int32)
+    ar = gen.naive_generate(ids, max_new_tokens=16)
+    msd = gen.generate(ids, max_new_tokens=16)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
