@@ -169,6 +169,56 @@ class MSDGenerator:
                          alpha_hist=np.asarray(state.alpha_hist),
                          calib_data=calib_data)
 
+    def generate_batch(self, ids_list, img_feats_list=None,
+                       max_new_tokens: Optional[int] = None, seed: int = 0,
+                       sp: Optional[SamplingParams] = None):
+        """Batched speculative generation: vmap of the fused program.
+
+        All prompts share one compiled program (padded to the longest
+        bucket); per-sample while_loop progress is masked by jax's
+        while_loop batching, so each sample's result is identical to its
+        single-request run (tested). KV memory scales with batch size.
+        """
+        sp = sp if sp is not None else self.sp
+        max_new = max_new_tokens or self.eng.max_new_tokens
+        st = self._statics(max_new, sp)
+        B = len(ids_list)
+        plen = max(len(i) for i in ids_list)
+        m = self.eng.prompt_pad_multiple
+        P = ((plen + m - 1) // m) * m
+        padded = np.zeros((B, P), np.int32)
+        img_pos = np.zeros((B,), np.int32)
+        for b, ids in enumerate(ids_list):
+            self._pad(np.asarray(ids, np.int32))  # length validation
+            padded[b, :len(ids)] = ids
+            img_pos[b] = self._img_pos(np.asarray(ids, np.int32))
+        lens = np.asarray([len(i) for i in ids_list], np.int32)
+        feats = (jnp.stack(img_feats_list) if img_feats_list is not None
+                 else None)
+        keys = jax.random.split(jax.random.PRNGKey(seed), B)
+
+        batched = jax.jit(jax.vmap(
+            lambda i, l, f, p, k: SE.generate_program.__wrapped__(
+                st, self.params, i, l, f, p, k),
+            in_axes=(0, 0, None if feats is None else 0, 0, 0)))
+        state = batched(jnp.asarray(padded), jnp.asarray(lens), feats,
+                        jnp.asarray(img_pos), keys)
+
+        results = []
+        for b in range(B):
+            has_img = feats is not None
+            e0 = int(lens[b]) + (max(self.n_img - 1, 0)
+                                 if self.image_mode == "expand" and has_img
+                                 else 0)
+            cur = int(state.cur_len[b])
+            out = _trim(np.asarray(state.ids[b, e0:cur + 1]), self.eos_id,
+                        max_new)
+            results.append(GenResult(
+                tokens=out, accept_steps=int(state.steps[b]),
+                accept_len_sum=int(state.acc_sum[b]),
+                alpha_hist=np.asarray(state.alpha_hist[b])))
+        return results
+
     def naive_generate(self, ids: np.ndarray,
                        img_feats: Optional[jnp.ndarray] = None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,

@@ -217,3 +217,14 @@ def test_static_mc_sim_tree_lossless():
     ar = gen.naive_generate(ids, max_new_tokens=16)
     msd = gen.generate(ids, max_new_tokens=16)
     np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_batched_generation_matches_single(gen):
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, 120, size=n).astype(np.int32)
+               for n in (6, 11, 9)]
+    singles = [gen.generate(p, max_new_tokens=16) for p in prompts]
+    batch = gen.generate_batch(prompts, max_new_tokens=16)
+    for s, b in zip(singles, batch):
+        np.testing.assert_array_equal(b.tokens, s.tokens)
+        assert b.accept_steps == s.accept_steps
