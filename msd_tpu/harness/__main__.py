@@ -47,13 +47,19 @@ def main(argv=None):
     ap.add_argument("--train_ratio", type=float, default=0.2)
     ap.add_argument("--output_path", default=None)
     ap.add_argument("--log_samples", action="store_true")
+    ap.add_argument("--log_dir", default=None,
+                    help="adapter run-output dir (acceptance JSON, "
+                         "calibration stats, reliability SVG)")
     args = ap.parse_args(argv)
 
     from msd_tpu.harness.evaluator import simple_evaluate
 
+    margs = parse_model_args(args.model_args)
+    if args.log_dir:
+        margs.setdefault("log_dir", args.log_dir)
     out = simple_evaluate(
         model=args.model,
-        model_args=parse_model_args(args.model_args),
+        model_args=margs,
         tasks=args.tasks.split(","),
         limit=args.limit, bottom=args.bottom,
         use_msd=args.use_msd, use_calibration=args.use_calibration,
