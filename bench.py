@@ -51,7 +51,17 @@ def main():
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # honor an explicit cpu request (the axon plugin ignores the env var and
+    # hangs at init when its tunnel is down)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from msd_tpu.configs import (DraftConfig, EngineConfig, LlamaConfig,
