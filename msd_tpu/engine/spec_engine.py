@@ -381,10 +381,12 @@ def _draft_suffix_forward(st: Statics, params: Dict, dkv: Dict,
     P = st.tree.max_path_len
     emb = dp["embed_tokens"][jnp.maximum(suffix_tokens, 0)]
     hin = draft_mod.draft_fuse(dp, emb, suffix_hidden)
+    # rope positions carry the mrope pos_delta; CACHE-slot indices do not
     pos = (draft_len + pos_delta + jnp.arange(P)).astype(jnp.int32)
-    # causal over the growing prefix: row i sees keys [0, draft_len + i]
+    slot = (draft_len + jnp.arange(P)).astype(jnp.int32)
+    # causal over the growing prefix: row i sees cache slots [0, draft_len+i]
     kpos = jnp.arange(st.s_draft)[None, :]
-    keep = kpos <= pos[:, None]
+    keep = kpos <= slot[:, None]
     bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
     need_attn = st.use_calibration or st.collect_calibration
     if need_attn:
