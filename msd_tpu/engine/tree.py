@@ -184,7 +184,10 @@ def evaluate_sampling(tree: Tree, tree_probs: jnp.ndarray, key: jnp.ndarray
     # The drafting frontier caps children per node at top_k; iterating all N
     # nodes per depth serialized 128 tiny steps. Instead gather each depth's
     # <=K children of the current node (ascending tree order, matching the
-    # reference's sorted-row visit order) and loop over those.
+    # reference's sorted-row visit order) and loop over those. Skipping
+    # children beyond K cannot bias the output distribution (their mass stays
+    # in the residual) — it only forfeits acceptances, and the default
+    # frontier width (top_k=10) is below the cap.
     K = min(N - 1, 16)
 
     def depth_step(carry, _):
