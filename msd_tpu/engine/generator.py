@@ -43,10 +43,12 @@ class MSDGenerator:
                  eng: EngineConfig = EngineConfig(), *,
                  n_img: int = 0, eos_id: int = 2,
                  sp: SamplingParams = SamplingParams(),
-                 image_mode: str = "expand", mrope_section=None):
+                 image_mode: str = "expand", mrope_section=None,
+                 attn_feature_mode: str = "reference"):
         self.tcfg, self.dcfg, self.eng = tcfg, dcfg, eng
         self.n_img, self.eos_id = n_img, eos_id
         self.image_mode, self.mrope_section = image_mode, mrope_section
+        self.attn_feature_mode = attn_feature_mode
         max_pos = eng.max_seq_len + eng.tree.num_nodes + 64
         cos_t, sin_t = L.make_rope(tcfg, max_pos)
         self.params = {"target": target_params, "draft": draft_params,
@@ -62,6 +64,7 @@ class MSDGenerator:
                           eos_id=self.eos_id, max_new=max_new,
                           image_mode=self.image_mode,
                           mrope_section=self.mrope_section,
+                          attn_feature_mode=self.attn_feature_mode,
                           use_calibration=use_calibration,
                           collect_calibration=collect_calibration)
 

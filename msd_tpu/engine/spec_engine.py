@@ -63,6 +63,15 @@ class Statics:
     image_mode: str = "expand"
     # mrope frequency sections (Qwen2-VL); None = standard 1D rope
     mrope_section: Optional[Tuple[int, int, int]] = None
+    # visual-attention calibration feature:
+    #   "reference": row[child_idx] of the latest prefix forward, 0 beyond the
+    #                valid rows — faithful to cnets.py:516-575, which is
+    #                degenerate during decode (most candidates read row 0..K
+    #                of an 11-row suffix);
+    #   "last_row":  the CURRENT position's attention over the image span
+    #                (row suffix_len-1), broadcast to all candidates — the
+    #                principled variant.
+    attn_feature_mode: str = "reference"
     # calibrated tree construction (params must carry a "calib" CalibTables)
     use_calibration: bool = False
     # record per-node calibration features/labels each step (training phase)
@@ -128,6 +137,11 @@ def _attn_feature_vec(st: Statics, attn_probs: jnp.ndarray,
         mean_h, (0, jnp.maximum(img_pos - 1, 0)), (t_rows, n_img))
     row_mean = jnp.mean(span, axis=1)                   # [T]
     k_idx = jnp.arange(K)
+    if st.attn_feature_mode == "last_row":
+        last = row_mean[jnp.clip(valid_rows - 1, 0, t_rows - 1)]
+        vals = jnp.broadcast_to(last, (K,))
+        ok = (valid_rows > 0) & (st.n_img > 0)
+        return jnp.where(ok, vals, 0.0).astype(jnp.float32)
     vals = row_mean[jnp.minimum(k_idx, t_rows - 1)]
     ok = (k_idx < valid_rows) & (k_idx < t_rows) & (st.n_img > 0)
     return jnp.where(ok, vals, 0.0).astype(jnp.float32)

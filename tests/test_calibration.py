@@ -242,3 +242,22 @@ def test_adaptive_alpha_semantics():
     assert np.all((a >= 0.2 - 1e-6) & (a <= 0.8 + 1e-6))  # clip range
     assert a[3] > a[0]            # deeper + low margin + low attn -> higher
     assert a[2] > a[1] or np.isclose(a[2], min(a[2], 0.8))  # number boost
+
+
+def test_attn_feature_last_row_mode_lossless():
+    """The principled visual-attention feature mode keeps calibrated
+    decoding lossless and produces a uniform per-candidate feature."""
+    from tests.test_spec_engine import build_tiny
+    from msd_tpu.configs import EngineConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+
+    cfg, dcfg, tp, dp = build_tiny(0)
+    eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=2,
+                       attn_feature_mode="last_row")
+    ids = np.arange(3, 12, dtype=np.int32)
+    r = gen.generate(ids, max_new_tokens=16, collect_calibration=True)
+    ar = gen.naive_generate(ids, max_new_tokens=16)
+    np.testing.assert_array_equal(r.tokens, ar.tokens)
+    assert r.calib_data is not None
