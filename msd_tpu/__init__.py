@@ -20,3 +20,18 @@ fusing draft expansion, tree attention, acceptance, and KV update.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import msd_tpu` free of jax imports)."""
+    if name == "MSDGenerator":
+        from msd_tpu.engine.generator import MSDGenerator
+        return MSDGenerator
+    if name == "SamplingParams":
+        from msd_tpu.ops.sampling import SamplingParams
+        return SamplingParams
+    if name in ("LlamaConfig", "LlavaConfig", "DraftConfig", "TreeConfig",
+                "EngineConfig", "ClipVisionConfig"):
+        import msd_tpu.configs as _c
+        return getattr(_c, name)
+    raise AttributeError(name)
