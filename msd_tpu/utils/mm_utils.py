@@ -102,3 +102,54 @@ def tokenizer_image_token(prompt: str, tokenizer,
     for x in insert_separator(chunks, [image_token_index] * (offset + 1)):
         ids.extend(x[offset:])
     return np.asarray(ids, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# anyres (LLaVA-1.6-style) tiling — llava_arch.py:153-200 + mm_utils
+# select_best_resolution / process_anyres_image. The MSD decode engine (like
+# the reference's MSD adapter) runs the fixed-length 'pad' mode; these
+# utilities provide the anyres preprocessing surface for parity.
+# ---------------------------------------------------------------------------
+
+def select_best_resolution(original_size, possible_resolutions):
+    """Pick the grid resolution maximizing effective resolution then
+    minimizing wasted area (mm_utils select_best_resolution semantics)."""
+    ow, oh = original_size
+    best, best_fit = None, None
+    for (w, h) in possible_resolutions:
+        scale = min(w / ow, h / oh)
+        down_w, down_h = int(ow * scale), int(oh * scale)
+        effective = min(down_w * down_h, ow * oh)
+        wasted = w * h - effective
+        key = (-effective, wasted)
+        if best_fit is None or key < best_fit:
+            best_fit, best = key, (w, h)
+    return best
+
+
+def divide_to_patches(img: np.ndarray, patch_size: int) -> List[np.ndarray]:
+    """Split an HWC image into patch_size x patch_size tiles, row-major."""
+    h, w, _ = img.shape
+    return [img[i:i + patch_size, j:j + patch_size]
+            for i in range(0, h, patch_size)
+            for j in range(0, w, patch_size)]
+
+
+def process_anyres_image(img, image_size: int = 336,
+                         grid_pinpoints=((336, 672), (672, 336), (672, 672),
+                                         (1008, 336), (336, 1008))):
+    """Image -> [n_tiles+1, 3, S, S]: resized global view + best-grid tiles
+    (process_anyres_image). Features are concatenated tile-major under the
+    'flat' merge mode (llava_arch.py mm_patch_merge_type == 'flat')."""
+    if not isinstance(img, np.ndarray):
+        img = np.asarray(img.convert("RGB"))
+    h, w, _ = img.shape
+    bw, bh = select_best_resolution((w, h), grid_pinpoints)
+
+    from PIL import Image
+    pil = Image.fromarray(img.astype(np.uint8))
+    resized = np.asarray(pil.resize((bw, bh), Image.BICUBIC))
+    tiles = divide_to_patches(resized, image_size)
+    views = [process_image(img, image_size, pad_square=False)]
+    views += [process_image(t, image_size, pad_square=False) for t in tiles]
+    return np.stack(views)

@@ -189,3 +189,18 @@ def test_http_server_generate(tiny_adapter_parts):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_anyres_utilities():
+    from msd_tpu.utils.mm_utils import (divide_to_patches,
+                                        process_anyres_image,
+                                        select_best_resolution)
+    # wide image prefers a wide grid
+    assert select_best_resolution((1200, 300), [(336, 672), (672, 336),
+                                                (672, 672)]) == (672, 336)
+    img = np.random.default_rng(0).integers(0, 255, (300, 640, 3), np.uint8)
+    tiles = divide_to_patches(np.zeros((672, 336, 3), np.uint8), 336)
+    assert len(tiles) == 2
+    out = process_anyres_image(img, image_size=336)
+    assert out.ndim == 4 and out.shape[1:] == (3, 336, 336)
+    assert out.shape[0] >= 2  # global view + tiles
