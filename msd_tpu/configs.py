@@ -113,12 +113,20 @@ class LlavaConfig:
     text: LlamaConfig = dataclasses.field(default_factory=LlamaConfig.llava_7b)
     vision: ClipVisionConfig = dataclasses.field(default_factory=ClipVisionConfig)
     mm_projector_type: str = "mlp2x_gelu"
+    # S2 multi-scale scales (clip_encoder.py:92-147), e.g. (336, 672, 1008);
+    # None = single-scale. Projector input dim scales with len(s2_scales).
+    s2_scales: Optional[tuple] = None
     # number of image feature tokens spliced at the -200 placeholder
     # (576 for ViT-L/14-336 patch features).
 
     @property
     def num_image_tokens(self) -> int:
         return self.vision.num_patches
+
+    @property
+    def mm_hidden_size(self) -> int:
+        n = len(self.s2_scales) if self.s2_scales else 1
+        return self.vision.hidden_size * n
 
     @staticmethod
     def tiny() -> "LlavaConfig":

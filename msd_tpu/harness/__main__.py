@@ -8,6 +8,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+
+# honor an explicit cpu request before jax backend init (the preinstalled
+# axon TPU plugin ignores JAX_PLATFORMS and hangs if its tunnel is down)
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def parse_model_args(s: str):

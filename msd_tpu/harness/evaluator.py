@@ -77,14 +77,20 @@ def simple_evaluate(*, model, model_args: Optional[Dict] = None,
                     rank: int = 0, world_size: int = 1) -> Dict:
     if not TASK_REGISTRY:
         register_builtin_tasks()
+    # model classes register themselves at import time
+    import msd_tpu.harness.models.llava_msd  # noqa: F401
+    import msd_tpu.harness.models.qwen2_vl_msd  # noqa: F401
     if isinstance(model, str):
         cls = get_model(model)
         margs = dict(model_args or {})
         margs.setdefault("use_msd", use_msd)
         margs.setdefault("use_calibration", use_calibration)
         margs.setdefault("train_ratio", train_ratio)
+        tiny = str(margs.pop("tiny", "")).lower() in ("1", "true", "yes")
         pretrained = margs.pop("pretrained", None)
-        if pretrained:
+        if tiny and not pretrained:
+            lm = cls.from_tiny(**margs)
+        elif pretrained:
             lm = cls.from_pretrained(pretrained, msd_model_path, **margs)
         else:
             raise ValueError(

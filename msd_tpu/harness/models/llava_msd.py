@@ -87,6 +87,38 @@ class LlavaMSD:
 
     # ------------------------------------------------------------------
     @classmethod
+    def from_tiny(cls, **kw):
+        """Randomly-initialized tiny stack — lets the harness CLI run
+        end-to-end on any machine (``--model_args tiny=true``)."""
+        from msd_tpu.configs import (ClipVisionConfig, DraftConfig,
+                                     EngineConfig, LlamaConfig, LlavaConfig,
+                                     TreeConfig)
+        from msd_tpu.models import clip_vit as C
+        from msd_tpu.models import draft as draft_mod
+        from msd_tpu.models import llama as L
+        from msd_tpu.models.llava import encode_image, init_projector_params
+
+        tcfg = LlamaConfig.tiny(vocab_size=512, hidden_size=64, layers=2,
+                                heads=4, intermediate_size=128, max_pos=1024)
+        vcfg = ClipVisionConfig.tiny(hidden_size=32, layers=2, heads=4,
+                                     image_size=28, patch_size=14,
+                                     intermediate_size=64)
+        lcfg = LlavaConfig(text=tcfg, vision=vcfg)
+        dcfg = DraftConfig(text=tcfg)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        lp = {"vision": C.init_clip_params(keys[2], vcfg),
+              "projector": init_projector_params(keys[3], lcfg)}
+        eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=64,
+                           tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+        gen = MSDGenerator(L.init_llama_params(keys[0], tcfg),
+                           draft_mod.init_draft_params(keys[1], dcfg),
+                           tcfg, dcfg, eng, n_img=vcfg.num_patches, eos_id=2)
+        enc = jax.jit(lambda px: encode_image(lp, lcfg, px))
+        kw.setdefault("image_size", 28)
+        return cls(gen, SimpleTokenizer(vocab_size=512), enc, **kw)
+
+    # ------------------------------------------------------------------
+    @classmethod
     def from_pretrained(cls, pretrained: str, msd_model_path: str,
                         dtype=jnp.bfloat16, **kw):
         from msd_tpu.calib.token_class import classify_vocab

@@ -214,6 +214,45 @@ def make_freeform_task(name: str, dataset_path=None) -> TaskConfig:
         synthetic_docs=_synth_vqa_docs)
 
 
+def make_anls_task(name: str, dataset_path=None) -> TaskConfig:
+    """DocVQA/InfoVQA-style: ANLS over the answer list."""
+    return TaskConfig(
+        name=name,
+        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question using "
+                               "a single word or phrase."),
+        doc_to_visual=_visual,
+        process_results=lambda d, r: {
+            "anls": M.anls(r[0], d.get("answers", [d.get("answer", "")]))},
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 32, "temperature": 0.0},
+        metric_names=("anls",),
+        synthetic_docs=_synth_vqa_docs)
+
+
+def make_yesno_task(name: str, dataset_path=None) -> TaskConfig:
+    """POPE-style binary hallucination probe (yes/no accuracy + yes-rate)."""
+    def _res(d, r):
+        pred = r[0].strip().lower().rstrip(".")
+        pred = "yes" if pred.startswith("yes") else (
+            "no" if pred.startswith("no") else pred)
+        return {"accuracy": 1.0 if pred == d["answer"].lower() else 0.0,
+                "yes_rate": 1.0 if pred == "yes" else 0.0}
+    return TaskConfig(
+        name=name,
+        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question using "
+                               "a single word or phrase."),
+        doc_to_visual=_visual,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 4, "temperature": 0.0},
+        metric_names=("accuracy", "yes_rate"),
+        synthetic_docs=lambda n: [{
+            "question": f"Is there a square in region {i % 3} of the image?",
+            "answer": "yes" if i % 2 == 0 else "no",
+            "image": _synth_image(i),
+        } for i in range(n)])
+
+
 def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     root = dataset_root or os.environ.get("MSD_TPU_DATASETS", "")
 
@@ -227,4 +266,13 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_task("iconqa", make_mc_task("iconqa", p("IconQA")))
     register_task("mathvista", make_freeform_task("mathvista", p("MathVista")))
     register_task("mathverse", make_freeform_task("mathverse", p("MathVerse")))
+    # long-tail lmms-eval tasks the reference harness also exposes
+    register_task("docvqa", make_anls_task("docvqa", p("DocVQA")))
+    register_task("infovqa", make_anls_task("infovqa", p("InfoVQA")))
+    register_task("gqa", make_textvqa(p("GQA")))
+    register_task("pope", make_yesno_task("pope", p("POPE")))
+    register_task("scienceqa_img", make_mc_task("scienceqa_img",
+                                                p("ScienceQA")))
+    register_task("mmbench_en", make_mc_task("mmbench_en", p("MMBench")))
+    register_task("ocrbench", make_freeform_task("ocrbench", p("OCRBench")))
     register_task("synthetic_vqa", make_chartqa(None))

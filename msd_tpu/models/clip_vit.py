@@ -160,3 +160,36 @@ def params_from_hf_clip(state: Dict, cfg: ClipVisionConfig,
         "pre_ln_b": jnp.asarray(get("pre_layrnorm.bias"), dtype),
         "layers": stacked,
     }
+
+
+def clip_encode_s2(params: Params, cfg: ClipVisionConfig, pixels: jnp.ndarray,
+                   scales) -> jnp.ndarray:
+    """S2 multi-scale encoding (CLIPVisionTowerS2, clip_encoder.py:92-147;
+    public scaling_on_scales recipe).
+
+    pixels: [3, S_max, S_max] at the LARGEST scale. For each scale s the image
+    is resized to s x s, split into (s/base)^2 base-size tiles (each tower
+    call sees base x base — no pos-embed interpolation), tile feature grids
+    are reassembled spatially and area-pooled back to the base grid, and the
+    per-scale features are concatenated channel-wise:
+    output [num_patches, hidden * len(scales)].
+    """
+    base = cfg.image_size
+    g = base // cfg.patch_size  # base feature grid side
+    outs = []
+    for s in sorted(scales):
+        k = s // base
+        assert k * base == s, f"scale {s} must be a multiple of base {base}"
+        img = pixels if s == pixels.shape[-1] else jax.image.resize(
+            pixels, (3, s, s), method="linear")
+        # [3, k*base, k*base] -> [k*k, 3, base, base] row-major tiles
+        tiles = img.reshape(3, k, base, k, base).transpose(1, 3, 0, 2, 4)
+        tiles = tiles.reshape(k * k, 3, base, base)
+        feats = jax.vmap(lambda t: clip_encode(params, cfg, t))(tiles)
+        # reassemble [k,k,g,g,H] -> [k*g, k*g, H], then area-pool to [g,g,H]
+        H = feats.shape[-1]
+        grid = feats.reshape(k, k, g, g, H).transpose(0, 2, 1, 3, 4)
+        grid = grid.reshape(k * g, k * g, H)
+        pooled = grid.reshape(g, k, g, k, H).mean(axis=(1, 3))
+        outs.append(pooled.reshape(g * g, H))
+    return jnp.concatenate(outs, axis=-1)

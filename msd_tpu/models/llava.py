@@ -27,7 +27,7 @@ Params = Dict
 
 
 def init_projector_params(key, cfg: LlavaConfig, dtype=jnp.float32) -> Params:
-    vh, th = cfg.vision.hidden_size, cfg.text.hidden_size
+    vh, th = cfg.mm_hidden_size, cfg.text.hidden_size
     k1, k2 = jax.random.split(key)
     s1, s2 = vh ** -0.5, th ** -0.5
     return {
@@ -47,8 +47,17 @@ def projector_apply(params: Params, feats: jnp.ndarray) -> jnp.ndarray:
 
 def encode_image(llava_params: Params, cfg: LlavaConfig,
                  pixels: jnp.ndarray) -> jnp.ndarray:
-    """[3, H, W] -> projected image tokens [n_img, text_hidden]."""
-    feats = clip_encode(llava_params["vision"], cfg.vision, pixels)
+    """[3, H, W] -> projected image tokens [n_img, text_hidden].
+
+    With cfg.s2_scales set, pixels must be at the largest scale and features
+    are multi-scale-concatenated (clip_encoder.py:92-147) before projection.
+    """
+    if cfg.s2_scales:
+        from msd_tpu.models.clip_vit import clip_encode_s2
+        feats = clip_encode_s2(llava_params["vision"], cfg.vision, pixels,
+                               cfg.s2_scales)
+    else:
+        feats = clip_encode(llava_params["vision"], cfg.vision, pixels)
     return projector_apply(llava_params["projector"], feats)
 
 

@@ -204,3 +204,23 @@ def test_anyres_utilities():
     out = process_anyres_image(img, image_size=336)
     assert out.ndim == 4 and out.shape[1:] == (3, 336, 336)
     assert out.shape[0] >= 2  # global view + tiles
+
+
+def test_longtail_tasks_registered_and_run():
+    from msd_tpu.harness.registry import get_task
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for name in ("docvqa", "infovqa", "gqa", "pope", "scienceqa_img",
+                 "mmbench_en", "ocrbench"):
+        task = get_task(name)
+        docs = task.load_docs(limit=4)
+        assert len(docs) == 4
+        reqs = task.build_requests(docs)
+        assert len(reqs) == 4
+    pope = get_task("pope")
+    docs = pope.load_docs(limit=2)
+    res = pope.process_results(docs[0], ["Yes, it is."])
+    assert res["accuracy"] == 1.0 and res["yes_rate"] == 1.0
+    dv = get_task("docvqa")
+    d = dv.load_docs(limit=1)[0]
+    assert 0.0 <= dv.process_results(d, [d.get("answer", "x")])["anls"] <= 1.0

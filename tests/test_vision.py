@@ -88,3 +88,36 @@ def test_multimodal_greedy_losslessness(mm_gen):
         np.testing.assert_array_equal(msd.tokens, ar.tokens,
                                       err_msg=f"mm trial {trial}")
         assert msd.accept_steps > 0
+
+
+def test_s2_multiscale_encode():
+    """S2: single-scale s2 == plain encode; two scales concat channels and
+    keep the base token count; end-to-end encode_image projects the concat."""
+    import jax
+    import jax.numpy as jnp
+    from msd_tpu.configs import ClipVisionConfig, LlamaConfig, LlavaConfig
+    from msd_tpu.models.clip_vit import (clip_encode, clip_encode_s2,
+                                         init_clip_params)
+    from msd_tpu.models.llava import encode_image, init_projector_params
+
+    vcfg = ClipVisionConfig.tiny(image_size=28, patch_size=14)
+    params = init_clip_params(jax.random.PRNGKey(0), vcfg)
+    px = jax.random.normal(jax.random.PRNGKey(1), (3, 28, 28), jnp.float32)
+
+    one = clip_encode_s2(params, vcfg, px, (28,))
+    ref = clip_encode(params, vcfg, px)
+    assert jnp.allclose(one, ref, atol=1e-5)
+
+    px_big = jax.random.normal(jax.random.PRNGKey(2), (3, 56, 56), jnp.float32)
+    two = clip_encode_s2(params, vcfg, px_big, (28, 56))
+    assert two.shape == (vcfg.num_patches, 2 * vcfg.hidden_size)
+    # low-res half must equal encoding the resized base image directly
+    small = jax.image.resize(px_big, (3, 28, 28), method="linear")
+    assert jnp.allclose(two[:, :vcfg.hidden_size],
+                        clip_encode(params, vcfg, small), atol=1e-5)
+
+    lcfg = LlavaConfig(text=LlamaConfig.tiny(), vision=vcfg, s2_scales=(28, 56))
+    lp = {"vision": params,
+          "projector": init_projector_params(jax.random.PRNGKey(3), lcfg)}
+    toks = encode_image(lp, lcfg, px_big)
+    assert toks.shape == (vcfg.num_patches, lcfg.text.hidden_size)
