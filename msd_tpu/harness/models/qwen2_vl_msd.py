@@ -129,3 +129,15 @@ class Qwen2VLMSD:
         return {"avg_accept_len": self.total_accept_len / steps,
                 "accept_steps": self.total_accept_steps,
                 "accept_len": self.total_accept_len}
+
+
+@register_model("qwen_vl_eagle")
+class QwenVLEagle(Qwen2VLMSD):
+    """Legacy-name adapter (reference models/qwen_vl_eagle.py:29-384, naive
+    generate only at :308). The v1 Qwen-VL resampler tower is superseded by
+    Qwen2-VL; this adapter keeps the harness model name and the legacy
+    behavior (autoregressive generation, MSD off) over the modern stack."""
+
+    def __init__(self, *a, **kw):
+        kw["use_msd"] = False
+        super().__init__(*a, **kw)

@@ -224,3 +224,11 @@ def test_longtail_tasks_registered_and_run():
     dv = get_task("docvqa")
     d = dv.load_docs(limit=1)[0]
     assert 0.0 <= dv.process_results(d, [d.get("answer", "x")])["anls"] <= 1.0
+
+
+def test_qwen_vl_eagle_legacy_adapter():
+    from msd_tpu.harness.registry import get_model
+    import msd_tpu.harness.models  # noqa: F401
+    from msd_tpu.harness.models.qwen2_vl_msd import Qwen2VLMSD, QwenVLEagle
+    assert get_model("qwen_vl_eagle") is QwenVLEagle
+    assert issubclass(QwenVLEagle, Qwen2VLMSD)
