@@ -222,6 +222,54 @@ class MSDGenerator:
                 alpha_hist=np.asarray(state.alpha_hist[b])))
         return results
 
+    def generate_stream(self, ids: np.ndarray,
+                        img_feats: Optional[jnp.ndarray] = None,
+                        max_new_tokens: Optional[int] = None, seed: int = 0,
+                        sp: Optional[SamplingParams] = None,
+                        segment: int = 16, img_grid=None):
+        """Streaming MSD generation: yields np.int32 arrays of newly
+        committed tokens every ~`segment` tokens.
+
+        Built on decode_until (spec_engine): the prefill program runs once,
+        then each segment is one XLA program invocation bounded by a traced
+        `stop_at` scalar — one compile serves all segments and every token
+        is identical to a non-streaming generate() with the same seed.
+        Final acceptance stats land in self.last_stream_stats.
+        """
+        ids = np.asarray(ids, np.int32)
+        sp = sp if sp is not None else self.sp
+        max_new = max_new_tokens or self.eng.max_new_tokens
+        st = self._statics(max_new, sp)
+        padded_np = self._pad(ids)
+        padded = jnp.asarray(padded_np)
+        key = jax.random.PRNGKey(seed)
+        if self.image_mode == "inline":
+            pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
+            state = SE.qwen_prefill(st, self.params, padded,
+                                    jnp.int32(len(ids)), img_feats,
+                                    jnp.int32(self._img_pos(ids)), pos3,
+                                    jnp.int32(delta), key)
+        else:
+            state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
+                               img_feats, jnp.int32(self._img_pos(ids)), key)
+        e0 = len(ids) + (max(self.n_img - 1, 0)
+                         if self.image_mode == "expand"
+                         and img_feats is not None else 0)
+        emitted, target = 0, 0
+        while True:
+            target += segment
+            state = SE.decode_until(st, self.params, state, jnp.int32(target))
+            cur = int(state.cur_len)
+            out = _trim(np.asarray(state.ids[e0:cur + 1]), self.eos_id,
+                        max_new)
+            if len(out) > emitted:
+                yield out[emitted:]
+                emitted = len(out)
+            if bool(state.done):
+                break
+        self.last_stream_stats = {"accept_steps": int(state.steps),
+                                  "accept_len_sum": int(state.acc_sum)}
+
     def naive_generate(self, ids: np.ndarray,
                        img_feats: Optional[jnp.ndarray] = None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,

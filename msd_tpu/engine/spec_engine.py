@@ -638,13 +638,8 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
         pos_delta=jnp.int32(0), attn_feat=attn_feat, calib_log=calib_log)
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
-    """The speculative decode loop — one XLA while_loop, zero host syncs."""
-    cos_t, sin_t = params["cos_t"], params["sin_t"]
-
-    def cond(s: EngineState):
-        return ~s.done
+def _decode_body(st: Statics, params: Dict, cos_t, sin_t):
+    """One verify-step body shared by decode / decode_until."""
 
     def body(s: EngineState) -> EngineState:
         last_hidden, dkv, dlen, attn_feat = _draft_suffix_forward(
@@ -663,10 +658,41 @@ def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
                                                    acc_len))
         return _commit(st, s, tr, hidden, tkv, best, acc_len, next_tok)
 
-    state = jax.lax.while_loop(cond, body, state)
+    return body
+
+
+def _surface_bonus(state: EngineState) -> EngineState:
     # surface the final pending token so hosts can read ids[:cur_len+1]
-    ids = jax.lax.dynamic_update_slice(state.ids, state.bonus[None], (state.cur_len,))
+    # (a subsequent decode/decode_until call overwrites this slot at commit)
+    ids = jax.lax.dynamic_update_slice(state.ids, state.bonus[None],
+                                       (state.cur_len,))
     return state._replace(ids=ids)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def decode(st: Statics, params: Dict, state: EngineState) -> EngineState:
+    """The speculative decode loop — one XLA while_loop, zero host syncs."""
+    body = _decode_body(st, params, params["cos_t"], params["sin_t"])
+    state = jax.lax.while_loop(lambda s: ~s.done, body, state)
+    return _surface_bonus(state)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def decode_until(st: Statics, params: Dict, state: EngineState,
+                 stop_at: jnp.ndarray) -> EngineState:
+    """Decode segment: run until `new_tokens >= stop_at` (traced scalar) or
+    the overall stop condition in state.done (eos / max_new / cache limit).
+
+    Streaming = repeated decode_until calls with growing stop_at; one compile
+    serves every segment. Identical results to a single decode() because the
+    body and all state transitions are shared; the only cost is one host
+    sync per segment (the reference streams per token because its loop is
+    eager, ea_model.py; ours is one XLA program per segment).
+    """
+    body = _decode_body(st, params, params["cos_t"], params["sin_t"])
+    state = jax.lax.while_loop(
+        lambda s: (~s.done) & (s.new_tokens < stop_at), body, state)
+    return _surface_bonus(state)
 
 
 

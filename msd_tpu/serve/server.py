@@ -3,12 +3,22 @@
 The reference ships a controller/worker/gradio demo stack
 (LLaVA/llava/serve/*, ~1.4k LoC of fastapi+gradio, marked out-of-scope by
 SURVEY §2.4). This is the TPU-native equivalent surface: one worker thread
-owns the chip (requests are serialized — the engine is bs=1 like the
-reference), stdlib-only HTTP front end.
+owns the chip, stdlib-only HTTP front end, with two scheduling upgrades over
+the reference's one-request-at-a-time worker:
 
-  POST /generate   {"prompt": str, "image_b64"?: str, "max_new_tokens"?: int,
-                    "temperature"?: float, "use_msd"?: bool}
-  GET  /health     {"status": "ok", "stats": {...}}
+- micro-batching: compatible queued /generate requests (same sampling
+  params/limits) are served together through the vmapped batch program
+  (generator.generate_batch) — throughput scales with queue depth.
+- streaming: /generate_stream emits newline-delimited JSON chunks, backed by
+  segment-bounded decode programs (spec_engine.decode_until), token-identical
+  to the non-streaming path.
+
+  POST /generate        {"prompt": str, "image_b64"?: str,
+                         "max_new_tokens"?: int, "temperature"?: float,
+                         "top_p"?: float, "use_msd"?: bool}
+  POST /generate_stream same body; response is chunked JSONL:
+                        {"text": "..."} per segment, {"done": true, ...} last
+  GET  /health          {"status": "ok", ...}
 
 Run: python -m msd_tpu.serve.server --pretrained ... --msd_model_path ...
 (or serve_forever(adapter, port) with a constructed adapter for tests).
@@ -25,35 +35,34 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+MAX_MICROBATCH = 8
+
 
 class _Work:
-    def __init__(self, payload):
+    def __init__(self, payload, stream: bool = False):
         self.payload = payload
+        self.stream = stream
         self.done = threading.Event()
         self.result = None
         self.error: Optional[str] = None
+        # streaming works receive text chunks here; None terminates
+        self.chunks: "queue.Queue" = queue.Queue() if stream else None
 
 
 class EngineWorker(threading.Thread):
-    """Single thread owning the generator; serializes chip access."""
+    """Single thread owning the generator; serializes chip access and
+    micro-batches compatible queued requests."""
 
     def __init__(self, adapter):
         super().__init__(daemon=True)
         self.adapter = adapter
         self.q: "queue.Queue[_Work]" = queue.Queue()
         self.served = 0
+        self.batches = 0
 
-    def run(self):
-        while True:
-            w = self.q.get()
-            try:
-                w.result = self._handle(w.payload)
-                self.served += 1
-            except Exception as e:  # surfaced to the client
-                w.error = f"{type(e).__name__}: {e}"
-            w.done.set()
-
-    def _handle(self, p):
+    # -- request prep -------------------------------------------------
+    def _prep(self, p):
+        """payload -> (ids, feats, sp, max_new, use_msd)."""
         import numpy as np
         import jax.numpy as jnp
 
@@ -76,24 +85,126 @@ class EngineWorker(threading.Thread):
         sp = SamplingParams(temperature=float(p.get("temperature", 0.0)),
                             top_p=float(p.get("top_p", 1.0)))
         max_new = int(p.get("max_new_tokens", 256))
-        t0 = time.time()
         use_msd = bool(p.get("use_msd", True)) and adapter.use_msd
-        fn = adapter.gen.generate if use_msd else adapter.gen.naive_generate
-        r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp)
-        dt = time.time() - t0
-        text = adapter.tokenizer.decode(list(r.tokens),
-                                        skip_special_tokens=True)
+        return ids, feats, sp, max_new, use_msd
+
+    @staticmethod
+    def _batch_key(p):
+        return (float(p.get("temperature", 0.0)), float(p.get("top_p", 1.0)),
+                int(p.get("max_new_tokens", 256)),
+                bool(p.get("use_msd", True)), bool(p.get("image_b64")))
+
+    def _drain_compatible(self, first: _Work):
+        """Pull queued non-streaming works sharing first's batch key."""
+        group, leftover = [first], []
+        key = self._batch_key(first.payload)
+        while len(group) < MAX_MICROBATCH:
+            try:
+                w = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if (not w.stream) and self._batch_key(w.payload) == key:
+                group.append(w)
+            else:
+                leftover.append(w)
+        for w in leftover:  # preserve arrival order for incompatible works
+            self.q.put(w)
+        return group
+
+    # -- main loop ----------------------------------------------------
+    def run(self):
+        while True:
+            w = self.q.get()
+            batchable = ((not w.stream)
+                         and getattr(self.adapter.gen, "image_mode",
+                                     "expand") == "expand"
+                         and bool(w.payload.get("use_msd", True))
+                         and self.adapter.use_msd)
+            group = self._drain_compatible(w) if batchable else [w]
+            try:
+                if len(group) > 1:
+                    self._handle_group(group)
+                elif w.stream:
+                    self._handle_stream(w)
+                    self.served += 1
+                else:
+                    w.result = self._handle(w.payload)
+                    self.served += 1
+                    w.done.set()
+            except Exception as e:  # surfaced to the client(s)
+                for g in group:
+                    g.error = f"{type(e).__name__}: {e}"
+                    if g.chunks is not None:
+                        g.chunks.put(None)
+                    g.done.set()
+
+    def _decode_result(self, tokens, dt, r=None):
+        text = self.adapter.tokenizer.decode(list(tokens),
+                                             skip_special_tokens=True)
         return {
             "text": text.strip(),
-            "tokens_generated": int(len(r.tokens)),
+            "tokens_generated": int(len(tokens)),
             "seconds": dt,
-            "tokens_per_second": len(r.tokens) / max(dt, 1e-9),
+            "tokens_per_second": len(tokens) / max(dt, 1e-9),
             "avg_accept_len": getattr(r, "avg_accept_len", None),
         }
+
+    def _handle(self, p):
+        ids, feats, sp, max_new, use_msd = self._prep(p)
+        t0 = time.time()
+        fn = (self.adapter.gen.generate if use_msd
+              else self.adapter.gen.naive_generate)
+        r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp)
+        return self._decode_result(r.tokens, time.time() - t0, r)
+
+    def _handle_group(self, group):
+        """Serve compatible requests through one vmapped batch program."""
+        preps = [self._prep(g.payload) for g in group]
+        ids_list = [pr[0] for pr in preps]
+        feats_list = ([pr[1] for pr in preps]
+                      if preps[0][1] is not None else None)
+        _, _, sp, max_new, _ = preps[0]
+        t0 = time.time()
+        rs = self.adapter.gen.generate_batch(ids_list, feats_list,
+                                             max_new_tokens=max_new, sp=sp)
+        dt = time.time() - t0
+        self.batches += 1
+        for g, r in zip(group, rs):
+            g.result = self._decode_result(r.tokens, dt, r)
+            g.result["batch_size"] = len(group)
+            self.served += 1
+            g.done.set()
+
+    def _handle_stream(self, w):
+        ids, feats, sp, max_new, use_msd = self._prep(w.payload)
+        gen = self.adapter.gen
+        t0 = time.time()
+        n = 0
+        if use_msd:
+            for chunk in gen.generate_stream(ids, img_feats=feats,
+                                             max_new_tokens=max_new, sp=sp,
+                                             segment=int(w.payload.get(
+                                                 "segment", 16))):
+                n += len(chunk)
+                w.chunks.put(self.adapter.tokenizer.decode(
+                    list(chunk), skip_special_tokens=True))
+        else:  # AR path has no segment program; emit in one chunk
+            r = gen.naive_generate(ids, img_feats=feats,
+                                   max_new_tokens=max_new, sp=sp)
+            n = len(r.tokens)
+            w.chunks.put(self.adapter.tokenizer.decode(
+                list(r.tokens), skip_special_tokens=True))
+        dt = time.time() - t0
+        w.result = {"done": True, "tokens_generated": n, "seconds": dt,
+                    "tokens_per_second": n / max(dt, 1e-9)}
+        w.chunks.put(None)
+        w.done.set()
 
 
 def make_handler(worker: EngineWorker):
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):
             pass
 
@@ -109,29 +220,63 @@ def make_handler(worker: EngineWorker):
             if self.path == "/health":
                 self._send(200, {"status": "ok",
                                  "served": worker.served,
+                                 "batches": worker.batches,
                                  "queued": worker.q.qsize()})
             else:
                 self._send(404, {"error": "unknown path"})
 
+        def _read_payload(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
         def do_POST(self):
-            if self.path != "/generate":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(n) or b"{}")
-                if "prompt" not in payload:
-                    self._send(400, {"error": "missing 'prompt'"})
-                    return
-                w = _Work(payload)
-                worker.q.put(w)
-                w.done.wait()
-                if w.error:
-                    self._send(500, {"error": w.error})
+                if self.path == "/generate":
+                    payload = self._read_payload()
+                    if "prompt" not in payload:
+                        self._send(400, {"error": "missing 'prompt'"})
+                        return
+                    w = _Work(payload)
+                    worker.q.put(w)
+                    w.done.wait()
+                    if w.error:
+                        self._send(500, {"error": w.error})
+                    else:
+                        self._send(200, w.result)
+                elif self.path == "/generate_stream":
+                    payload = self._read_payload()
+                    if "prompt" not in payload:
+                        self._send(400, {"error": "missing 'prompt'"})
+                        return
+                    w = _Work(payload, stream=True)
+                    worker.q.put(w)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/jsonl")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def emit(obj):
+                        line = (json.dumps(obj) + "\n").encode()
+                        self.wfile.write(f"{len(line):x}\r\n".encode()
+                                         + line + b"\r\n")
+
+                    while True:
+                        chunk = w.chunks.get()
+                        if chunk is None:
+                            break
+                        emit({"text": chunk})
+                    if w.error:
+                        emit({"error": w.error})
+                    elif w.result:
+                        emit(w.result)
+                    self.wfile.write(b"0\r\n\r\n")
                 else:
-                    self._send(200, w.result)
+                    self._send(404, {"error": "unknown path"})
             except Exception as e:
-                self._send(500, {"error": str(e)})
+                try:
+                    self._send(500, {"error": str(e)})
+                except Exception:
+                    pass
 
     return Handler
 

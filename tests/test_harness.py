@@ -232,3 +232,55 @@ def test_qwen_vl_eagle_legacy_adapter():
     from msd_tpu.harness.models.qwen2_vl_msd import Qwen2VLMSD, QwenVLEagle
     assert get_model("qwen_vl_eagle") is QwenVLEagle
     assert issubclass(QwenVLEagle, Qwen2VLMSD)
+
+
+def test_http_server_stream_and_microbatch(tiny_adapter_parts):
+    """/generate_stream emits JSONL chunks; concurrent compatible requests
+    get micro-batched through the vmapped program (batch_size > 1)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from msd_tpu.serve.server import serve_forever
+
+    lm = tiny_adapter_parts()
+    httpd = serve_forever(lm, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate_stream",
+            data=_json.dumps({"prompt": "hello", "max_new_tokens": 24,
+                              "segment": 4}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = []
+        with urllib.request.urlopen(req, timeout=300) as r:
+            for line in r:
+                lines.append(_json.loads(line))
+        assert lines[-1].get("done") is True
+        texts = [l["text"] for l in lines if "text" in l]
+        assert len(texts) >= 1 and lines[-1]["tokens_generated"] > 0
+
+        # micro-batching: warm the batch program is not needed (jit caches by
+        # shape); fire 3 identical requests concurrently
+        outs = []
+
+        def hit():
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=_json.dumps({"prompt": "count to ten",
+                                  "max_new_tokens": 8}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(rq, timeout=300) as r:
+                outs.append(_json.loads(r.read()))
+
+        ts = [threading.Thread(target=hit) for _ in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(outs) == 3 and all(o["tokens_generated"] > 0 for o in outs)
+        # all were answerable; at least some may have shared a batch
+        assert all(o["text"] == outs[0]["text"] for o in outs)
+    finally:
+        httpd.shutdown()

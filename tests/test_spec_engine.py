@@ -228,3 +228,19 @@ def test_batched_generation_matches_single(gen):
     for s, b in zip(singles, batch):
         np.testing.assert_array_equal(b.tokens, s.tokens)
         assert b.accept_steps == s.accept_steps
+
+
+def test_streaming_matches_oneshot(gen):
+    """generate_stream segments concatenate to exactly generate()'s output,
+    with more than one segment actually produced."""
+    rng = np.random.default_rng(7)
+    for trial in range(2):
+        ids = rng.integers(3, 120, size=rng.integers(5, 25)).astype(np.int32)
+        one = gen.generate(ids, max_new_tokens=40, seed=trial)
+        chunks = list(gen.generate_stream(ids, max_new_tokens=40, seed=trial,
+                                          segment=8))
+        assert len(chunks) >= 2, "expected multiple stream segments"
+        np.testing.assert_array_equal(np.concatenate(chunks), one.tokens)
+        stats = gen.last_stream_stats
+        assert stats["accept_steps"] == one.accept_steps
+        assert stats["accept_len_sum"] == one.accept_len_sum
