@@ -129,3 +129,18 @@ def test_qwen_textonly_msd_lossless(qwen_gen):
     ar = gen.naive_generate(ids, max_new_tokens=16)
     msd = gen.generate(ids, max_new_tokens=16)
     np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_qwen_inline_streaming_matches_oneshot(qwen_gen):
+    """generate_stream over the inline (mrope) image path == generate()."""
+    gen, n_img, lc = qwen_gen
+    rng = np.random.default_rng(3)
+    ids = rng.integers(3, 500, size=15).astype(np.int32)
+    ids[4:4 + n_img] = IMAGE_PAD_ID
+    feats = jnp.asarray(rng.normal(size=(n_img, lc.hidden_size)) * 0.1,
+                        jnp.float32)
+    grid = (2, 3)
+    one = gen.generate(ids, img_feats=feats, max_new_tokens=24, img_grid=grid)
+    chunks = list(gen.generate_stream(ids, img_feats=feats, max_new_tokens=24,
+                                      segment=6, img_grid=grid))
+    np.testing.assert_array_equal(np.concatenate(chunks), one.tokens)
