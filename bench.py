@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=0)
     ap.add_argument("--distill-prompts", type=int, default=6)
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--tree-nodes", type=int, default=128,
+                    help="-1 = autotune (the reference's total_token=-1)")
     args = ap.parse_args()
 
     import os
@@ -101,9 +103,14 @@ def main():
         ((args.prompt_tokens + (575 if n_img else 0) + args.max_new
           + 128 + 16 + 127) // 128) * 128)
     log(f"max_seq_len={max_seq}, image={bool(n_img)}")
+    nodes = args.tree_nodes if args.tree_nodes > 0 else 128
     eng = EngineConfig(max_seq_len=max_seq, prompt_pad_multiple=128,
-                       tree=TreeConfig(top_k=10, max_depth=10, num_nodes=128))
+                       tree=TreeConfig(top_k=10, max_depth=10,
+                                       num_nodes=nodes))
     gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
+    if args.tree_nodes == -1:
+        gen.autotune_tree(log=log)
+        log(f"autotuned tree nodes={gen.eng.tree.num_nodes}")
 
     rng = np.random.default_rng(0)
     ids = rng.integers(3, 31000, size=args.prompt_tokens).astype(np.int32)
@@ -236,7 +243,7 @@ def main():
             "greedy_lossless_vs_ar": lossless,
             "measured_speedup": round(speedup_measured, 3),
             "distill_steps": args.distill_steps,
-            "tree_nodes": eng.tree.num_nodes,
+            "tree_nodes": gen.eng.tree.num_nodes,
             "image_tokens": n_img,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
         },

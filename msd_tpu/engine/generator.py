@@ -68,6 +68,20 @@ class MSDGenerator:
                           use_calibration=use_calibration,
                           collect_calibration=collect_calibration)
 
+    def autotune_tree(self, candidates=(40, 48, 50, 56, 60, 96, 128),
+                      log=None) -> None:
+        """The reference's ``total_token = -1`` surface (ea_model.py:156-179):
+        time the verify forward at each candidate budget on the current
+        hardware and adopt the best tree. Subsequent generate() calls compile
+        against the tuned budget."""
+        import dataclasses
+
+        from msd_tpu.engine.autotune import autotune_total_token
+
+        tree = autotune_total_token(self.params["target"], self.tcfg,
+                                    self.eng, candidates=candidates, log=log)
+        self.eng = dataclasses.replace(self.eng, tree=tree)
+
     def set_calibrator(self, tables) -> None:
         """Install device CalibTables (msd_tpu.calib.device.CalibTables)."""
         self.params = dict(self.params)

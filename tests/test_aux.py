@@ -170,3 +170,16 @@ def test_native_image_prep_matches_pil():
         process_image(img, image_size=336, use_native=True)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_pil  # native must actually be faster
+
+
+def test_generator_autotune_tree():
+    """total_token=-1 analog reachable from the generator surface."""
+    import numpy as np
+    from tests.test_spec_engine import make_gen
+    gen = make_gen()
+    gen.autotune_tree(candidates=(8, 12))
+    assert gen.eng.tree.num_nodes in (8, 12)
+    r = gen.generate(np.arange(3, 10, dtype=np.int32), max_new_tokens=8)
+    ar = gen.naive_generate(np.arange(3, 10, dtype=np.int32),
+                            max_new_tokens=8)
+    np.testing.assert_array_equal(r.tokens, ar.tokens)
