@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 MAX_CALIB_LOGIT = 3.0

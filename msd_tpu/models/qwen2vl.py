@@ -21,7 +21,6 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from msd_tpu.configs import LlamaConfig

@@ -19,7 +19,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from msd_tpu.configs import IMAGE_TOKEN_INDEX, LlamaConfig
