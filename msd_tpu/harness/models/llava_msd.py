@@ -120,7 +120,7 @@ class LlavaMSD:
     # ------------------------------------------------------------------
     @classmethod
     def from_pretrained(cls, pretrained: str, msd_model_path: str,
-                        dtype=jnp.bfloat16, **kw):
+                        dtype=jnp.bfloat16, eng=None, **kw):
         from msd_tpu.calib.token_class import classify_vocab
         from msd_tpu.configs import EngineConfig
         from msd_tpu.models.llava import encode_image
@@ -136,7 +136,7 @@ class LlavaMSD:
         draft, dcfg = load_draft(msd_model_path, lcfg.text,
                                  base_embed=params["target"]["embed_tokens"],
                                  dtype=dtype)
-        eng = EngineConfig()
+        eng = eng or EngineConfig()
         gen = MSDGenerator(params["target"], draft, lcfg.text, dcfg, eng,
                            n_img=lcfg.num_image_tokens,
                            eos_id=tokenizer.eos_token_id)

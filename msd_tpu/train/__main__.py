@@ -12,6 +12,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+
+# honor an explicit cpu request before jax backend init (the preinstalled
+# axon TPU plugin ignores JAX_PLATFORMS and hangs if its tunnel is down)
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def main(argv=None):
@@ -67,7 +77,13 @@ def main(argv=None):
         from msd_tpu.train.data_gen import generate_dataset
 
         params, lcfg = load_llava(args.basepath, jnp.bfloat16)
-        tokenizer = AutoTokenizer.from_pretrained(args.basepath)
+        try:
+            tokenizer = AutoTokenizer.from_pretrained(args.basepath)
+            if tokenizer.vocab_size > lcfg.text.vocab_size:
+                raise ValueError("tokenizer/model vocab mismatch")
+        except Exception:  # checkpoint dir without usable tokenizer files
+            from msd_tpu.harness.models.llava_msd import SimpleTokenizer
+            tokenizer = SimpleTokenizer(vocab_size=lcfg.text.vocab_size)
         with open(args.data) as f:
             raw = json.load(f)
         # LLaVA-instruct format: conversations [{from: human/gpt, value}, ...]

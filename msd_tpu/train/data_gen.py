@@ -193,6 +193,16 @@ def generate_dataset(params: Dict, cfg: LlamaConfig, tokenizer,
         rec = make_training_record(params, cfg, tokenizer, s["turns"],
                                    img_feats=feats, n_img=n_img if feats
                                    is not None else 0, pad_to=pad_to)
+        if float(rec["loss_mask"].sum()) == 0.0:
+            # answer span truncated away by pad_to — useless record
+            print(f"generate_dataset: skipping sample {i} "
+                  f"(empty loss mask at pad_to={pad_to})")
+            continue
+        # bf16 teacher states have no numpy dtype; store as float32
+        rec = {k: (np.asarray(v, np.float32)
+                   if getattr(v, "dtype", None) is not None
+                   and v.dtype.kind not in "biuf" else v)
+               for k, v in rec.items()}
         np.savez(os.path.join(out_dir, f"rec_{i:06d}.npz"), **rec)
         n += 1
     return n

@@ -58,6 +58,26 @@ def llama_config_from_json(path: str) -> LlamaConfig:
     )
 
 
+def clip_config_from_state(vis_state: Dict[str, np.ndarray],
+                           heads: Optional[int] = None) -> ClipVisionConfig:
+    """Infer the CLIP tower config from weight shapes (prefix-stripped state
+    with ``vision_model.*`` keys). Head count is not recoverable from shapes;
+    defaults to hidden//64 (CLIP's fixed 64-dim heads)."""
+    pe = vis_state["vision_model.embeddings.patch_embedding.weight"]
+    hidden, _, patch, _ = pe.shape
+    npos = vis_state["vision_model.embeddings.position_embedding.weight"].shape[0]
+    grid = int(round((npos - 1) ** 0.5))
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in vis_state
+        if k.startswith("vision_model.encoder.layers."))
+    inter = vis_state["vision_model.encoder.layers.0.mlp.fc1.weight"].shape[0]
+    return ClipVisionConfig(
+        hidden_size=int(hidden), intermediate_size=int(inter),
+        num_hidden_layers=n_layers,
+        num_attention_heads=heads or max(1, hidden // 64),
+        image_size=grid * patch, patch_size=int(patch))
+
+
 def load_llava(path: str, dtype=jnp.bfloat16
                ) -> Tuple[Dict, LlavaConfig]:
     """Load a local LLaVA-1.5 checkpoint dir -> {target, vision, projector}.
@@ -73,8 +93,6 @@ def load_llava(path: str, dtype=jnp.bfloat16
 
     state = _load_state(path)
     tcfg = llama_config_from_json(path)
-    vcfg = ClipVisionConfig()
-    lcfg = LlavaConfig(text=tcfg, vision=vcfg)
 
     target = params_from_hf(state, tcfg, prefix="model.", dtype=dtype)
     projector = params_from_hf_projector(state, dtype=dtype)
@@ -83,18 +101,19 @@ def load_llava(path: str, dtype=jnp.bfloat16
     if any(k.startswith(tower_prefix) for k in state):
         vis_state = {k[len("model.vision_tower.vision_tower."):]: v
                      for k, v in state.items() if k.startswith(tower_prefix)}
-        vision = params_from_hf_clip(vis_state, vcfg, dtype=dtype)
     else:
         # separate CLIP checkpoint (openai/clip-vit-large-patch14-336 layout)
         with open(os.path.join(path, "config.json")) as f:
             tower_path = json.load(f).get("mm_vision_tower")
         if tower_path and os.path.isdir(tower_path):
             vis_state = _load_state(tower_path)
-            vision = params_from_hf_clip(vis_state, vcfg, dtype=dtype)
         else:
             raise FileNotFoundError(
                 "vision tower weights not found in checkpoint; set "
                 "mm_vision_tower in config.json to a local CLIP dir")
+    vcfg = clip_config_from_state(vis_state)
+    lcfg = LlavaConfig(text=tcfg, vision=vcfg)
+    vision = params_from_hf_clip(vis_state, vcfg, dtype=dtype)
 
     return {"target": target, "vision": vision, "projector": projector}, lcfg
 

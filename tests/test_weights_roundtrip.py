@@ -1,0 +1,161 @@
+"""End-to-end checkpoint surface: a synthetic HF-layout LLaVA checkpoint on
+disk -> load_llava / LlavaMSD.from_pretrained -> generation, plus the
+training CLI (gen-data + fit) against the same checkpoint.
+
+This exercises the exact file formats the reference consumes
+(LLaVA/llava/model/builder.py load_pretrained_model key layout;
+EAGLE ea_model.py:116-142 draft layout) without needing real weights.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+H, V, LAYERS, HEADS, INTER = 64, 512, 2, 4, 128
+VH, VP, VIMG, VLAYERS, VINTER = 64, 14, 28, 2, 128
+
+
+def _r(rng, *shape):
+    return (rng.normal(size=shape) * 0.05).astype(np.float32)
+
+
+def make_llava_checkpoint(path, rng):
+    """Write a tiny HF-layout LLaVA dir (embedded vision tower)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    st = {}
+    st["model.embed_tokens.weight"] = _r(rng, V, H)
+    for i in range(LAYERS):
+        p = f"model.layers.{i}."
+        st[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        st[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            st[p + f"self_attn.{nm}.weight"] = _r(rng, H, H)
+        st[p + "mlp.gate_proj.weight"] = _r(rng, INTER, H)
+        st[p + "mlp.up_proj.weight"] = _r(rng, INTER, H)
+        st[p + "mlp.down_proj.weight"] = _r(rng, H, INTER)
+    st["model.norm.weight"] = np.ones(H, np.float32)
+    st["lm_head.weight"] = _r(rng, V, H)
+    st["model.mm_projector.0.weight"] = _r(rng, H, VH)
+    st["model.mm_projector.0.bias"] = np.zeros(H, np.float32)
+    st["model.mm_projector.2.weight"] = _r(rng, H, H)
+    st["model.mm_projector.2.bias"] = np.zeros(H, np.float32)
+
+    vp = "model.vision_tower.vision_tower.vision_model."
+    st[vp + "embeddings.patch_embedding.weight"] = _r(rng, VH, 3, VP, VP)
+    st[vp + "embeddings.class_embedding"] = _r(rng, VH)
+    npos = 1 + (VIMG // VP) ** 2
+    st[vp + "embeddings.position_embedding.weight"] = _r(rng, npos, VH)
+    st[vp + "pre_layrnorm.weight"] = np.ones(VH, np.float32)
+    st[vp + "pre_layrnorm.bias"] = np.zeros(VH, np.float32)
+    for i in range(VLAYERS):
+        p = vp + f"encoder.layers.{i}."
+        for ln in ("layer_norm1", "layer_norm2"):
+            st[p + ln + ".weight"] = np.ones(VH, np.float32)
+            st[p + ln + ".bias"] = np.zeros(VH, np.float32)
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            st[p + f"self_attn.{nm}.weight"] = _r(rng, VH, VH)
+            st[p + f"self_attn.{nm}.bias"] = np.zeros(VH, np.float32)
+        st[p + "mlp.fc1.weight"] = _r(rng, VINTER, VH)
+        st[p + "mlp.fc1.bias"] = np.zeros(VINTER, np.float32)
+        st[p + "mlp.fc2.weight"] = _r(rng, VH, VINTER)
+        st[p + "mlp.fc2.bias"] = np.zeros(VH, np.float32)
+
+    save_file(st, os.path.join(path, "model.safetensors"))
+    cfg = {"vocab_size": V, "hidden_size": H, "intermediate_size": INTER,
+           "num_hidden_layers": LAYERS, "num_attention_heads": HEADS,
+           "max_position_embeddings": 1024}
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+def make_draft_checkpoint(path, rng):
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    st = {"fc.weight": _r(rng, H, 2 * H), "fc.bias": np.zeros(H, np.float32),
+          "layers.0.post_attention_layernorm.weight": np.ones(H, np.float32)}
+    for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        st[f"layers.0.self_attn.{nm}.weight"] = _r(rng, H, H)
+    st["layers.0.mlp.gate_proj.weight"] = _r(rng, INTER, H)
+    st["layers.0.mlp.up_proj.weight"] = _r(rng, INTER, H)
+    st["layers.0.mlp.down_proj.weight"] = _r(rng, H, INTER)
+    save_file(st, os.path.join(path, "model.safetensors"))
+
+
+@pytest.fixture(scope="module")
+def ckpt_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpt")
+    rng = np.random.default_rng(0)
+    make_llava_checkpoint(str(root / "llava"), rng)
+    make_draft_checkpoint(str(root / "draft"), rng)
+    return str(root / "llava"), str(root / "draft")
+
+
+def test_load_llava_infers_vision_config(ckpt_dirs):
+    import jax.numpy as jnp
+    from msd_tpu.utils.weights import load_llava
+
+    params, lcfg = load_llava(ckpt_dirs[0], jnp.float32)
+    assert lcfg.text.hidden_size == H
+    assert lcfg.vision.hidden_size == VH
+    assert lcfg.vision.image_size == VIMG
+    assert lcfg.vision.num_hidden_layers == VLAYERS
+    assert lcfg.num_image_tokens == (VIMG // VP) ** 2
+    assert params["target"]["layers"]["q_proj"].shape == (LAYERS, H, H)
+    assert params["vision"]["patch_embed"].shape == (3 * VP * VP, VH)
+
+
+def test_from_pretrained_generates(ckpt_dirs):
+    """The real checkpoint entry point drives a lossless decode."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from msd_tpu.harness.models.llava_msd import LlavaMSD
+
+    from msd_tpu.configs import EngineConfig, TreeConfig
+
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    lm = LlavaMSD.from_pretrained(ckpt_dirs[0], ckpt_dirs[1],
+                                  dtype=jnp.float32, eng=eng)
+    ids = _np.arange(3, 12, dtype=_np.int32)
+    msd = lm.gen.generate(ids, max_new_tokens=10)
+    ar = lm.gen.naive_generate(ids, max_new_tokens=10)
+    _np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_train_cli_end_to_end(ckpt_dirs, tmp_path):
+    """gen-data + fit subcommands against the synthetic checkpoint."""
+    llava_dir, _ = ckpt_dirs
+    data = [{"conversations": [
+        {"from": "human", "value": f"question {i}"},
+        {"from": "gpt", "value": f"answer {i} with words"}]}
+        for i in range(3)]
+    data_json = tmp_path / "instruct.json"
+    data_json.write_text(json.dumps(data))
+    recs = tmp_path / "recs"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "msd_tpu.train", "gen-data",
+         "--basepath", llava_dir, "--data", str(data_json),
+         "--outdir", str(recs), "--no-image", "--pad-to", "320"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len(list(recs.glob("*.npz"))) == 3
+
+    cp = tmp_path / "cp"
+    r = subprocess.run(
+        [sys.executable, "-m", "msd_tpu.train", "fit",
+         "--basepath", llava_dir, "--tmpdir_t", str(recs),
+         "--cpdir", str(cp), "--epochs", "1", "--bs", "1",
+         "--max-len", "320"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert cp.exists() and any(cp.iterdir())
