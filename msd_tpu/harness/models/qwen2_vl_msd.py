@@ -46,7 +46,7 @@ class Qwen2VLMSD:
 
     @classmethod
     def from_pretrained(cls, pretrained: str, msd_model_path: str,
-                        dtype=None, **kw):
+                        dtype=None, eng=None, **kw):
         import jax
         import jax.numpy as jnp
         from msd_tpu.configs import EngineConfig
@@ -67,7 +67,7 @@ class Qwen2VLMSD:
             tokenizer = SimpleTokenizer(tcfg.vocab_size)
         grid = kw.pop("img_grid", (24, 24))
         n_img = (grid[0] // vcfg.spatial_merge_size) *             (grid[1] // vcfg.spatial_merge_size)
-        gen = MSDGenerator(lm, draft, lc, dcfg, EngineConfig(),
+        gen = MSDGenerator(lm, draft, lc, dcfg, eng or EngineConfig(),
                            n_img=n_img, eos_id=getattr(
                                tokenizer, "eos_token_id", 151645),
                            image_mode="inline",

@@ -74,14 +74,16 @@ def make_llava_checkpoint(path, rng):
         json.dump(cfg, f)
 
 
-def make_draft_checkpoint(path, rng):
+def make_draft_checkpoint(path, rng, kv_dim=H):
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
     st = {"fc.weight": _r(rng, H, 2 * H), "fc.bias": np.zeros(H, np.float32),
           "layers.0.post_attention_layernorm.weight": np.ones(H, np.float32)}
-    for nm in ("q_proj", "k_proj", "v_proj", "o_proj"):
+    for nm in ("q_proj", "o_proj"):
         st[f"layers.0.self_attn.{nm}.weight"] = _r(rng, H, H)
+    for nm in ("k_proj", "v_proj"):
+        st[f"layers.0.self_attn.{nm}.weight"] = _r(rng, kv_dim, H)
     st["layers.0.mlp.gate_proj.weight"] = _r(rng, INTER, H)
     st["layers.0.mlp.up_proj.weight"] = _r(rng, INTER, H)
     st["layers.0.mlp.down_proj.weight"] = _r(rng, H, INTER)
@@ -159,3 +161,98 @@ def test_train_cli_end_to_end(ckpt_dirs, tmp_path):
         capture_output=True, text=True, env=env, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert cp.exists() and any(cp.iterdir())
+
+
+def make_qwen_checkpoint(path, rng):
+    """Tiny HF-layout Qwen2-VL dir (text + visual towers)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    QH, QV, QL, QHEADS, QKV, QI = 64, 512, 2, 4, 2, 128
+    E, DEPTH, VHEADS, MLPR, P, TP, MS = 32, 2, 2, 2.0, 14, 2, 2
+    st = {}
+    st["model.embed_tokens.weight"] = _r(rng, QV, QH)
+    hd = QH // QHEADS
+    for i in range(QL):
+        p = f"model.layers.{i}."
+        st[p + "input_layernorm.weight"] = np.ones(QH, np.float32)
+        st[p + "post_attention_layernorm.weight"] = np.ones(QH, np.float32)
+        st[p + "self_attn.q_proj.weight"] = _r(rng, QH, QH)
+        st[p + "self_attn.q_proj.bias"] = np.zeros(QH, np.float32)
+        for nm in ("k_proj", "v_proj"):
+            st[p + f"self_attn.{nm}.weight"] = _r(rng, QKV * hd, QH)
+            st[p + f"self_attn.{nm}.bias"] = np.zeros(QKV * hd, np.float32)
+        st[p + "self_attn.o_proj.weight"] = _r(rng, QH, QH)
+        st[p + "mlp.gate_proj.weight"] = _r(rng, QI, QH)
+        st[p + "mlp.up_proj.weight"] = _r(rng, QI, QH)
+        st[p + "mlp.down_proj.weight"] = _r(rng, QH, QI)
+    st["model.norm.weight"] = np.ones(QH, np.float32)
+    st["lm_head.weight"] = _r(rng, QV, QH)
+
+    st["visual.patch_embed.proj.weight"] = _r(rng, E, 3, TP, P, P)
+    vmlp = int(E * MLPR)
+    for i in range(DEPTH):
+        p = f"visual.blocks.{i}."
+        for nm in ("norm1", "norm2"):
+            st[p + nm + ".weight"] = np.ones(E, np.float32)
+            st[p + nm + ".bias"] = np.zeros(E, np.float32)
+        st[p + "attn.qkv.weight"] = _r(rng, 3 * E, E)
+        st[p + "attn.qkv.bias"] = np.zeros(3 * E, np.float32)
+        st[p + "attn.proj.weight"] = _r(rng, E, E)
+        st[p + "attn.proj.bias"] = np.zeros(E, np.float32)
+        st[p + "mlp.fc1.weight"] = _r(rng, vmlp, E)
+        st[p + "mlp.fc1.bias"] = np.zeros(vmlp, np.float32)
+        st[p + "mlp.fc2.weight"] = _r(rng, E, vmlp)
+        st[p + "mlp.fc2.bias"] = np.zeros(E, np.float32)
+    merged = E * MS * MS
+    st["visual.merger.ln_q.weight"] = np.ones(E, np.float32)
+    st["visual.merger.ln_q.bias"] = np.zeros(E, np.float32)
+    st["visual.merger.mlp.0.weight"] = _r(rng, merged, merged)
+    st["visual.merger.mlp.0.bias"] = np.zeros(merged, np.float32)
+    st["visual.merger.mlp.2.weight"] = _r(rng, QH, merged)
+    st["visual.merger.mlp.2.bias"] = np.zeros(QH, np.float32)
+    save_file(st, os.path.join(path, "model.safetensors"))
+
+    cfg = {"vocab_size": QV, "hidden_size": QH, "intermediate_size": QI,
+           "num_hidden_layers": QL, "num_attention_heads": QHEADS,
+           "num_key_value_heads": QKV, "rms_norm_eps": 1e-6,
+           "rope_theta": 1e6,
+           "rope_scaling": {"mrope_section": [2, 3, 3]},
+           "vision_config": {"embed_dim": E, "depth": DEPTH,
+                             "num_heads": VHEADS, "mlp_ratio": MLPR,
+                             "patch_size": P, "temporal_patch_size": TP,
+                             "spatial_merge_size": MS}}
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+def test_qwen_from_pretrained_roundtrip(ckpt_dirs, tmp_path_factory):
+    """Synthetic Qwen2-VL checkpoint -> adapter -> vision encode + lossless
+    decode (load_qwen2_vl + Qwen2VLMSD.from_pretrained)."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from msd_tpu.configs import EngineConfig, TreeConfig
+    from msd_tpu.harness.models.qwen2_vl_msd import Qwen2VLMSD
+
+    root = tmp_path_factory.mktemp("qwen_ckpt")
+    rng = np.random.default_rng(1)
+    make_qwen_checkpoint(str(root / "qwen"), rng)
+    make_draft_checkpoint(str(root / "qdraft"), rng, kv_dim=32)
+
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    lm = Qwen2VLMSD.from_pretrained(str(root / "qwen"), str(root / "qdraft"),
+                                    dtype=jnp.float32, eng=eng,
+                                    img_grid=(4, 4))
+    assert lm.gen.n_img == 4  # (4/2)*(4/2) after spatial merge
+
+    # vision path: a 56x56 image (4x4 patch grid) through patch-embed +
+    # blocks + merger -> 4 merged tokens in text hidden size
+    px = jnp.asarray(rng.normal(size=(3, 56, 56)) * 0.05, jnp.float32)
+    feats = lm.encode_image_fn(px)
+    assert feats.shape == (4, 64)
+    toks = _np.arange(3, 12, dtype=_np.int32)
+    msd = lm.gen.generate(toks, max_new_tokens=10)
+    ar = lm.gen.naive_generate(toks, max_new_tokens=10)
+    _np.testing.assert_array_equal(msd.tokens, ar.tokens)
