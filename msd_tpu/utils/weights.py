@@ -58,6 +58,53 @@ def llama_config_from_json(path: str) -> LlamaConfig:
     )
 
 
+def merge_lora_state(state: Dict[str, np.ndarray], lora_path: str,
+                     log=None) -> Dict[str, np.ndarray]:
+    """Merge a PEFT LoRA adapter dir into a flat base state dict.
+
+    Reference flow: builder.load_pretrained_model merges LoRA + applies
+    non_lora_trainables when model_base is given (builder.py:50-90). Here the
+    merge is W += (alpha/r) * B @ A per adapted linear; non-LoRA trainables
+    (projector etc.) in the adapter dir override the base entries.
+    """
+    with open(os.path.join(lora_path, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    scaling = acfg.get("lora_alpha", 16) / acfg.get("r", 16)
+    astate = _load_state(lora_path)
+
+    def canon(k: str) -> str:
+        for pre in ("base_model.model.", "base_model."):
+            if k.startswith(pre):
+                return k[len(pre):]
+        return k
+
+    state = dict(state)
+    n_merged = 0
+    for k, a in astate.items():
+        if ".lora_A." not in k:
+            continue
+        bkey = k.replace(".lora_A.", ".lora_B.")
+        target = canon(k).split(".lora_A.")[0] + ".weight"
+        if target not in state:
+            if log:
+                log(f"merge_lora: no base weight for {target}; skipping")
+            continue
+        b = astate[bkey]
+        state[target] = (np.asarray(state[target], np.float32)
+                         + scaling * (np.asarray(b, np.float32)
+                                      @ np.asarray(a, np.float32)))
+        n_merged += 1
+    # non-LoRA trainables (mm_projector etc.) saved alongside the adapter
+    for k, v in astate.items():
+        if ".lora_A." in k or ".lora_B." in k:
+            continue
+        state[canon(k)] = np.asarray(v)
+    if log:
+        log(f"merge_lora: merged {n_merged} adapted linears "
+            f"(scaling={scaling})")
+    return state
+
+
 def clip_config_from_state(vis_state: Dict[str, np.ndarray],
                            heads: Optional[int] = None) -> ClipVisionConfig:
     """Infer the CLIP tower config from weight shapes (prefix-stripped state
@@ -91,8 +138,20 @@ def load_llava(path: str, dtype=jnp.bfloat16
     from msd_tpu.models.llama import params_from_hf
     from msd_tpu.models.llava import params_from_hf_projector
 
-    state = _load_state(path)
-    tcfg = llama_config_from_json(path)
+    if os.path.exists(os.path.join(path, "adapter_config.json")):
+        # LoRA checkpoint dir: resolve the base model and merge
+        # (builder.py:50-90 model_base flow)
+        with open(os.path.join(path, "adapter_config.json")) as f:
+            base = json.load(f).get("base_model_name_or_path", "")
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"LoRA adapter at {path} needs a local base model dir; "
+                f"base_model_name_or_path={base!r} not found")
+        state = merge_lora_state(_load_state(base), path)
+        tcfg = llama_config_from_json(base)
+    else:
+        state = _load_state(path)
+        tcfg = llama_config_from_json(path)
 
     target = params_from_hf(state, tcfg, prefix="model.", dtype=dtype)
     projector = params_from_hf_projector(state, dtype=dtype)

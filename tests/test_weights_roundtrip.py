@@ -256,3 +256,42 @@ def test_qwen_from_pretrained_roundtrip(ckpt_dirs, tmp_path_factory):
     msd = lm.gen.generate(toks, max_new_tokens=10)
     ar = lm.gen.naive_generate(toks, max_new_tokens=10)
     _np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_lora_merge_loading(ckpt_dirs, tmp_path):
+    """A PEFT-layout LoRA dir over the synthetic base: merged weights equal
+    base + (alpha/r) * B @ A, and the merged model loads end-to-end."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from msd_tpu.utils.weights import load_llava
+
+    llava_dir, _ = ckpt_dirs
+    rng = np.random.default_rng(5)
+    lora = tmp_path / "lora"
+    os.makedirs(lora)
+    r = 4
+    a0 = _r(rng, r, H)
+    b0 = _r(rng, H, r)
+    proj_override = _r(rng, H, VH)
+    save_file({
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight": a0,
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight": b0,
+        "base_model.model.model.mm_projector.0.weight": proj_override,
+    }, str(lora / "adapter_model.safetensors"))
+    (lora / "adapter_config.json").write_text(json.dumps(
+        {"r": r, "lora_alpha": 8, "base_model_name_or_path": llava_dir}))
+
+    base_params, _ = load_llava(llava_dir, jnp.float32)
+    merged_params, lcfg = load_llava(str(lora), jnp.float32)
+    scale = 8 / r
+    want = (np.asarray(base_params["target"]["layers"]["q_proj"][0])
+            + scale * (b0 @ a0))
+    got = np.asarray(merged_params["target"]["layers"]["q_proj"][0])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # untouched layer identical; non-LoRA trainable overrides the projector
+    np.testing.assert_array_equal(
+        np.asarray(merged_params["target"]["layers"]["q_proj"][1]),
+        np.asarray(base_params["target"]["layers"]["q_proj"][1]))
+    np.testing.assert_allclose(np.asarray(merged_params["projector"]["fc1"]),
+                               proj_override.T, atol=1e-6)
