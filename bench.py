@@ -64,6 +64,19 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    # backend probe with a timeout: a dead axon tunnel makes jax.devices()
+    # hang forever; fail loudly instead of hanging the driver
+    import threading
+    probe: list = []
+    th = threading.Thread(target=lambda: probe.append(jax.devices()),
+                          daemon=True)
+    th.start()
+    th.join(180)
+    if not probe:
+        log("FATAL: jax backend init timed out after 180s "
+            "(axon TPU tunnel unreachable); no benchmark result")
+        sys.exit(2)
+
     import jax.numpy as jnp
 
     from msd_tpu.configs import (DraftConfig, EngineConfig, LlamaConfig,
@@ -72,7 +85,7 @@ def main():
     from msd_tpu.models import draft as draft_mod
     from msd_tpu.models import llama as L
 
-    log("devices:", jax.devices())
+    log("devices:", probe[0])
     dtype = jnp.bfloat16
 
     import dataclasses
