@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--tree-nodes", type=int, default=128,
                     help="-1 = autotune (the reference's total_token=-1)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="int8 = weight-only quantized target (halves "
+                         "decode weight reads)")
     args = ap.parse_args()
 
     import os
@@ -107,6 +110,9 @@ def main():
     # the MSD draft checkpoints freeze the base model's embedding
     # (load_emb=True, main_deepspeed.py:145-163) — share the device buffer
     dp["embed_tokens"] = tp["embed_tokens"]
+    if args.quant == "int8":
+        tp = L.quantize_llama_params(tp)
+        log("target quantized to int8 weight-only")
     jax.block_until_ready(tp["lm_head"])
     log(f"params initialized in {time.time()-t0:.1f}s")
 
@@ -259,6 +265,7 @@ def main():
             "tree_nodes": gen.eng.tree.num_nodes,
             "image_tokens": n_img,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+            "quant": args.quant,
         },
     }))
 

@@ -124,6 +124,14 @@ def init_kv_cache(cfg: LlamaConfig, max_seq_len: int, dtype=jnp.float32,
 # Forward
 # ---------------------------------------------------------------------------
 
+def _w(lp: Params, name: str) -> jnp.ndarray:
+    """Weight access with optional int8 weight-only dequant (ops.quant)."""
+    if name + "_qs" in lp:
+        from msd_tpu.ops.quant import dequantize
+        return dequantize(lp[name], lp[name + "_qs"])
+    return lp[name]
+
+
 def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
                positions: jnp.ndarray, cos_t, sin_t, skip_input_norm: bool):
     """Pre-attention projections. Returns (h_normed_input, q, k, v)."""
@@ -135,9 +143,9 @@ def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
         h = x
     else:
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = jnp.einsum("th,oh->to", h, lp["q_proj"])
-    k = jnp.einsum("th,oh->to", h, lp["k_proj"])
-    v = jnp.einsum("th,oh->to", h, lp["v_proj"])
+    q = jnp.einsum("th,oh->to", h, _w(lp, "q_proj"))
+    k = jnp.einsum("th,oh->to", h, _w(lp, "k_proj"))
+    v = jnp.einsum("th,oh->to", h, _w(lp, "v_proj"))
     if "q_bias" in lp:  # Qwen2 attention carries qkv biases
         q = q + lp["q_bias"]
         k = k + lp["k_bias"]
@@ -152,12 +160,13 @@ def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
 def _layer_post_attn(lp: Params, cfg: LlamaConfig, resid: jnp.ndarray,
                      attn: jnp.ndarray):
     t = attn.shape[0]
-    x = resid + attn.reshape(t, -1) @ lp["o_proj"]
+    x = resid + attn.reshape(t, -1) @ _w(lp, "o_proj")
     resid = x
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu((h @ lp["gate_proj"]).astype(jnp.float32)).astype(h.dtype)
-    up = h @ lp["up_proj"]
-    return resid + (gate * up) @ lp["down_proj"]
+    gate = jax.nn.silu((h @ _w(lp, "gate_proj")).astype(jnp.float32)
+                       ).astype(h.dtype)
+    up = h @ _w(lp, "up_proj")
+    return resid + (gate * up) @ _w(lp, "down_proj")
 
 
 def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len):
@@ -226,11 +235,41 @@ def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
 
 def lm_head(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
     """[T, H] -> [T, V] logits in fp32."""
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    return (hidden @ _w(params, "lm_head")).astype(jnp.float32)
 
 
 def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed_tokens"][ids]
+
+
+# int8 weight-only quantization: contraction axis per weight name.
+# q/k/v stacks are [L, out, in] (in is contracted); the rest are [L, in, out]
+# / [in, out] (in is contracted). Norms, biases, embeddings stay full precision
+# (negligible bytes; the embedding is a gather, not a matmul).
+_QUANT_AXES = {"q_proj": -1, "k_proj": -1, "v_proj": -1,
+               "o_proj": -2, "gate_proj": -2, "up_proj": -2, "down_proj": -2}
+
+
+def quantize_llama_params(params: Params, quant_lm_head: bool = True
+                          ) -> Params:
+    """Weight-only int8 transform of a (stacked) LLaMA param tree.
+
+    The TPU-native counterpart of the reference's load-8bit serving path
+    (builder.py:33-47). Decode-step HBM traffic is dominated by these weight
+    reads, so int8 storage roughly halves step time when bandwidth-bound.
+    """
+    from msd_tpu.ops.quant import quantize_tensor
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name, axis in _QUANT_AXES.items():
+        layers[name], layers[name + "_qs"] = quantize_tensor(
+            layers[name], axis)
+    out["layers"] = layers
+    if quant_lm_head:
+        out["lm_head"], out["lm_head_qs"] = quantize_tensor(
+            params["lm_head"], -2)
+    return out
 
 
 def make_rope(cfg: LlamaConfig, max_seq_len: int):

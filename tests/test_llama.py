@@ -85,3 +85,35 @@ def test_incremental_decode_matches_prefill(tiny):
         step_logits.append(np.asarray(L.lm_head(params, hidden))[0])
     np.testing.assert_allclose(np.stack(step_logits), full_logits,
                                atol=1e-4, rtol=1e-3)
+
+
+def test_int8_weight_only_quantization():
+    """Quantized params: small logit error vs fp, and greedy MSD == greedy AR
+    stays exact (both paths share the same quantized weights)."""
+    from msd_tpu.configs import DraftConfig, EngineConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models.llama import quantize_llama_params
+    from msd_tpu.ops.quant import dequantize, quantize_tensor
+
+    import jax
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 64)) * 0.05
+    wq, s = quantize_tensor(w, -1)
+    assert wq.dtype == jnp.int8 and s.shape == (8, 32, 1)
+    err = jnp.abs(dequantize(wq, s, jnp.float32) - w).max()
+    assert float(err) < 0.05 * 2 / 127
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=4,
+                           intermediate_size=64, max_pos=512)
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    tp = quantize_llama_params(L.init_llama_params(k1, cfg))
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=3, num_nodes=8))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+    ids = np.arange(3, 12, dtype=np.int32)
+    msd = gen.generate(ids, max_new_tokens=12)
+    ar = gen.naive_generate(ids, max_new_tokens=12)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
