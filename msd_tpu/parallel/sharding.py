@@ -73,11 +73,21 @@ def llama_param_specs(cfg: LlamaConfig, stacked: bool = True) -> Dict:
         "up_proj": spec(None, "model"),
         "down_proj": spec("model", None),
     }
+    # int8 weight-only scales (quantize_llama_params): shaped like the
+    # weight with a singleton contraction dim. Column-parallel weights
+    # (sharded on the output dim) keep the weight's spec; row-parallel ones
+    # (o/down, sharded on the contraction dim) replicate the scale since its
+    # corresponding dim is the singleton.
+    for nm in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        layer[nm + "_qs"] = layer[nm]
+    for nm in ("o_proj", "down_proj"):
+        layer[nm + "_qs"] = spec(None, None)
     return {
         "embed_tokens": P(None, "model"),
         "layers": layer,
         "norm": P(None),
         "lm_head": P(None, "model"),
+        "lm_head_qs": P(None, "model"),
     }
 
 
@@ -100,11 +110,20 @@ def kv_cache_specs() -> Dict:
     return {"k": P(None, None, "model", None), "v": P(None, None, "model", None)}
 
 
+def _prune_specs(specs, params):
+    """Drop spec entries absent from params (e.g. *_qs scales when the model
+    is not quantized) so the trees match for tree.map."""
+    if isinstance(specs, dict) and isinstance(params, dict):
+        return {k: _prune_specs(specs[k], params[k])
+                for k in params if k in specs}
+    return specs
+
+
 def shard_params(params: Dict, specs: Dict, mesh: Mesh) -> Dict:
     def place(x, s):
         return jax.device_put(x, NamedSharding(mesh, s))
 
-    return jax.tree.map(place, params, specs)
+    return jax.tree.map(place, params, _prune_specs(specs, params))
 
 
 def specs_to_shardings(specs: Dict, mesh: Mesh) -> Dict:

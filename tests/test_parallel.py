@@ -99,3 +99,34 @@ def test_sharded_train_step_matches_unsharded():
                               batch=batch_sh, key=jax.random.PRNGKey(3),
                               cos_t=cos_t, sin_t=sin_t)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_quantized_params_shard_and_decode():
+    """int8-quantized target shards over the TP mesh and decodes losslessly."""
+    import numpy as np
+
+    from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+    from msd_tpu.parallel.sharding import (llama_param_specs, make_mesh,
+                                           shard_params)
+
+    mesh = make_mesh(8)
+    tp_size = mesh.shape["model"]
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=16 * tp_size,
+                           layers=2, heads=tp_size,
+                           intermediate_size=32 * tp_size, max_pos=512)
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = L.quantize_llama_params(L.init_llama_params(k1, cfg))
+    tparams = shard_params(tparams, llama_param_specs(cfg), mesh)
+    assert tparams["layers"]["q_proj"].dtype == jnp.int8
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=3, num_nodes=8))
+    gen = MSDGenerator(tparams, dp, cfg, dcfg, eng, eos_id=-1)
+    ids = np.arange(3, 12, dtype=np.int32)
+    msd = gen.generate(ids, max_new_tokens=10)
+    ar = gen.naive_generate(ids, max_new_tokens=10)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
