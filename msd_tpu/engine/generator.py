@@ -188,13 +188,14 @@ class MSDGenerator:
 
     def generate_batch(self, ids_list, img_feats_list=None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,
-                       sp: Optional[SamplingParams] = None):
+                       sp: Optional[SamplingParams] = None, img_grid=None):
         """Batched speculative generation: vmap of the fused program.
 
         All prompts share one compiled program (padded to the longest
         bucket); per-sample while_loop progress is masked by jax's
         while_loop batching, so each sample's result is identical to its
         single-request run (tested). KV memory scales with batch size.
+        Inline (Qwen) engines take one shared img_grid per batch.
         """
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
@@ -214,12 +215,29 @@ class MSDGenerator:
                  else None)
         keys = jax.random.split(jax.random.PRNGKey(seed), B)
 
-        batched = jax.jit(jax.vmap(
-            lambda i, l, f, p, k: SE.generate_program.__wrapped__(
-                st, self.params, i, l, f, p, k),
-            in_axes=(0, 0, None if feats is None else 0, 0, 0)))
-        state = batched(jnp.asarray(padded), jnp.asarray(lens), feats,
-                        jnp.asarray(img_pos), keys)
+        if self.image_mode == "inline":
+            pos3s, deltas = [], []
+            for b in range(B):
+                p3, d = self._qwen_pos(padded[b], int(lens[b]), img_grid)
+                pos3s.append(p3)
+                deltas.append(d)
+            pos3 = jnp.stack(pos3s) if pos3s[0] is not None else None
+            batched = jax.jit(jax.vmap(
+                lambda i, l, f, p, p3, d, k:
+                SE.qwen_generate_program.__wrapped__(
+                    st, self.params, i, l, f, p, p3, d, k),
+                in_axes=(0, 0, None if feats is None else 0, 0,
+                         None if pos3 is None else 0, 0, 0)))
+            state = batched(jnp.asarray(padded), jnp.asarray(lens), feats,
+                            jnp.asarray(img_pos), pos3,
+                            jnp.asarray(deltas, jnp.int32), keys)
+        else:
+            batched = jax.jit(jax.vmap(
+                lambda i, l, f, p, k: SE.generate_program.__wrapped__(
+                    st, self.params, i, l, f, p, k),
+                in_axes=(0, 0, None if feats is None else 0, 0, 0)))
+            state = batched(jnp.asarray(padded), jnp.asarray(lens), feats,
+                            jnp.asarray(img_pos), keys)
 
         results = []
         for b in range(B):

@@ -115,9 +115,10 @@ class EngineWorker(threading.Thread):
     def run(self):
         while True:
             w = self.q.get()
+            mode = getattr(self.adapter.gen, "image_mode", "expand")
             batchable = ((not w.stream)
-                         and getattr(self.adapter.gen, "image_mode",
-                                     "expand") == "expand"
+                         and (mode == "expand"
+                              or not w.payload.get("image_b64"))
                          and bool(w.payload.get("use_msd", True))
                          and self.adapter.use_msd)
             group = self._drain_compatible(w) if batchable else [w]

@@ -144,3 +144,23 @@ def test_qwen_inline_streaming_matches_oneshot(qwen_gen):
     chunks = list(gen.generate_stream(ids, img_feats=feats, max_new_tokens=24,
                                       segment=6, img_grid=grid))
     np.testing.assert_array_equal(np.concatenate(chunks), one.tokens)
+
+
+def test_qwen_batched_matches_single(qwen_gen):
+    """Inline-mode generate_batch == per-sample generate, incl. mrope delta."""
+    gen, n_img, lc = qwen_gen
+    rng = np.random.default_rng(9)
+    grid = (2, 3)
+    prompts, feats_list = [], []
+    for b in range(3):
+        ids = rng.integers(3, 500, size=12 + b).astype(np.int32)
+        ids[2:2 + n_img] = IMAGE_PAD_ID
+        prompts.append(ids)
+        feats_list.append(jnp.asarray(
+            rng.normal(size=(n_img, lc.hidden_size)) * 0.1, jnp.float32))
+    batch = gen.generate_batch(prompts, feats_list, max_new_tokens=16,
+                               img_grid=grid)
+    for b in range(3):
+        single = gen.generate(prompts[b], img_feats=feats_list[b],
+                              max_new_tokens=16, seed=0, img_grid=grid)
+        np.testing.assert_array_equal(batch[b].tokens, single.tokens)
