@@ -258,7 +258,8 @@ class MSDGenerator:
                         img_feats: Optional[jnp.ndarray] = None,
                         max_new_tokens: Optional[int] = None, seed: int = 0,
                         sp: Optional[SamplingParams] = None,
-                        segment: int = 16, img_grid=None):
+                        segment: int = 16, img_grid=None,
+                        use_calibration: bool = False):
         """Streaming MSD generation: yields np.int32 arrays of newly
         committed tokens every ~`segment` tokens.
 
@@ -271,7 +272,9 @@ class MSDGenerator:
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
-        st = self._statics(max_new, sp)
+        if use_calibration and "calib" not in self.params:
+            raise ValueError("set_calibrator() before use_calibration=True")
+        st = self._statics(max_new, sp, use_calibration)
         padded_np = self._pad(ids)
         padded = jnp.asarray(padded_np)
         key = jax.random.PRNGKey(seed)
