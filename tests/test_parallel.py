@@ -130,3 +130,38 @@ def test_quantized_params_shard_and_decode():
     msd = gen.generate(ids, max_new_tokens=10)
     ar = gen.naive_generate(ids, max_new_tokens=10)
     np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_pipeline_forward_matches_scan():
+    """GPipe pipeline over a 4-stage mesh == the plain stacked-scan forward."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from msd_tpu.configs import LlamaConfig
+    from msd_tpu.models import llama as L
+    from msd_tpu.ops.attention import causal_prefill_bias
+    from msd_tpu.parallel.pipeline import (pipeline_forward,
+                                           shard_layers_for_pipeline)
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=8, heads=4,
+                           intermediate_size=64, max_pos=256)
+    params = L.init_llama_params(jax.random.PRNGKey(0), cfg)
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("stage",))
+    pparams = shard_layers_for_pipeline(params, mesh)
+
+    M, T = 3, 16
+    emb = jax.random.normal(jax.random.PRNGKey(1), (M, T, cfg.hidden_size),
+                            jnp.float32) * 0.1
+    bias = causal_prefill_bias(T, T)
+    cos_t, sin_t = L.make_rope(cfg, 64)
+
+    got = pipeline_forward(pparams, cfg, emb, bias, cos_t, sin_t, mesh)
+
+    kv = L.init_kv_cache(cfg, T)
+    ref = jnp.stack([
+        L.llama_forward(params, cfg, emb[m], jnp.arange(T, dtype=jnp.int32),
+                        kv, jnp.int32(0), bias, cos_t, sin_t)[0]
+        for m in range(M)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
