@@ -165,3 +165,32 @@ def test_pipeline_forward_matches_scan():
         for m in range(M)])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_sequence_parallel_forward_matches():
+    """Sequence-sharded prefill == single-device forward."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from msd_tpu.configs import LlamaConfig
+    from msd_tpu.models import llama as L
+    from msd_tpu.ops.attention import causal_prefill_bias
+    from msd_tpu.parallel.sequence import sequence_parallel_forward
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=3, heads=4,
+                           intermediate_size=64, max_pos=256)
+    params = L.init_llama_params(jax.random.PRNGKey(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    T = 32
+    emb = jax.random.normal(jax.random.PRNGKey(1), (T, cfg.hidden_size),
+                            jnp.float32) * 0.1
+    bias = causal_prefill_bias(T, T)
+    cos_t, sin_t = L.make_rope(cfg, 64)
+
+    got = sequence_parallel_forward(params, cfg, emb, bias, cos_t, sin_t,
+                                    mesh)
+    kv = L.init_kv_cache(cfg, T)
+    ref, _ = L.llama_forward(params, cfg, emb, jnp.arange(T, dtype=jnp.int32),
+                             kv, jnp.int32(0), bias, cos_t, sin_t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
