@@ -177,8 +177,9 @@ def test_sequence_parallel_forward_matches():
     from msd_tpu.ops.attention import causal_prefill_bias
     from msd_tpu.parallel.sequence import sequence_parallel_forward
 
+    # GQA config (kv_heads < heads) so the ring path's head expansion is hit
     cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=3, heads=4,
-                           intermediate_size=64, max_pos=256)
+                           kv_heads=2, intermediate_size=64, max_pos=256)
     params = L.init_llama_params(jax.random.PRNGKey(0), cfg)
     mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
     T = 32
@@ -187,10 +188,12 @@ def test_sequence_parallel_forward_matches():
     bias = causal_prefill_bias(T, T)
     cos_t, sin_t = L.make_rope(cfg, 64)
 
-    got = sequence_parallel_forward(params, cfg, emb, bias, cos_t, sin_t,
-                                    mesh)
     kv = L.init_kv_cache(cfg, T)
     ref, _ = L.llama_forward(params, cfg, emb, jnp.arange(T, dtype=jnp.int32),
                              kv, jnp.int32(0), bias, cos_t, sin_t)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-5, rtol=2e-5)
+    for mode in ("gather", "ring"):
+        got = sequence_parallel_forward(params, cfg, emb, bias, cos_t, sin_t,
+                                        mesh, mode=mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"mode={mode}")
