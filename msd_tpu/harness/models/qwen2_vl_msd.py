@@ -141,3 +141,41 @@ class QwenVLEagle(Qwen2VLMSD):
     def __init__(self, *a, **kw):
         kw["use_msd"] = False
         super().__init__(*a, **kw)
+
+
+def _tiny_qwen_adapter(cls, **kw):
+    """Shared tiny-stack builder for Qwen2VLMSD/QwenVLEagle (tiny=true)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msd_tpu.configs import DraftConfig, EngineConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.harness.models.llava_msd import SimpleTokenizer
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models.qwen2vl import Qwen2VLTextConfig, init_qwen2_params
+
+    qcfg = Qwen2VLTextConfig.tiny(vocab=512, hidden=64, layers=2, heads=4,
+                                  kv_heads=2, inter=128)
+    lc = qcfg.as_llama()
+    dcfg = DraftConfig(text=lc)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=64,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    grid = kw.pop("img_grid", (4, 4))
+    n_img = (grid[0] // 2) * (grid[1] // 2)
+    gen = MSDGenerator(init_qwen2_params(k1, qcfg),
+                       draft_mod.init_draft_params(k2, dcfg), lc, dcfg, eng,
+                       n_img=n_img, eos_id=2, image_mode="inline",
+                       mrope_section=qcfg.mrope_section)
+    rng = np.random.default_rng(0)
+
+    def enc(px):
+        # random features at the merged-grid size (no tower in tiny mode)
+        return jnp.asarray(rng.normal(size=(n_img, lc.hidden_size)) * 0.1,
+                           jnp.float32)
+
+    return cls(gen, SimpleTokenizer(vocab_size=512), enc, img_grid=grid, **kw)
+
+
+Qwen2VLMSD.from_tiny = classmethod(_tiny_qwen_adapter)
