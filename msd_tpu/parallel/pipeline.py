@@ -46,11 +46,6 @@ def _local_forward(local_layers: Dict, cfg: LlamaConfig, x: jnp.ndarray,
     return x
 
 
-def pipeline_specs(n_stages: int) -> P:
-    """Layer-stacked params shard their leading (layer) axis over stages."""
-    return P("stage")
-
-
 def shard_layers_for_pipeline(params: Dict, mesh: Mesh) -> Dict:
     """Place the stacked layer pytree with the layer axis split over
     ``stage``; everything else (norm, embed, head) replicated."""
@@ -76,7 +71,7 @@ def pipeline_forward(params: Dict, cfg: LlamaConfig, embeds: jnp.ndarray,
     """
     S = mesh.shape[stage_axis]
     M, T, H = embeds.shape
-    L = jax.eval_shape(lambda p: p, params["layers"]["q_proj"]).shape[0]
+    L = params["layers"]["q_proj"].shape[0]
     assert L % S == 0, f"layers {L} must divide stages {S}"
     positions = jnp.arange(T, dtype=jnp.int32)
 
