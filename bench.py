@@ -33,6 +33,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(budget_s: float, probe_timeout: float = 150.0) -> bool:
+    """Retry backend init across axon-tunnel flaps (probe in a subprocess so
+    a hung init never wedges this process; the probe exits and releases the
+    chip before we attach)."""
+    import os
+    import subprocess
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    deadline = time.time() + budget_s
+    delay, attempt = 10.0, 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); print(len(d), d[0].platform)"],
+                timeout=probe_timeout, capture_output=True, text=True)
+            if r.returncode == 0:
+                log(f"backend probe ok (attempt {attempt}): "
+                    f"{r.stdout.strip()}")
+                return True
+            log(f"backend probe rc={r.returncode} (attempt {attempt}): "
+                f"{r.stderr.strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe timed out after {probe_timeout:.0f}s "
+                f"(attempt {attempt})")
+        if time.time() + delay > deadline:
+            return False
+        time.sleep(delay)
+        delay = min(delay * 2, 120.0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=["7b", "13b", "tiny"])
@@ -46,15 +78,25 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     # on-chip on-policy distillation of the random draft against the random
     # target's own generations, to measure a real end-to-end alpha > 1
-    ap.add_argument("--distill-steps", type=int, default=0)
+    # (default ON so the driver-captured run records a MEASURED alpha)
+    ap.add_argument("--distill-steps", type=int, default=400)
     ap.add_argument("--distill-prompts", type=int, default=6)
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--tree-nodes", type=int, default=128,
                     help="-1 = autotune (the reference's total_token=-1)")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"],
-                    help="int8 = weight-only quantized target (halves "
-                         "decode weight reads)")
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4"],
+                    help="weight-only quantized target (int8 halves, int4 "
+                         "quarters decode weight reads)")
+    ap.add_argument("--backend-wait", type=float, default=1800.0,
+                    help="seconds to keep retrying backend init across "
+                         "axon tunnel flaps")
     args = ap.parse_args()
+
+    if not wait_for_backend(args.backend_wait):
+        log(f"FATAL: no TPU backend after {args.backend_wait:.0f}s of "
+            "retries (axon tunnel unreachable); no benchmark result")
+        sys.exit(2)
 
     import os
 
@@ -110,9 +152,10 @@ def main():
     # the MSD draft checkpoints freeze the base model's embedding
     # (load_emb=True, main_deepspeed.py:145-163) — share the device buffer
     dp["embed_tokens"] = tp["embed_tokens"]
-    if args.quant == "int8":
-        tp = L.quantize_llama_params(tp)
-        log("target quantized to int8 weight-only")
+    if args.quant != "none":
+        tp = L.quantize_llama_params(tp, bits=8 if args.quant == "int8"
+                                     else 4)
+        log(f"target quantized to {args.quant} weight-only")
     jax.block_until_ready(tp["lm_head"])
     log(f"params initialized in {time.time()-t0:.1f}s")
 
@@ -158,73 +201,97 @@ def main():
     # incl. the benchmark prompt's — so the measured alpha reflects a draft
     # that actually knows this target's trajectories. (With real checkpoints
     # the published draft heads play this role.)
+    distilled_ok = False
     if args.distill_steps > 0:
-        from msd_tpu.train.data_gen import make_record_from_ids
-        from msd_tpu.train.draft_train import TrainConfig
-        from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
+        try:
+            from msd_tpu.train.data_gen import make_record_from_ids
+            from msd_tpu.train.draft_train import TrainConfig
+            from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
 
-        t0 = time.time()
-        recs = []
-        pad_rec = ((args.prompt_tokens + (575 if n_img else 0) + 96 + 127)
-                   // 128) * 128
-        def mk_prompt():
-            q = rng.integers(3, 31000,
-                             size=args.prompt_tokens).astype(np.int32)
-            if n_img:
-                q[1] = IMAGE_TOKEN_INDEX  # engine is in image mode
-            return q
+            t0 = time.time()
+            recs = []
+            pad_rec = ((args.prompt_tokens + (575 if n_img else 0) + 96 + 127)
+                       // 128) * 128
+            def mk_prompt():
+                q = rng.integers(3, 31000,
+                                 size=args.prompt_tokens).astype(np.int32)
+                if n_img:
+                    q[1] = IMAGE_TOKEN_INDEX  # engine is in image mode
+                return q
 
-        prompts = [ids] + [mk_prompt()
-                           for _ in range(args.distill_prompts - 1)]
-        for pi, p_ids in enumerate(prompts):
-            has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
-            p_feats = feats if has_img else None
-            cont = gen.naive_generate(p_ids, img_feats=p_feats,
-                                      max_new_tokens=96).tokens
-            full = np.concatenate([p_ids, cont]).astype(np.int32)
-            mask = np.zeros((len(full),), np.float32)
-            mask[len(p_ids) - 1:] = 1.0
-            recs.append(make_record_from_ids(
-                tp, tcfg, full, mask, pad_to=pad_rec,
-                img_feats=p_feats, n_img=n_img if has_img else 0))
-        log(f"distill data: {len(recs)} on-policy records "
-            f"in {time.time()-t0:.1f}s")
+            prompts = [ids] + [mk_prompt()
+                               for _ in range(args.distill_prompts - 1)]
+            for pi, p_ids in enumerate(prompts):
+                has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
+                p_feats = feats if has_img else None
+                cont = gen.naive_generate(p_ids, img_feats=p_feats,
+                                          max_new_tokens=96).tokens
+                full = np.concatenate([p_ids, cont]).astype(np.int32)
+                mask = np.zeros((len(full),), np.float32)
+                mask[len(p_ids) - 1:] = 1.0
+                recs.append(make_record_from_ids(
+                    tp, tcfg, full, mask, pad_to=pad_rec,
+                    img_feats=p_feats, n_img=n_img if has_img else 0))
+            log(f"distill data: {len(recs)} on-policy records "
+                f"in {time.time()-t0:.1f}s")
 
-        # free the 13.4GB target while training (deterministic re-init after)
-        head_w = tp["lm_head"]
-        gen.params = None
-        del tp
-        import gc
-        gc.collect()
+            # free the 13.4GB target while training (deterministic re-init after)
+            head_w = tp["lm_head"]
+            if "lm_head_qs4" in tp:  # trainer's distill loss needs fp logits
+                from msd_tpu.ops.quant import dequantize_int4
+                head_w = dequantize_int4(head_w, tp["lm_head_qs4"], dtype)
+            elif "lm_head_qs" in tp:
+                from msd_tpu.ops.quant import dequantize
+                head_w = dequantize(head_w, tp["lm_head_qs"], dtype)
+            gen.params = None
+            del tp
+            import gc
+            gc.collect()
 
-        tc = TrainerConfig(
-            train=TrainConfig(lr=1e-3, warmup_steps=20,
-                              total_steps=max(args.distill_steps, 21),
-                              noise_std=0.0),
-            batch_size=2, max_len=recs[0]["hidden"].shape[0],
-            num_epochs=1, log_every=10 ** 9)
-        trainer = DraftTrainer(dcfg, dp, head_w, tc)
-        t0 = time.time()
-        last = {}
-        while trainer.step_count < args.distill_steps:
-            last = trainer.run_epoch([], recs, log=lambda *a: None)
-        log(f"distilled {trainer.step_count} steps in {time.time()-t0:.1f}s "
-            f"(top1_agree={last.get('top1_agree', 0):.3f})")
+            tc = TrainerConfig(
+                train=TrainConfig(lr=1e-3, warmup_steps=20,
+                                  total_steps=max(args.distill_steps, 21),
+                                  noise_std=0.0),
+                batch_size=2, max_len=recs[0]["hidden"].shape[0],
+                num_epochs=1, log_every=10 ** 9)
+            trainer = DraftTrainer(dcfg, dp, head_w, tc)
+            t0 = time.time()
+            last = {}
+            while trainer.step_count < args.distill_steps:
+                last = trainer.run_epoch([], recs, log=lambda *a: None)
+            log(f"distilled {trainer.step_count} steps in {time.time()-t0:.1f}s "
+                f"(top1_agree={last.get('top1_agree', 0):.3f})")
 
-        # drop EVERYTHING still holding device memory: optimizer state, the
-        # stale embed/lm_head inside the trainer, the device-resident
-        # dataset, and the jitted step's donated buffers
-        trained = dict(trainer.params)
-        trained.pop("embed_tokens", None)
-        del trainer, head_w, recs
-        from msd_tpu.train.trainer import _PREPAD_CACHE
-        _PREPAD_CACHE.clear()
-        gc.collect()
+            # drop EVERYTHING still holding device memory: optimizer state, the
+            # stale embed/lm_head inside the trainer, the device-resident
+            # dataset, and the jitted step's donated buffers
+            trained = dict(trainer.params)
+            trained.pop("embed_tokens", None)
+            del trainer, head_w, recs
+            from msd_tpu.train.trainer import _PREPAD_CACHE
+            _PREPAD_CACHE.clear()
+            gc.collect()
 
-        tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
-        dp = dict(trained)
-        dp["embed_tokens"] = tp["embed_tokens"]
-        gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
+            tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
+            if args.quant != "none":
+                tp = L.quantize_llama_params(tp, bits=8 if args.quant == "int8"
+                                             else 4)
+            dp = dict(trained)
+            dp["embed_tokens"] = tp["embed_tokens"]
+            gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
+            distilled_ok = True
+        except Exception as e:  # never lose the bench to a distill failure
+            log(f"WARNING: distillation failed ({e!r}); continuing with the "
+                "undistilled draft (alpha ~= 1)")
+            import gc
+            gc.collect()
+            tp = L.init_llama_params_stacked(k1, tcfg, dtype)
+            if args.quant != "none":
+                tp = L.quantize_llama_params(
+                    tp, bits=8 if args.quant == "int8" else 4)
+            dp["embed_tokens"] = tp["embed_tokens"]
+            gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img,
+                               eos_id=-1)
 
     # ---- MSD ----
     t0 = time.time()
@@ -254,6 +321,8 @@ def main():
         "value": round(speedup_ref, 3),
         "unit": "x",
         "vs_baseline": round(speedup_ref / 2.5, 3),
+        "measured_alpha": round(m.avg_accept_len, 3),
+        "measured_speedup": round(speedup_measured, 3),
         "detail": {
             "ar_ms_per_token": round(t_ar * 1e3, 3),
             "ar_tokens_per_s": round(1 / t_ar, 1),
@@ -261,6 +330,7 @@ def main():
             "measured_alpha": round(m.avg_accept_len, 3),
             "greedy_lossless_vs_ar": lossless,
             "measured_speedup": round(speedup_measured, 3),
+            "distilled_ok": distilled_ok,
             "distill_steps": args.distill_steps,
             "tree_nodes": gen.eng.tree.num_nodes,
             "image_tokens": n_img,

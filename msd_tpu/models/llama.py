@@ -125,7 +125,10 @@ def init_kv_cache(cfg: LlamaConfig, max_seq_len: int, dtype=jnp.float32,
 # ---------------------------------------------------------------------------
 
 def _w(lp: Params, name: str) -> jnp.ndarray:
-    """Weight access with optional int8 weight-only dequant (ops.quant)."""
+    """Weight access with optional int8/int4 weight-only dequant (ops.quant)."""
+    if name + "_qs4" in lp:
+        from msd_tpu.ops.quant import dequantize_int4
+        return dequantize_int4(lp[name], lp[name + "_qs4"])
     if name + "_qs" in lp:
         from msd_tpu.ops.quant import dequantize
         return dequantize(lp[name], lp[name + "_qs"])
@@ -250,25 +253,28 @@ _QUANT_AXES = {"q_proj": -1, "k_proj": -1, "v_proj": -1,
                "o_proj": -2, "gate_proj": -2, "up_proj": -2, "down_proj": -2}
 
 
-def quantize_llama_params(params: Params, quant_lm_head: bool = True
-                          ) -> Params:
-    """Weight-only int8 transform of a (stacked) LLaMA param tree.
+def quantize_llama_params(params: Params, quant_lm_head: bool = True,
+                          bits: int = 8) -> Params:
+    """Weight-only int8/int4 transform of a (stacked) LLaMA param tree.
 
-    The TPU-native counterpart of the reference's load-8bit serving path
-    (builder.py:33-47). Decode-step HBM traffic is dominated by these weight
-    reads, so int8 storage roughly halves step time when bandwidth-bound.
+    The TPU-native counterpart of the reference's load-8bit/load-4bit
+    serving paths (builder.py:26-167). Decode-step HBM traffic is dominated
+    by these weight reads, so int8 storage roughly halves step time when
+    bandwidth-bound and int4 quarters it. int4 scales live under ``_qs4``
+    keys so the forward pass knows to unpack (ops/quant.pack_int4).
     """
     from msd_tpu.ops.quant import quantize_tensor
 
+    sfx = "_qs" if bits == 8 else "_qs4"
     out = dict(params)
     layers = dict(params["layers"])
     for name, axis in _QUANT_AXES.items():
-        layers[name], layers[name + "_qs"] = quantize_tensor(
-            layers[name], axis)
+        layers[name], layers[name + sfx] = quantize_tensor(
+            layers[name], axis, bits)
     out["layers"] = layers
     if quant_lm_head:
-        out["lm_head"], out["lm_head_qs"] = quantize_tensor(
-            params["lm_head"], -2)
+        out["lm_head"], out["lm_head" + sfx] = quantize_tensor(
+            params["lm_head"], -2, bits)
     return out
 
 

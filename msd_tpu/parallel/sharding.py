@@ -79,15 +79,16 @@ def llama_param_specs(cfg: LlamaConfig, stacked: bool = True) -> Dict:
     # (o/down, sharded on the contraction dim) replicate the scale since its
     # corresponding dim is the singleton.
     for nm in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
-        layer[nm + "_qs"] = layer[nm]
+        layer[nm + "_qs"] = layer[nm + "_qs4"] = layer[nm]
     for nm in ("o_proj", "down_proj"):
-        layer[nm + "_qs"] = spec(None, None)
+        layer[nm + "_qs"] = layer[nm + "_qs4"] = spec(None, None)
     return {
         "embed_tokens": P(None, "model"),
         "layers": layer,
         "norm": P(None),
         "lm_head": P(None, "model"),
         "lm_head_qs": P(None, "model"),
+        "lm_head_qs4": P(None, "model"),
     }
 
 

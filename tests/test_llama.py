@@ -117,3 +117,45 @@ def test_int8_weight_only_quantization():
     msd = gen.generate(ids, max_new_tokens=12)
     ar = gen.naive_generate(ids, max_new_tokens=12)
     np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_int4_weight_only_quantization():
+    """int4: nibble pack/unpack is a bit-exact round trip, quantized logits
+    stay close to fp, and greedy MSD == greedy AR on the int4 target
+    (the reference's load_4bit serving path, builder.py:26-167)."""
+    from msd_tpu.configs import DraftConfig, EngineConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models.llama import quantize_llama_params
+    from msd_tpu.ops.quant import (dequantize_int4, pack_int4, quantize_tensor,
+                                   unpack_int4)
+
+    import jax
+
+    # pack/unpack round trip over the full int4 range
+    q = jnp.asarray(np.random.default_rng(0).integers(-7, 8, (6, 10, 32)),
+                    jnp.int8)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(pack_int4(q))),
+                                  np.asarray(q))
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 64)) * 0.05
+    wq, s = quantize_tensor(w, -1, bits=4)
+    assert wq.dtype == jnp.int8 and wq.shape == (8, 32, 32)
+    assert s.shape == (8, 32, 1)
+    err = jnp.abs(dequantize_int4(wq, s, jnp.float32) - w).max()
+    assert float(err) < 0.05 * 2 / 7  # half an int4 step of the amax scale
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=4,
+                           intermediate_size=64, max_pos=512)
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    tp = quantize_llama_params(L.init_llama_params(k1, cfg), bits=4)
+    assert "lm_head_qs4" in tp and "q_proj_qs4" in tp["layers"]
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=3, num_nodes=8))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+    ids = np.arange(3, 12, dtype=np.int32)
+    msd = gen.generate(ids, max_new_tokens=12)
+    ar = gen.naive_generate(ids, max_new_tokens=12)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)

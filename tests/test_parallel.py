@@ -101,8 +101,13 @@ def test_sharded_train_step_matches_unsharded():
     assert np.isfinite(float(metrics["loss"]))
 
 
-def test_quantized_params_shard_and_decode():
-    """int8-quantized target shards over the TP mesh and decodes losslessly."""
+import pytest
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_params_shard_and_decode(bits):
+    """int8/int4-quantized target shards over the TP mesh and decodes
+    losslessly (incl. packed-int4 columns sharded over 'model')."""
     import numpy as np
 
     from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, TreeConfig
@@ -119,7 +124,7 @@ def test_quantized_params_shard_and_decode():
                            intermediate_size=32 * tp_size, max_pos=512)
     dcfg = DraftConfig(text=cfg)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    tparams = L.quantize_llama_params(L.init_llama_params(k1, cfg))
+    tparams = L.quantize_llama_params(L.init_llama_params(k1, cfg), bits=bits)
     tparams = shard_params(tparams, llama_param_specs(cfg), mesh)
     assert tparams["layers"]["q_proj"].dtype == jnp.int8
     dp = draft_mod.init_draft_params(k2, dcfg)
