@@ -203,6 +203,38 @@ def main():
     # the published draft heads play this role.)
     distilled_ok = False
     if args.distill_steps > 0:
+        import gc
+
+        def rebuild(draft_host: dict, feats_host):
+            """Hard-release every device buffer, then re-init the bundle.
+            (gc alone is not enough — the round-1 run OOMed on the MSD
+            program after distill because stragglers survived the dels.)"""
+            nonlocal tp, dp, feats, gen, k1, eng
+            eng = gen.eng  # keep an autotuned tree across the rebuild
+            gen.params = None
+            from msd_tpu.train.trainer import _PREPAD_CACHE
+            _PREPAD_CACHE.clear()
+            gc.collect()
+            for a in list(jax.live_arrays()):
+                a.delete()
+            gc.collect()
+            log("device memory hard-released")
+            k1, _ = jax.random.split(jax.random.PRNGKey(0))
+            tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
+            if args.quant != "none":
+                tp = L.quantize_llama_params(
+                    tp, bits=8 if args.quant == "int8" else 4)
+            dp = jax.tree.map(jnp.asarray, draft_host)
+            dp["embed_tokens"] = tp["embed_tokens"]
+            if feats_host is not None:
+                feats = jnp.asarray(feats_host)
+            gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img,
+                               eos_id=-1)
+
+        # pre-distill host snapshots (the failure path restores from these)
+        dp_host0 = jax.tree.map(np.asarray, {
+            k: v for k, v in dp.items() if k != "embed_tokens"})
+        feats_host = np.asarray(feats) if feats is not None else None
         try:
             from msd_tpu.train.data_gen import make_record_from_ids
             from msd_tpu.train.draft_train import TrainConfig
@@ -245,7 +277,6 @@ def main():
                 head_w = dequantize(head_w, tp["lm_head_qs"], dtype)
             gen.params = None
             del tp
-            import gc
             gc.collect()
 
             tc = TrainerConfig(
@@ -262,36 +293,17 @@ def main():
             log(f"distilled {trainer.step_count} steps in {time.time()-t0:.1f}s "
                 f"(top1_agree={last.get('top1_agree', 0):.3f})")
 
-            # drop EVERYTHING still holding device memory: optimizer state, the
-            # stale embed/lm_head inside the trainer, the device-resident
-            # dataset, and the jitted step's donated buffers
-            trained = dict(trainer.params)
-            trained.pop("embed_tokens", None)
-            del trainer, head_w, recs
-            from msd_tpu.train.trainer import _PREPAD_CACHE
-            _PREPAD_CACHE.clear()
-            gc.collect()
-
-            tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
-            if args.quant != "none":
-                tp = L.quantize_llama_params(tp, bits=8 if args.quant == "int8"
-                                             else 4)
-            dp = dict(trained)
-            dp["embed_tokens"] = tp["embed_tokens"]
-            gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
+            # snapshot the trained draft to HOST memory, purge, re-init
+            trained_host = jax.tree.map(np.asarray, {
+                k: v for k, v in trainer.params.items()
+                if k != "embed_tokens"})
+            del trainer, head_w, recs, dp
+            rebuild(trained_host, feats_host)
             distilled_ok = True
         except Exception as e:  # never lose the bench to a distill failure
             log(f"WARNING: distillation failed ({e!r}); continuing with the "
                 "undistilled draft (alpha ~= 1)")
-            import gc
-            gc.collect()
-            tp = L.init_llama_params_stacked(k1, tcfg, dtype)
-            if args.quant != "none":
-                tp = L.quantize_llama_params(
-                    tp, bits=8 if args.quant == "int8" else 4)
-            dp["embed_tokens"] = tp["embed_tokens"]
-            gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img,
-                               eos_id=-1)
+            rebuild(dp_host0, feats_host)
 
     # ---- MSD ----
     t0 = time.time()
