@@ -305,6 +305,36 @@ class MSDGenerator:
         self.last_stream_stats = {"accept_steps": int(state.steps),
                                   "accept_len_sum": int(state.acc_sum)}
 
+    def score(self, ids: np.ndarray, cont_start: int,
+              img_feats: Optional[jnp.ndarray] = None,
+              img_grid=None) -> tuple:
+        """Teacher-forced loglikelihood of ids[cont_start:] given
+        ids[:cont_start] (the lmms ``loglikelihood`` request,
+        api/model.py:29-54). Returns (logprob_sum: float, is_greedy: bool).
+        """
+        from msd_tpu.engine import scoring as SC
+        ids = np.asarray(ids, np.int32)
+        if not 0 < cont_start < len(ids):
+            raise ValueError(f"cont_start={cont_start} outside (0, {len(ids)})")
+        m = self.eng.prompt_pad_multiple
+        p = ((len(ids) + m - 1) // m) * m
+        padded_np = np.zeros((p,), np.int32)
+        padded_np[:len(ids)] = ids
+        padded = jnp.asarray(padded_np)
+        if self.image_mode == "inline":
+            pos3, _ = self._qwen_pos(padded_np, len(ids), img_grid)
+            lp, n_match, n_cont = SC.qwen_score_program(
+                self.tcfg, self.n_img if img_feats is not None else 0,
+                self.mrope_section, self.params, padded,
+                jnp.int32(len(ids)), jnp.int32(cont_start), img_feats,
+                jnp.int32(self._img_pos(ids)), pos3)
+        else:
+            lp, n_match, n_cont = SC.score_program(
+                self.tcfg, self.n_img, self.params, padded,
+                jnp.int32(len(ids)), jnp.int32(cont_start), img_feats,
+                jnp.int32(self._img_pos(ids)))
+        return float(lp), bool(int(n_match) == int(n_cont))
+
     def naive_generate(self, ids: np.ndarray,
                        img_feats: Optional[jnp.ndarray] = None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,

@@ -30,11 +30,21 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
         docs = task.load_docs(limit=None if bottom else limit)
         reqs = task.build_requests(docs, rank=rank, world_size=world_size,
                                    limit=limit, bottom=bottom)
+        rtype = reqs[0].request_type if reqs else "generate_until"
         t0 = time.time()
-        resps = lm.generate_until(reqs)
+        resps = getattr(lm, rtype)(reqs)
         duration = time.time() - t0
-        per_doc = [task.process_results(r.doc, [resp])
-                   for r, resp in zip(reqs, resps)]
+        # group responses per doc in request order (loglikelihood tasks emit
+        # one request per choice; process_results sees the full list)
+        doc_order: List[int] = []
+        by_doc: Dict[int, Dict] = {}
+        for r, resp in zip(reqs, resps):
+            if r.doc_id not in by_doc:
+                by_doc[r.doc_id] = {"doc": r.doc, "resps": []}
+                doc_order.append(r.doc_id)
+            by_doc[r.doc_id]["resps"].append(resp)
+        per_doc = [task.process_results(by_doc[d]["doc"], by_doc[d]["resps"])
+                   for d in doc_order]
         per_doc = _gather_metrics(per_doc, world_size)
         agg = task.aggregate(per_doc)
         results[tname] = {
@@ -42,9 +52,12 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
             "n_docs": len(per_doc),
             "duration_seconds": duration,
             "samples": [
-                {"doc_id": r.doc_id, "response": resp,
+                {"doc_id": d,
+                 "response": (by_doc[d]["resps"][0]
+                              if len(by_doc[d]["resps"]) == 1
+                              else by_doc[d]["resps"]),
                  "scores": s}
-                for r, resp, s in zip(reqs, resps, per_doc)],
+                for d, s in zip(doc_order, per_doc)],
         }
     out = {"results": {t: v["metrics"] for t, v in results.items()},
            "details": results}

@@ -31,8 +31,41 @@ from msd_tpu.engine.generator import MSDGenerator
 from msd_tpu.harness.instance import Instance
 from msd_tpu.harness.registry import register_model
 from msd_tpu.ops.sampling import SamplingParams
-from msd_tpu.utils.conversation import build_msd_prompt
+from msd_tpu.utils.conversation import build_msd_prompt, vicuna_v1
 from msd_tpu.utils.mm_utils import process_image, tokenizer_image_token
+
+
+def run_multi_round(generate_one, requests: List[Instance],
+                    default_max_rounds: int = 8) -> List[List[str]]:
+    """Shared ``generate_until_multi_round`` driver (the round protocol of
+    lmms-eval/lmms_eval/models/llava_onevision.py:568-773 at bs=1).
+
+    arguments = (context, gen_kwargs, doc_to_visual, doc_to_text, doc_id,
+    task, split). Rounds after the first re-query doc_to_text with
+    (doc, previous_output, round_idx, previous_round_info) which returns
+    (visuals, context, terminal_signal, round_res, round_info); the loop
+    stops at the terminal signal. Per request the result is the list of
+    per-round responses (the reference's zip over batched_round_res).
+    """
+    results: List[List[str]] = []
+    for req in requests:
+        context, gen_kwargs, doc_to_visual, doc_to_text, *_ = req.arguments
+        visuals = doc_to_visual(req.doc) if doc_to_visual else []
+        max_rounds = int(gen_kwargs.get("max_rounds", default_max_rounds))
+        round_res: List[str] = []
+        round_info = None
+        for round_idx in range(max_rounds):
+            if round_idx > 0:
+                visuals, context, terminal, round_res, round_info = \
+                    doc_to_text(req.doc, previous_output=round_res,
+                                round_idx=round_idx,
+                                previous_round_info=round_info)
+                round_res = list(round_res)
+                if terminal:
+                    break
+            round_res.append(generate_one(context, visuals, gen_kwargs))
+        results.append(round_res)
+    return results
 
 
 class SimpleTokenizer:
@@ -261,6 +294,59 @@ class LlavaMSD:
         if self.log_dir:
             self.write_run_outputs()
         return outputs
+
+    def _generate_plain(self, context: str, visuals, gen_kwargs: Dict) -> str:
+        """One uncalibrated generation (shared by multi-round)."""
+        ids, feats = self._prepare(context, visuals)
+        sp = self._sp(gen_kwargs)
+        max_new = int(gen_kwargs.get("max_new_tokens", 512))
+        fn = self.gen.generate if self.use_msd else self.gen.naive_generate
+        r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp)
+        self.total_accept_len += getattr(r, "accept_len_sum", 0)
+        self.total_accept_steps += getattr(r, "accept_steps", 0)
+        return self.tokenizer.decode(list(r.tokens),
+                                     skip_special_tokens=True).strip()
+
+    def generate_until_multi_round(self, requests: List[Instance]
+                                   ) -> List[List[str]]:
+        """Round-looped generation (api/model.py:77-94; the reference MSD
+        adapter leaves this NotImplemented at llava_msd_calibrated.py:677 —
+        implemented here via the llava_onevision.py:568-773 protocol)."""
+        return run_multi_round(self._generate_plain, requests)
+
+    def loglikelihood(self, requests: List[Instance]
+                      ) -> List[tuple]:
+        """(sum logprob of continuation, is_greedy) per request
+        (llava_msd_calibrated.py:231-305; api/model.py:29-54).
+
+        arguments = (context, doc_to_target, doc_to_visual, doc_id, task,
+        split); the continuation is scored teacher-forced in one forward
+        with the context labels masked (engine/scoring.py)."""
+        res = []
+        for req in requests:
+            context, doc_to_target, doc_to_visual, doc_id, task, split = \
+                req.arguments
+            continuation = (doc_to_target if isinstance(doc_to_target, str)
+                            else doc_to_target(req.doc))
+            visuals = doc_to_visual(req.doc) if doc_to_visual else []
+            with_image = bool(visuals) and self.gen.n_img > 0
+            conv = vicuna_v1("")
+            q = f"<image>\n{context}" if with_image else context
+            conv.append_message(conv.roles[0], q)
+            conv.append_message(conv.roles[1], None)
+            ids_ctx = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+            conv.messages[-1] = (conv.roles[1], continuation)
+            ids_full = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+            feats = None
+            if with_image:
+                px = process_image(visuals[0], image_size=self.image_size)
+                if self.encode_image_fn is None:
+                    raise ValueError("image provided but no vision encoder")
+                feats = self.encode_image_fn(jnp.asarray(px))
+            lp, greedy = self.gen.score(ids_full, cont_start=len(ids_ctx),
+                                        img_feats=feats)
+            res.append((lp, greedy))
+        return res
 
     def write_run_outputs(self) -> Dict[str, str]:
         """Final acceptance-rate JSON + calibration stats/reliability dump

@@ -123,6 +123,60 @@ class Qwen2VLMSD:
         self.total_duration_seconds = time.time() - t0
         return outputs
 
+    def _encode_visual(self, visuals):
+        if not (bool(visuals) and self.gen.n_img > 0):
+            return None
+        from msd_tpu.utils.mm_utils import process_image
+        px = process_image(visuals[0], image_size=self.img_grid[0] * 14)
+        return self.encode_image_fn(jnp.asarray(px))
+
+    def _generate_plain(self, context: str, visuals, gen_kwargs: Dict) -> str:
+        with_image = bool(visuals) and self.gen.n_img > 0
+        ids, _ = qwen_chat_ids(self.tokenizer, context, self.gen.n_img,
+                               with_image)
+        feats = self._encode_visual(visuals)
+        sp = self._sp(gen_kwargs)
+        max_new = int(gen_kwargs.get("max_new_tokens", 512))
+        fn = self.gen.generate if self.use_msd else self.gen.naive_generate
+        r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp,
+               img_grid=self.merged_grid if with_image else None)
+        self.total_accept_len += getattr(r, "accept_len_sum", 0)
+        self.total_accept_steps += getattr(r, "accept_steps", 0)
+        return self.tokenizer.decode(list(r.tokens),
+                                     skip_special_tokens=True).strip()
+
+    def generate_until_multi_round(self, requests: List[Instance]
+                                   ) -> List[List[str]]:
+        from msd_tpu.harness.models.llava_msd import run_multi_round
+        return run_multi_round(self._generate_plain, requests)
+
+    def loglikelihood(self, requests: List[Instance]) -> List[Tuple]:
+        """(sum logprob of continuation, is_greedy) under the Qwen chat
+        template: the continuation is the assistant span appended to the
+        '<|im_start|>assistant\\n' context (api/model.py:29-54)."""
+        res = []
+        for req in requests:
+            context, doc_to_target, doc_to_visual, *_ = req.arguments
+            continuation = (doc_to_target if isinstance(doc_to_target, str)
+                            else doc_to_target(req.doc))
+            visuals = doc_to_visual(req.doc) if doc_to_visual else []
+            with_image = bool(visuals) and self.gen.n_img > 0
+            ids_ctx, _ = qwen_chat_ids(self.tokenizer, context,
+                                       self.gen.n_img, with_image)
+            cont_ids = np.asarray(
+                self.tokenizer.encode(continuation), np.int32)
+            # HF Qwen tokenizers have no BOS; the byte-fallback one does
+            bos = getattr(self.tokenizer, "bos_token_id", None)
+            if bos is not None and len(cont_ids) and cont_ids[0] == bos:
+                cont_ids = cont_ids[1:]
+            ids_full = np.concatenate([ids_ctx, cont_ids]).astype(np.int32)
+            feats = self._encode_visual(visuals)
+            lp, greedy = self.gen.score(
+                ids_full, cont_start=len(ids_ctx), img_feats=feats,
+                img_grid=self.merged_grid if with_image else None)
+            res.append((lp, greedy))
+        return res
+
     @property
     def msd_stats(self) -> Dict[str, float]:
         steps = max(self.total_accept_steps, 1)

@@ -38,6 +38,13 @@ class TaskConfig:
         "max_new_tokens": 512, "temperature": 0.0})
     metric_names: Sequence[str] = ("accuracy",)
     synthetic_docs: Optional[Callable[[int], List[Dict]]] = None
+    # request type (api/task.py OUTPUT_TYPE): "generate_until" |
+    # "loglikelihood" | "generate_until_multi_round"
+    output_type: str = "generate_until"
+    # loglikelihood tasks: either one target per doc (doc_to_target) or one
+    # request per choice (doc_to_choice) scored by likelihood
+    doc_to_target: Optional[Callable[[Dict], str]] = None
+    doc_to_choice: Optional[Callable[[Dict], List[str]]] = None
 
     # ------------------------------------------------------------------
     def load_docs(self, limit: Optional[int] = None) -> List[Dict]:
@@ -74,11 +81,32 @@ class TaskConfig:
         for doc_id, doc in self.doc_iterator(docs, rank, world_size, limit,
                                              bottom):
             ctx = self.doc_to_text(doc)
-            reqs.append(Instance(
-                request_type="generate_until", doc=doc,
-                arguments=(ctx, dict(self.gen_kwargs), self.doc_to_visual,
-                           doc_id, self.name, self.split),
-                idx=len(reqs), task_name=self.name, doc_id=doc_id))
+            if self.output_type == "loglikelihood":
+                if self.doc_to_choice is not None:
+                    targets = list(self.doc_to_choice(doc))
+                else:
+                    tgt = self.doc_to_target
+                    targets = [tgt(doc) if callable(tgt) else str(tgt)]
+                for i, tgt in enumerate(targets):
+                    reqs.append(Instance(
+                        request_type="loglikelihood", doc=doc,
+                        arguments=(ctx, tgt, self.doc_to_visual, doc_id,
+                                   self.name, self.split),
+                        idx=i, task_name=self.name, doc_id=doc_id))
+            elif self.output_type == "generate_until_multi_round":
+                reqs.append(Instance(
+                    request_type="generate_until_multi_round", doc=doc,
+                    arguments=(ctx, dict(self.gen_kwargs),
+                               self.doc_to_visual, self.doc_to_text,
+                               doc_id, self.name, self.split),
+                    idx=0, task_name=self.name, doc_id=doc_id))
+            else:
+                reqs.append(Instance(
+                    request_type="generate_until", doc=doc,
+                    arguments=(ctx, dict(self.gen_kwargs),
+                               self.doc_to_visual, doc_id, self.name,
+                               self.split),
+                    idx=len(reqs), task_name=self.name, doc_id=doc_id))
         return reqs
 
     def aggregate(self, results: List[Dict[str, float]]) -> Dict[str, float]:
@@ -229,6 +257,46 @@ def make_anls_task(name: str, dataset_path=None) -> TaskConfig:
         synthetic_docs=_synth_vqa_docs)
 
 
+def make_mc_ppl_task(name: str, dataset_path=None) -> TaskConfig:
+    """Multiple-choice scored BY LIKELIHOOD (output_type=loglikelihood):
+    one request per option, pick the argmax logprob (the lmms-eval
+    ppl-style MC pattern, api/task.py doc_to_choice)."""
+    def _choices(d):
+        opts = d.get("options") or d.get("choices") or []
+        # strip "A. " style prefixes: the scored continuation is the text
+        return [o.split(". ", 1)[-1] if isinstance(o, str) else str(o)
+                for o in opts]
+
+    def _res(d, results):
+        # results: [(logprob, is_greedy), ...] aligned with choices
+        lps = [lp for lp, _ in results]
+        pred = int(np.argmax(lps)) if lps else -1
+        ans = d["answer"]
+        gold = ("ABCDEFGH".index(ans.strip().upper()[0])
+                if isinstance(ans, str) and ans.strip() else int(ans))
+        return {"accuracy": 1.0 if pred == gold else 0.0}
+
+    return TaskConfig(
+        name=name,
+        doc_to_text=lambda d: (
+            d["question"] + ("\n" + "\n".join(d["options"])
+                             if d.get("options") else "")
+            + "\nAnswer with the option's letter from the given choices "
+              "directly."),
+        doc_to_visual=_visual,
+        process_results=_res,
+        dataset_path=dataset_path,
+        output_type="loglikelihood",
+        doc_to_choice=_choices,
+        metric_names=("accuracy",),
+        synthetic_docs=lambda n: [{
+            "question": f"Which option is number {i % 4}?",
+            "options": [f"{c}. option {j}" for j, c in enumerate("ABCD")],
+            "answer": "ABCD"[i % 4],
+            "image": _synth_image(i),
+        } for i in range(n)])
+
+
 def make_yesno_task(name: str, dataset_path=None) -> TaskConfig:
     """POPE-style binary hallucination probe (yes/no accuracy + yes-rate)."""
     def _res(d, r):
@@ -275,4 +343,5 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
                                                 p("ScienceQA")))
     register_task("mmbench_en", make_mc_task("mmbench_en", p("MMBench")))
     register_task("ocrbench", make_freeform_task("ocrbench", p("OCRBench")))
+    register_task("ai2d_ppl", make_mc_ppl_task("ai2d_ppl", p("AI2D")))
     register_task("synthetic_vqa", make_chartqa(None))
