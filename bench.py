@@ -82,6 +82,11 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=400)
     ap.add_argument("--distill-prompts", type=int, default=6)
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--residual-dtype", default="float32",
+                    choices=["float32", "native"],
+                    help="fp32 residual stream (default): matmuls stay bf16 "
+                         "on the MXU, the residual adds accumulate in fp32 — "
+                         "stabilizes greedy argmax across program shapes")
     ap.add_argument("--tree-nodes", type=int, default=128,
                     help="-1 = autotune (the reference's total_token=-1)")
     ap.add_argument("--quant", default="none",
@@ -142,7 +147,10 @@ def main():
         tcfg = LlamaConfig.tiny(vocab_size=32000, hidden_size=512, layers=4,
                                 heads=8, intermediate_size=1376, max_pos=4096)
         dtype = jnp.float32
-    tcfg = dataclasses.replace(tcfg, attn_impl=args.attn_impl)
+    tcfg = dataclasses.replace(
+        tcfg, attn_impl=args.attn_impl,
+        residual_dtype=(None if args.residual_dtype == "native"
+                        else args.residual_dtype))
     dcfg = DraftConfig(text=tcfg)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
@@ -320,6 +328,22 @@ def main():
     n_cmp = min(len(m.tokens), len(r.tokens))
     lossless = bool(np.array_equal(m.tokens[:n_cmp], r.tokens[:n_cmp]))
     log(f"greedy MSD == AR on first {n_cmp} tokens: {lossless}")
+    tie_gap = None
+    if not lossless:
+        # diagnose: at the first divergence, how far apart are the two
+        # candidates' target logprobs? A near-zero gap means a numeric
+        # argmax tie flipped between the AR and tree-verify program shapes
+        # (not an algorithmic acceptance bug — the CPU suite pins exact
+        # MSD==AR at full precision).
+        i = int(np.argmax(m.tokens[:n_cmp] != r.tokens[:n_cmp]))
+        prefix = np.concatenate([ids, r.tokens[:i]]).astype(np.int32)
+        lp_ar, _ = gen.score(np.append(prefix, r.tokens[i]).astype(np.int32),
+                             cont_start=len(prefix), img_feats=feats)
+        lp_msd, _ = gen.score(np.append(prefix, m.tokens[i]).astype(np.int32),
+                              cont_start=len(prefix), img_feats=feats)
+        tie_gap = abs(lp_ar - lp_msd)
+        log(f"first divergence at new-token {i}: AR={r.tokens[i]} "
+            f"MSD={m.tokens[i]}, teacher-forced logprob gap {tie_gap:.5f}")
     log(f"MSD: {steps} steps, best {min(msd_times):.3f}s -> "
         f"{t_step*1e3:.2f} ms/step, measured alpha={m.avg_accept_len:.3f}")
 
@@ -341,6 +365,9 @@ def main():
             "msd_ms_per_step": round(t_step * 1e3, 3),
             "measured_alpha": round(m.avg_accept_len, 3),
             "greedy_lossless_vs_ar": lossless,
+            "divergence_logprob_gap": (round(tie_gap, 5)
+                                       if tie_gap is not None else None),
+            "residual_dtype": args.residual_dtype,
             "measured_speedup": round(speedup_measured, 3),
             "distilled_ok": distilled_ok,
             "distill_steps": args.distill_steps,

@@ -35,6 +35,12 @@ class LlamaConfig:
     # flash kernel — skips dead KV-cache blocks; requires cache len % 128 == 0
     # and head_dim == 128; TPU only)
     attn_impl: str = "xla"
+    # residual-stream dtype ("float32" to carry the residual in fp32 while
+    # every matmul stays in the param dtype). Stabilizes greedy argmax under
+    # bf16: rounding drift otherwise accumulates across all layers and flips
+    # near-ties differently between the AR and tree-verify forwards. None =
+    # inherit the activation dtype (bit-compatible with round-1 behavior).
+    residual_dtype: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

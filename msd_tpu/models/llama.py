@@ -146,6 +146,9 @@ def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
         h = x
     else:
         h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+    # matmuls run in the param dtype even when the residual rides in fp32
+    # (cfg.residual_dtype): bf16 MXU inputs, fp32 elementwise accumulation
+    h = h.astype(lp["input_layernorm"].dtype)
     q = jnp.einsum("th,oh->to", h, _w(lp, "q_proj"))
     k = jnp.einsum("th,oh->to", h, _w(lp, "k_proj"))
     v = jnp.einsum("th,oh->to", h, _w(lp, "v_proj"))
@@ -163,13 +166,14 @@ def _layer_qkv(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
 def _layer_post_attn(lp: Params, cfg: LlamaConfig, resid: jnp.ndarray,
                      attn: jnp.ndarray):
     t = attn.shape[0]
-    x = resid + attn.reshape(t, -1) @ _w(lp, "o_proj")
+    x = resid + (attn.reshape(t, -1) @ _w(lp, "o_proj")).astype(resid.dtype)
     resid = x
     h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+    h = h.astype(lp["post_attention_layernorm"].dtype)
     gate = jax.nn.silu((h @ _w(lp, "gate_proj")).astype(jnp.float32)
                        ).astype(h.dtype)
     up = h @ _w(lp, "up_proj")
-    return resid + (gate * up) @ _w(lp, "down_proj")
+    return resid + ((gate * up) @ _w(lp, "down_proj")).astype(resid.dtype)
 
 
 def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len):
@@ -212,6 +216,9 @@ def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
     of materializing a per-forward copy of the whole cache.
     """
     nl = params["layers"]["q_proj"].shape[0]
+    out_dtype = embeds.dtype
+    if cfg.residual_dtype is not None:
+        embeds = embeds.astype(jnp.dtype(cfg.residual_dtype))
 
     def body(carry, scan_in):
         x, kv_k_all, kv_v_all = carry
@@ -232,7 +239,8 @@ def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
     (x, new_k, new_v), _ = jax.lax.scan(
         body, (embeds, kv["k"], kv["v"]),
         (params["layers"], jnp.arange(nl, dtype=jnp.int32)))
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    # final norm in the residual dtype, interface dtype on the way out
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps).astype(out_dtype)
     return x, {"k": new_k, "v": new_v}
 
 

@@ -130,3 +130,58 @@ def shard_params(params: Dict, specs: Dict, mesh: Mesh) -> Dict:
 def specs_to_shardings(specs: Dict, mesh: Mesh) -> Dict:
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-analog optimizer-state sharding (DeepSpeed ZeRO-1, SURVEY §2.7).
+# The params stay TP-sharded/replicated for the forward; the optimizer
+# moments additionally shard over the 'data' axis, so per-device optimizer
+# memory shrinks by dp — the TPU equivalent of ZeRO partitioning optimizer
+# state across DDP ranks (ref: deepspeed_config in main_deepspeed.py).
+# ---------------------------------------------------------------------------
+
+def zero_opt_specs(specs: Dict, params: Dict, mesh: Mesh) -> Dict:
+    """Opt-moment specs: each param's spec plus a 'data' shard on the first
+    axis that is unsharded and divisible by the data-axis size."""
+    dp = mesh.shape["data"]
+
+    def zspec(s: P, x) -> P:
+        axes = list(s) + [None] * (x.ndim - len(s))
+        if dp > 1:
+            for i, a in enumerate(axes):
+                if a is None and x.shape[i] % dp == 0 and x.shape[i] >= dp:
+                    axes[i] = "data"
+                    break
+        return P(*axes)
+
+    return jax.tree.map(zspec, _prune_specs(specs, params), params,
+                        is_leaf=lambda n: isinstance(n, P))
+
+
+def shard_opt_state_zero(opt_state, specs: Dict, params: Dict, mesh: Mesh):
+    """Re-place adam moments (mu/nu) with zero_opt_specs shardings.
+
+    Works on any optax state pytree: nodes carrying ``mu``/``nu`` fields
+    (ScaleByAdamState and friends) get their moments data-sharded; scalars
+    and everything else stay as initialized."""
+    zsh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                       zero_opt_specs(specs, params, mesh),
+                       is_leaf=lambda n: isinstance(n, P))
+
+    def place_tree(t):
+        # frozen params (optax.masked) appear as MaskedNode placeholders in
+        # the moments — pass anything array-less through unplaced
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s) if hasattr(x, "shape") else x,
+            t, zsh,
+            is_leaf=lambda n: hasattr(n, "shape")
+            or type(n).__name__ == "MaskedNode")
+
+    def visit(node):
+        if hasattr(node, "mu") and hasattr(node, "nu"):
+            return node._replace(mu=place_tree(node.mu),
+                                 nu=place_tree(node.nu))
+        return node
+
+    return jax.tree.map(visit, opt_state,
+                        is_leaf=lambda n: hasattr(n, "mu") and hasattr(n, "nu"))

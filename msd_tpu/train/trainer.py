@@ -93,13 +93,37 @@ class DraftTrainer:
         self.params = dparams
         self.head_w = head_w
         self.opt = make_optimizer(tc.train)
-        self.opt_state = self.opt.init(dparams)
+        jit_kw = {}
+        if mesh is not None:
+            # (data, model) mesh: params TP-sharded, optimizer moments
+            # additionally sharded over 'data' (the DeepSpeed ZeRO-1 analog,
+            # SURVEY §2.7); out_shardings pin the layout across steps.
+            from msd_tpu.parallel.sharding import (draft_param_specs,
+                                                   shard_opt_state_zero,
+                                                   shard_params)
+            specs = draft_param_specs(dcfg, has_bias="fc_b" in dparams)
+            self.params = shard_params(dparams, specs, mesh)
+            self.opt_state = shard_opt_state_zero(
+                self.opt.init(self.params), specs, self.params, mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
+
+            def _sh(x):  # scalar leaves (adam count etc.) replicate
+                s = getattr(x, "sharding", None)
+                return s if isinstance(s, NamedSharding) else repl
+            jit_kw["out_shardings"] = (
+                jax.tree.map(_sh, self.params),
+                jax.tree.map(_sh, self.opt_state), repl,
+                jax.tree.map(lambda _: repl, {"loss": 0, "vloss": 0,
+                                              "ploss": 0, "top1_agree": 0}))
+        else:
+            self.opt_state = self.opt.init(dparams)
         self.cos_t, self.sin_t = make_rope(dcfg.text, tc.max_len + 8)
         self.key = jax.random.PRNGKey(0)
         self.step_count = 0
         self.epoch = 0
         self._step = jax.jit(functools.partial(
-            train_step, cfg=dcfg, tcfg=tc.train, opt=self.opt))
+            train_step, cfg=dcfg, tcfg=tc.train, opt=self.opt), **jit_kw)
 
     # ------------------------------------------------------------------
     def run_epoch(self, visual_records: List[Dict], text_records: List[Dict],

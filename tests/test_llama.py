@@ -159,3 +159,56 @@ def test_int4_weight_only_quantization():
     msd = gen.generate(ids, max_new_tokens=12)
     ar = gen.naive_generate(ids, max_new_tokens=12)
     np.testing.assert_array_equal(msd.tokens, ar.tokens)
+
+
+def test_residual_dtype_fp32_is_identity_on_fp32_params():
+    """residual_dtype='float32' with fp32 params is the same program."""
+    import dataclasses
+
+    import jax
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=2,
+                           intermediate_size=64, max_pos=128)
+    params = L.init_llama_params(jax.random.PRNGKey(0), cfg)
+    cos_t, sin_t = L.make_rope(cfg, 64)
+    emb = params["embed_tokens"][jnp.arange(16) % 128]
+    from msd_tpu.ops.attention import causal_prefill_bias
+    bias = causal_prefill_bias(16, 16)
+    pos = jnp.arange(16, dtype=jnp.int32)
+
+    def run(c):
+        kv = L.init_kv_cache(c, 16, emb.dtype)
+        h, _ = L.llama_forward(params, c, emb, pos, kv, jnp.int32(0), bias,
+                               cos_t, sin_t)
+        return np.asarray(L.lm_head(params, h))
+
+    a = run(cfg)
+    b = run(dataclasses.replace(cfg, residual_dtype="float32"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_residual_dtype_fp32_msd_lossless_on_bf16():
+    """bf16 params + fp32 residual: greedy MSD == greedy AR end-to-end."""
+    import dataclasses
+
+    import jax
+    from msd_tpu.configs import DraftConfig, EngineConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=2, heads=4,
+                         intermediate_size=128, max_pos=1024),
+        residual_dtype="float32")
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    tp = L.init_llama_params(k1, cfg, jnp.bfloat16)
+    dp = draft_mod.init_draft_params(k2, dcfg, jnp.bfloat16)
+    dp["embed_tokens"] = tp["embed_tokens"]
+    eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=64,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, n_img=0, eos_id=-1)
+    ids = np.random.default_rng(3).integers(3, 250, size=17).astype(np.int32)
+    ar = gen.naive_generate(ids, max_new_tokens=48)
+    msd = gen.generate(ids, max_new_tokens=48)
+    n = min(len(ar.tokens), len(msd.tokens))
+    assert n > 0 and np.array_equal(ar.tokens[:n], msd.tokens[:n])

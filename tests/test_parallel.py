@@ -202,3 +202,57 @@ def test_sequence_parallel_forward_matches():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5,
                                    err_msg=f"mode={mode}")
+
+
+def test_zero_optimizer_state_sharding():
+    """ZeRO-1 analog (SURVEY §2.7 DeepSpeed row): adam moments shard over
+    'data' on top of the TP layout — per-device moment memory shrinks by dp —
+    and a DraftTrainer(mesh=...) step runs and PRESERVES the sharding."""
+    from msd_tpu.parallel.sharding import (shard_opt_state_zero,
+                                           zero_opt_specs)
+    from msd_tpu.train.draft_train import TrainConfig
+    from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=64, layers=1, heads=8,
+                           intermediate_size=128, max_pos=256)
+    dcfg = DraftConfig(text=cfg)
+    dparams = draft_mod.init_draft_params(jax.random.PRNGKey(0), dcfg)
+    mesh = make_mesh(4, dp=2, tp=2)
+    specs = draft_param_specs(dcfg, "fc_b" in dparams)
+
+    zspecs = zero_opt_specs(specs, dparams, mesh)
+    # fc_w is replicated as a param -> its moment gains a 'data' shard
+    assert zspecs["fc_w"] == P("data", None)
+    # column-parallel q_proj keeps 'model' and adds 'data' on a free axis
+    assert "model" in tuple(zspecs["layers"]["q_proj"])
+    assert "data" in tuple(zspecs["layers"]["q_proj"])
+
+    head_w = jax.random.normal(jax.random.PRNGKey(1), (64, 128)) * 0.1
+    head_sh = jax.device_put(head_w, NamedSharding(mesh, P(None, "model")))
+    tc = TrainerConfig(train=TrainConfig(warmup_steps=2, total_steps=10),
+                       batch_size=2, max_len=16, num_epochs=1,
+                       log_every=10 ** 9)
+    trainer = DraftTrainer(dcfg, dparams, head_sh, tc, mesh=mesh)
+
+    def adam_node(state):
+        return [n for n in jax.tree.leaves(
+            state, is_leaf=lambda n: hasattr(n, "mu")) if hasattr(n, "mu")][0]
+
+    mu_fc = adam_node(trainer.opt_state).mu["fc_w"]
+    assert mu_fc.sharding.spec == P("data", None)
+    # per-device bytes shrank by the data-axis size
+    assert mu_fc.addressable_shards[0].data.size == mu_fc.size // 2
+
+    # one real step through the trainer keeps the ZeRO layout
+    rng = np.random.default_rng(0)
+    T, H = 16, 64
+    recs = [{"emb_next": rng.normal(size=(T, H)).astype(np.float32) * 0.1,
+             "hidden": rng.normal(size=(T, H)).astype(np.float32) * 0.1,
+             "target": rng.normal(size=(T, H)).astype(np.float32) * 0.1,
+             "loss_mask": np.ones((T,), np.float32),
+             "attn_len": np.int32(T),
+             "img_mask": np.zeros((T,), bool)} for _ in range(4)]
+    out = trainer.run_epoch([], recs, log=lambda *a: None)
+    assert np.isfinite(out["loss"])
+    mu_fc2 = adam_node(trainer.opt_state).mu["fc_w"]
+    assert mu_fc2.sharding.spec == P("data", None)
