@@ -269,9 +269,14 @@ def main():
                 full = np.concatenate([p_ids, cont]).astype(np.int32)
                 mask = np.zeros((len(full),), np.float32)
                 mask[len(p_ids) - 1:] = 1.0
+                # teacher states at the VERIFY program shape (tree-node rows
+                # over the engine's full cache) so the labels match what
+                # acceptance compares against at decode time
                 recs.append(make_record_from_ids(
                     tp, tcfg, full, mask, pad_to=pad_rec,
-                    img_feats=p_feats, n_img=n_img if has_img else 0))
+                    img_feats=p_feats, n_img=n_img if has_img else 0,
+                    verify_chunk=gen.eng.tree.num_nodes,
+                    cache_len=max_seq + gen.eng.tree.num_nodes))
             log(f"distill data: {len(recs)} on-policy records "
                 f"in {time.time()-t0:.1f}s")
 

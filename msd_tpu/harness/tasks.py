@@ -49,10 +49,19 @@ class TaskConfig:
     # ------------------------------------------------------------------
     def load_docs(self, limit: Optional[int] = None) -> List[Dict]:
         docs = None
+        self.used_synthetic_docs = False
         if self.dataset_path:
             docs = _load_local(self.dataset_path, self.split)
         if docs is None and self.synthetic_docs is not None:
             docs = self.synthetic_docs(limit or 64)
+            # LOUD marker: results computed on synthetic fallback docs must
+            # never be mistaken for a real benchmark run
+            self.used_synthetic_docs = True
+            import sys
+            print(f"WARNING: task {self.name}: no dataset at "
+                  f"{self.dataset_path!r} — serving SYNTHETIC docs "
+                  "(results are a pipeline check, not a benchmark score)",
+                  file=sys.stderr)
         if docs is None:
             raise FileNotFoundError(
                 f"task {self.name}: no dataset at {self.dataset_path!r} and "
@@ -192,11 +201,15 @@ def make_chartqa(dataset_path=None) -> TaskConfig:
         synthetic_docs=_synth_vqa_docs)
 
 
-def make_textvqa(dataset_path=None) -> TaskConfig:
+def make_textvqa(dataset_path=None, name="textvqa") -> TaskConfig:
+    """Real TextVQA HF schema: question / answers (10 annotator strings) /
+    question_id / image (tasks/textvqa/utils.py:15-58 — question is
+    capitalized, VQAv2 min(1, matches/3) rule over normalized answers)."""
     return TaskConfig(
-        name="textvqa",
-        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question using "
-                               "a single word or phrase."),
+        name=name,
+        doc_to_text=lambda d: (f"{str(d['question']).capitalize()}\n"
+                               "Answer the question using a single word or "
+                               "phrase."),
         doc_to_visual=_visual,
         process_results=lambda d, r: {
             "exact_match": M.vqa_accuracy(r[0], d.get("answers",
@@ -207,26 +220,103 @@ def make_textvqa(dataset_path=None) -> TaskConfig:
         synthetic_docs=_synth_vqa_docs)
 
 
+def _mc_letter(answer, n_options: int) -> str:
+    """AI2D-style answers are option indices ('2'); MMBench-style are
+    letters ('C') — normalize to the letter (tasks/ai2d/utils.py:31-38)."""
+    s = str(answer).strip()
+    if s.isdigit():
+        return chr(ord("A") + int(s))
+    return s.upper()[:1]
+
+
+def _mc_text(d) -> str:
+    opts = d.get("options") or d.get("choices") or []
+    letters = [chr(ord("A") + i) for i in range(len(opts))]
+    # already-lettered options ("A. foo") pass through; bare texts get
+    # lettered (the ai2d mcq prompt_format, tasks/ai2d/utils.py:7-18)
+    if opts and not str(opts[0]).rstrip().startswith(("A.", "A)")):
+        lines = [f"{l}. {o}" for l, o in zip(letters, opts)]
+    else:
+        lines = [str(o) for o in opts]
+    return (d["question"] + ("\n" + "\n".join(lines) if lines else "")
+            + "\nAnswer with the option's letter from the given choices "
+              "directly.")
+
+
 def make_mc_task(name: str, dataset_path=None) -> TaskConfig:
     return TaskConfig(
         name=name,
-        doc_to_text=lambda d: (
-            d["question"] + ("\n" + "\n".join(d["options"])
-                             if d.get("options") else "")
-            + "\nAnswer with the option's letter from the given choices "
-              "directly."),
+        doc_to_text=_mc_text,
         doc_to_visual=_visual,
         process_results=lambda d, r: {
-            "accuracy": M.mc_accuracy(r[0], d["answer"])},
+            "accuracy": M.mc_accuracy(
+                r[0], _mc_letter(d["answer"],
+                                 len(d.get("options")
+                                     or d.get("choices") or [])))},
         dataset_path=dataset_path,
         gen_kwargs={"max_new_tokens": 8, "temperature": 0.0},
         metric_names=("accuracy",),
         synthetic_docs=lambda n: [{
             "question": f"Which option is number {i % 4}?",
-            "options": [f"{c}. option {j}" for j, c in enumerate("ABCD")],
-            "answer": "ABCD"[i % 4],
+            "options": [f"option {j}" for j in range(4)],
+            "answer": str(i % 4),
             "image": _synth_image(i),
         } for i in range(n)])
+
+
+def make_mathvista(dataset_path=None) -> TaskConfig:
+    """Real MathVista schema (question_type/answer_type/choices/precision/
+    decoded_image) with the reference's extraction->normalize->safe_equal
+    pipeline rebuilt offline (task_utils/mathvista.py; ref
+    tasks/mathvista/utils.py + mathvista_evals.py)."""
+    from msd_tpu.harness.task_utils import mathvista as MV
+    return TaskConfig(
+        name="mathvista",
+        doc_to_text=MV.doc_to_text,
+        doc_to_visual=MV.doc_to_visual,
+        process_results=MV.process_results,
+        dataset_path=dataset_path,
+        split="testmini",
+        gen_kwargs={"max_new_tokens": 1024, "temperature": 0.0},
+        metric_names=("gpt_eval_score",),
+        synthetic_docs=lambda n: [(
+            {"question": f"Which letter marks value {i % 4}?",
+             "question_type": "multi_choice", "answer_type": "text",
+             "choices": [f"value {j}" for j in range(4)],
+             "answer": f"value {i % 4}", "precision": 0,
+             "query": "", "pid": str(i), "metadata": {"split": "testmini"},
+             "image": _synth_image(i)}
+            if i % 2 == 0 else
+            {"question": f"What is {i} plus {i}?",
+             "question_type": "free_form", "answer_type": "integer",
+             "choices": None, "answer": str(2 * i), "precision": 0,
+             "query": "", "pid": str(i), "metadata": {"split": "testmini"},
+             "image": _synth_image(i)}) for i in range(n)])
+
+
+def make_mathverse(dataset_path=None) -> TaskConfig:
+    """Real MathVerse schema (query_wo/query_cot/problem_version/
+    sample_index) with offline extraction+match scoring
+    (task_utils/mathverse.py; ref tasks/mathverse/utils.py)."""
+    from msd_tpu.harness.task_utils import mathverse as MVE
+    return TaskConfig(
+        name="mathverse",
+        doc_to_text=MVE.doc_to_text,
+        doc_to_visual=MVE.doc_to_visual,
+        process_results=MVE.process_results,
+        dataset_path=dataset_path,
+        split="testmini",
+        gen_kwargs={"max_new_tokens": 1024, "temperature": 0.0},
+        metric_names=("gpt_eval_score",),
+        synthetic_docs=lambda n: [{
+            "question": f"What is {i} times 2?",
+            "query_wo": (f"What is {i} times 2? Please answer the question "
+                         "and provide the final answer at the end."),
+            "query_cot": f"What is {i} times 2? Reason step by step.",
+            "question_type": "free-form", "problem_version": "Text Only",
+            "answer": str(2 * i), "sample_index": str(i),
+            "problem_index": str(i), "metadata": {"split": "testmini"},
+            "image": _synth_image(i)} for i in range(n)])
 
 
 def make_freeform_task(name: str, dataset_path=None) -> TaskConfig:
@@ -332,8 +422,8 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_task("textvqa", make_textvqa(p("TextVQA")))
     register_task("ai2d", make_mc_task("ai2d", p("AI2D")))
     register_task("iconqa", make_mc_task("iconqa", p("IconQA")))
-    register_task("mathvista", make_freeform_task("mathvista", p("MathVista")))
-    register_task("mathverse", make_freeform_task("mathverse", p("MathVerse")))
+    register_task("mathvista", make_mathvista(p("MathVista")))
+    register_task("mathverse", make_mathverse(p("MathVerse")))
     # long-tail lmms-eval tasks the reference harness also exposes
     register_task("docvqa", make_anls_task("docvqa", p("DocVQA")))
     register_task("infovqa", make_anls_task("infovqa", p("InfoVQA")))
@@ -344,4 +434,11 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_task("mmbench_en", make_mc_task("mmbench_en", p("MMBench")))
     register_task("ocrbench", make_freeform_task("ocrbench", p("OCRBench")))
     register_task("ai2d_ppl", make_mc_ppl_task("ai2d_ppl", p("AI2D")))
+    # user YAML tasks (the lmms-eval tasks/*.yaml layer): every *.yaml under
+    # $MSD_TPU_TASKS (or <dataset_root>/tasks) registers one task
+    yaml_dir = os.environ.get("MSD_TPU_TASKS",
+                              os.path.join(root, "tasks") if root else "")
+    if yaml_dir and os.path.isdir(yaml_dir):
+        from msd_tpu.harness.yaml_task import register_yaml_dir
+        register_yaml_dir(yaml_dir, dataset_root=root or None)
     register_task("synthetic_vqa", make_chartqa(None))

@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from msd_tpu.configs import IMAGE_TOKEN_INDEX, LlamaConfig
@@ -131,15 +132,75 @@ def make_training_record(params: Dict, cfg: LlamaConfig, tokenizer,
             "img_mask": img_mask, "exp_ids": out["exp_ids"]}
 
 
+def teacher_forward_verify_shaped(params: Dict, cfg: LlamaConfig,
+                                  ids: np.ndarray,
+                                  img_feats: Optional[jnp.ndarray],
+                                  img_pos: int, n_img: int, pad_to: int,
+                                  chunk: int, cache_len: int
+                                  ) -> Dict[str, np.ndarray]:
+    """Teacher forward in the ENGINE VERIFY's program shape: `chunk`-row
+    forwards against a `cache_len` preallocated KV cache (spec_engine._verify
+    runs llama_forward with T=tree.num_nodes rows over Statics.s_target).
+
+    XLA compiles (and tiles) per shape, so near-tie argmaxes can flip between
+    a full-sequence prefill forward and the verify forward. Distillation
+    labels extracted at the verify shape agree with what acceptance actually
+    compares against at decode time — measurably higher end-to-end alpha on
+    random/bf16 targets whose logit gaps sit near rounding noise.
+    """
+    P_exp = pad_to + max(n_img - 1, 0)
+    Pc = ((P_exp + chunk - 1) // chunk) * chunk
+    cache_len = max(cache_len, Pc)
+    padded = np.zeros((pad_to,), np.int32)
+    padded[:len(ids)] = ids
+    padded_j = jnp.asarray(padded)
+    cos_t, sin_t = L.make_rope(cfg, cache_len + 8)
+    if n_img > 0:
+        fused = fuse_embeddings(params["embed_tokens"], padded_j, img_feats,
+                                jnp.int32(img_pos), P_exp)
+        exp_ids = expand_ids(jnp.where(padded_j < 0, 0, padded_j),
+                             jnp.int32(img_pos), n_img, P_exp)
+    else:
+        fused = params["embed_tokens"][jnp.maximum(padded_j, 0)]
+        exp_ids = padded_j
+    fused_pad = jnp.zeros((Pc, fused.shape[1]), fused.dtype)
+    fused_pad = jax.lax.dynamic_update_slice(fused_pad, fused, (0, 0))
+
+    @jax.jit
+    def run(fused_pad):
+        kv0 = L.init_kv_cache(cfg, cache_len, fused_pad.dtype)
+
+        def step(kv, i):
+            start = i * chunk
+            rows = jax.lax.dynamic_slice(
+                fused_pad, (start, 0), (chunk, fused_pad.shape[1]))
+            pos = start + jnp.arange(chunk, dtype=jnp.int32)
+            bias = causal_prefill_bias(chunk, cache_len, start=start)
+            h, kv = L.llama_forward(params, cfg, rows, pos, kv, start, bias,
+                                    cos_t, sin_t)
+            return kv, h
+
+        _, hs = jax.lax.scan(step, kv0,
+                             jnp.arange(Pc // chunk, dtype=jnp.int32))
+        return hs.reshape(Pc, -1)
+
+    hidden = np.asarray(run(fused_pad))[:P_exp]
+    return {"fused": np.asarray(fused), "hidden": hidden,
+            "exp_ids": np.asarray(exp_ids)}
+
+
 def make_record_from_ids(params: Dict, cfg: LlamaConfig, ids: np.ndarray,
                          loss_mask: np.ndarray, pad_to: int,
                          img_feats: Optional[jnp.ndarray] = None,
-                         n_img: int = 0, img_pos: Optional[int] = None
+                         n_img: int = 0, img_pos: Optional[int] = None,
+                         verify_chunk: int = 0, cache_len: int = 0
                          ) -> Dict[str, np.ndarray]:
     """Record directly from token ids (on-policy distillation / custom data).
 
     ids: [T] (may contain IMAGE_TOKEN_INDEX); loss_mask: [T] 1.0 where the
     NEXT-token prediction at that source position should be trained.
+    verify_chunk > 0 extracts teacher states at the engine verify's program
+    shape (teacher_forward_verify_shaped) instead of one prefill forward.
     """
     ids = np.asarray(ids, np.int32)[:pad_to]
     loss_mask = np.asarray(loss_mask, np.float32)[:pad_to]
@@ -148,7 +209,13 @@ def make_record_from_ids(params: Dict, cfg: LlamaConfig, ids: np.ndarray,
         pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
         img_pos = int(pos[0]) if len(pos) else pad_to
 
-    out = teacher_forward(params, cfg, ids, img_feats, img_pos, n_img, pad_to)
+    if verify_chunk > 0:
+        out = teacher_forward_verify_shaped(
+            params, cfg, ids, img_feats, img_pos, n_img, pad_to,
+            chunk=verify_chunk, cache_len=cache_len)
+    else:
+        out = teacher_forward(params, cfg, ids, img_feats, img_pos, n_img,
+                              pad_to)
     P_exp = out["hidden"].shape[0]
     e_len = len(ids) + (n_img - 1 if with_image else 0)
     exp_mask = np.zeros((P_exp,), np.float32)

@@ -147,3 +147,29 @@ def test_qwen_record_layout():
     assert rec["img_mask"][4] and rec["img_mask"][9]
     assert not rec["img_mask"][11]
     assert rec["loss_mask"].sum() > 0
+
+
+def test_verify_shaped_teacher_matches_prefill_teacher():
+    """teacher_forward_verify_shaped computes the same hidden states as the
+    one-shot prefill teacher (same math, chunked program shape)."""
+    import jax.numpy as jnp
+
+    from msd_tpu.configs import LlamaConfig
+    from msd_tpu.models import llama as L
+    from msd_tpu.train.data_gen import (teacher_forward,
+                                        teacher_forward_verify_shaped)
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=2,
+                           intermediate_size=64, max_pos=512)
+    params = L.init_llama_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 120, size=40).astype(np.int32)
+    feats = jnp.asarray(rng.normal(size=(4, 32)) * 0.1, jnp.float32)
+    ids[3] = -200  # IMAGE_TOKEN_INDEX
+
+    a = teacher_forward(params, cfg, ids, feats, 3, 4, pad_to=48)
+    b = teacher_forward_verify_shaped(params, cfg, ids, feats, 3, 4,
+                                      pad_to=48, chunk=16, cache_len=96)
+    np.testing.assert_array_equal(a["exp_ids"], b["exp_ids"])
+    np.testing.assert_allclose(a["hidden"], b["hidden"], atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(a["fused"], b["fused"], atol=0, rtol=0)
