@@ -123,6 +123,33 @@ class MSDGenerator:
                                       self.n_img, gh, gw)
         return jnp.asarray(pos3, jnp.int32), delta
 
+    def _fuse_multi(self, ids: np.ndarray, img_feats_list) -> tuple:
+        """Host-side multi-image fusion + padding (llava_arch.py:229-324 via
+        models/llava.fuse_embeddings_multi). Returns device-ready
+        (fused, exp_ids, img_rows, e0, img_pos)."""
+        from msd_tpu.models.llava import fuse_embeddings_multi
+        if not hasattr(self, "_embed_host"):
+            self._embed_host = np.asarray(self.params["target"]["embed_tokens"])
+        fused, exp_ids, img_rows = fuse_embeddings_multi(
+            self._embed_host, ids, img_feats_list)
+        e0 = len(fused)
+        limit = self.eng.max_seq_len - self.eng.tree.num_nodes \
+            - self.eng.tree.max_path_len - 2
+        if e0 >= limit:
+            raise ValueError(f"multi-image prompt too long: {e0} expanded "
+                             f"tokens, engine budget allows < {limit}")
+        m = self.eng.prompt_pad_multiple
+        p = ((e0 + m - 1) // m) * m
+        fused_p = np.zeros((p, fused.shape[1]), fused.dtype)
+        fused_p[:e0] = fused
+        exp_p = np.zeros((p,), np.int32)
+        exp_p[:e0] = exp_ids
+        rows_p = np.zeros((p,), bool)
+        rows_p[:e0] = img_rows
+        img_pos = int(np.argmax(img_rows)) if img_rows.any() else e0
+        return (jnp.asarray(fused_p), jnp.asarray(exp_p),
+                jnp.asarray(rows_p), e0, img_pos)
+
     def generate(self, ids: np.ndarray, img_feats: Optional[jnp.ndarray] = None,
                  max_new_tokens: Optional[int] = None, seed: int = 0,
                  sp: Optional[SamplingParams] = None,
@@ -140,9 +167,22 @@ class MSDGenerator:
         if use_calibration and "calib" not in self.params:
             raise ValueError("set_calibrator() before use_calibration=True")
         st = self._statics(max_new, sp, use_calibration, collect_calibration)
+        key = jax.random.PRNGKey(seed)
+        if isinstance(img_feats, (list, tuple)):  # multi-image prompt
+            fused, exp_ids, img_rows, e0, img_pos = self._fuse_multi(
+                ids, img_feats)
+            state = SE.prefill_prefused(st, self.params, fused, exp_ids,
+                                        jnp.int32(e0), img_rows,
+                                        jnp.int32(img_pos), key)
+            state = SE.decode(st, self.params, state)
+            cur = int(state.cur_len)
+            out = _trim(np.asarray(state.ids[e0:cur + 1]), self.eos_id,
+                        max_new)
+            return GenResult(tokens=out, accept_steps=int(state.steps),
+                             accept_len_sum=int(state.acc_sum),
+                             alpha_hist=np.asarray(state.alpha_hist))
         padded_np = self._pad(ids)
         padded = jnp.asarray(padded_np)
-        key = jax.random.PRNGKey(seed)
         if self.image_mode == "inline":
             pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
             try:
@@ -345,9 +385,17 @@ class MSDGenerator:
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
         st = self._statics(max_new, sp)
+        key = jax.random.PRNGKey(seed)
+        if isinstance(img_feats, (list, tuple)):  # multi-image prompt
+            fused, exp_ids, _, e0, _ = self._fuse_multi(ids, img_feats)
+            carry = SE.ar_prefill_prefused(st, self.params, fused, exp_ids,
+                                           jnp.int32(e0), key)
+            ids_buf, cur, _ = SE.ar_decode(st, self.params, carry)
+            out = _trim(np.asarray(ids_buf[e0:int(cur) + 1]), self.eos_id,
+                        max_new)
+            return GenResult(tokens=out)
         padded_np = self._pad(ids)
         padded = jnp.asarray(padded_np)
-        key = jax.random.PRNGKey(seed)
         if self.image_mode == "inline":
             pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
             carry = SE.qwen_ar_prefill(st, self.params, padded,

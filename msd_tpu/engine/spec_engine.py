@@ -556,17 +556,45 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
     n_img = st.n_img if img_feats is not None else 0
     P_pad = ids.shape[0]
     P_exp = P_pad + max(n_img - 1, 0)
-    cos_t, sin_t = params["cos_t"], params["sin_t"]
-    tp, dp = params["target"], params["draft"]
+    tp = params["target"]
 
     E0 = prompt_len + max(n_img - 1, 0)
 
     if n_img > 0:
         fused = fuse_embeddings(tp["embed_tokens"], ids, img_feats, img_pos, P_exp)
         exp_ids = expand_ids(jnp.where(ids < 0, 0, ids), img_pos, n_img, P_exp)
+        j = jnp.arange(P_exp)
+        img_rows = (j >= img_pos) & (j < img_pos + n_img)
     else:
         fused = tp["embed_tokens"][jnp.maximum(ids, 0)]
         exp_ids = ids
+        img_rows = jnp.zeros((P_exp,), jnp.bool_)
+
+    return _prefill_core(st, params, fused, exp_ids, E0, img_rows, img_pos,
+                         key)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def prefill_prefused(st: Statics, params: Dict, fused: jnp.ndarray,
+                     exp_ids: jnp.ndarray, e0: jnp.ndarray,
+                     img_rows: jnp.ndarray, img_pos: jnp.ndarray,
+                     key: jnp.ndarray) -> EngineState:
+    """Prefill over HOST-prebuilt fused embeddings (multi-image / anyres
+    prompts, llava.fuse_embeddings_multi — llava_arch.py:229-324). fused:
+    [P_exp, H] already expanded; exp_ids: [P_exp] (0 at image rows);
+    img_rows: [P_exp] bool image-row mask; e0: expanded prompt length."""
+    return _prefill_core(st, params, fused, exp_ids, e0, img_rows, img_pos,
+                         key)
+
+
+def _prefill_core(st: Statics, params: Dict, fused: jnp.ndarray,
+                  exp_ids: jnp.ndarray, E0: jnp.ndarray,
+                  img_rows: jnp.ndarray, img_pos: jnp.ndarray,
+                  key: jnp.ndarray) -> EngineState:
+    tcfg, dcfg = st.tcfg, st.dcfg
+    P_exp = fused.shape[0]
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+    tp, dp = params["target"], params["draft"]
 
     positions = jnp.arange(P_exp, dtype=jnp.int32)
     bias = causal_prefill_bias(P_exp, st.s_target)
@@ -582,14 +610,11 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
     j = jnp.arange(P_exp)
     exp_shift = jnp.concatenate([exp_ids[1:], jnp.zeros((1,), jnp.int32)])
     se = dp["embed_tokens"][jnp.maximum(exp_shift, 0)]
-    if n_img > 0:
-        # rows whose NEXT position is inside the image span take the fused
-        # (image-feature) embedding and bypass the fc (cnets.py:302-314)
-        img_next = ((j + 1) >= img_pos) & ((j + 1) < img_pos + n_img)
-        fused_shift = jnp.concatenate([fused[1:], jnp.zeros_like(fused[:1])])
-        se = jnp.where(img_next[:, None], fused_shift, se)
-    else:
-        img_next = jnp.zeros((P_exp,), jnp.bool_)
+    # rows whose NEXT position is an image row take the fused (image-
+    # feature) embedding and bypass the fc (cnets.py:302-314)
+    img_next = jnp.concatenate([img_rows[1:], jnp.zeros((1,), jnp.bool_)])
+    fused_shift = jnp.concatenate([fused[1:], jnp.zeros_like(fused[:1])])
+    se = jnp.where(img_next[:, None], fused_shift, se)
     se = jnp.where((j == E0 - 1)[:, None], dp["embed_tokens"][bonus][None], se)
 
     dh_in = draft_mod.draft_fuse(dp, se, hidden, image_row_mask=img_next)
@@ -868,6 +893,29 @@ def ar_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
     ids_buf = jax.lax.dynamic_update_slice(ids_buf, exp_ids[:P_exp], (0,))
     ids_buf = jax.lax.dynamic_update_slice(ids_buf, tok[None], (E0,))
     return ids_buf, target_kv, E0, tok, jnp.int32(0), key
+
+
+@partial(jax.jit, static_argnums=(0,))
+def ar_prefill_prefused(st: Statics, params: Dict, fused: jnp.ndarray,
+                        exp_ids: jnp.ndarray, e0: jnp.ndarray,
+                        key: jnp.ndarray):
+    """AR prefill over host-prebuilt fused embeddings (multi-image/anyres)."""
+    tcfg = st.tcfg
+    tp = params["target"]
+    cos_t, sin_t = params["cos_t"], params["sin_t"]
+    P_exp = fused.shape[0]
+    positions = jnp.arange(P_exp, dtype=jnp.int32)
+    bias = causal_prefill_bias(P_exp, st.s_target)
+    target_kv = L.init_kv_cache(tcfg, st.s_target, fused.dtype)
+    hidden, target_kv = L.llama_forward(tp, tcfg, fused, positions, target_kv,
+                                        jnp.int32(0), bias, cos_t, sin_t)
+    logits = L.lm_head(tp, hidden[e0 - 1][None])[0]
+    key, sub = jax.random.split(key)
+    tok = sample_token(sub, logits, st.sp)
+    ids_buf = jnp.zeros((st.s_target,), jnp.int32)
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, exp_ids, (0,))
+    ids_buf = jax.lax.dynamic_update_slice(ids_buf, tok[None], (e0,))
+    return ids_buf, target_kv, e0, tok, jnp.int32(0), key
 
 
 @partial(jax.jit, static_argnums=(0,))

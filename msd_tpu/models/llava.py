@@ -100,6 +100,99 @@ def fuse_embeddings(embed_table: jnp.ndarray, ids: jnp.ndarray,
     return jnp.where(in_img[:, None], img_emb.astype(text_emb.dtype), text_emb)
 
 
+# ---------------------------------------------------------------------------
+# anyres 'spatial'/'spatial_unpad' merge (llava_arch.py:100-200) and
+# multi-image fusion (llava_arch.py:229-324). These run HOST-side per
+# request (variable shapes); the resulting fused block feeds the engine's
+# prefused-prefill path (spec_engine.prefill accepts prebuilt embeddings).
+# ---------------------------------------------------------------------------
+
+def unpad_feature_grid(grid, original_size):
+    """Crop the aspect-ratio padding off a [gh, gw, H] feature grid
+    (llava_arch.py:100-128 unpad_image; original_size is (width, height))."""
+    import numpy as np
+    grid = np.asarray(grid)
+    ow, oh = original_size
+    ch, cw = grid.shape[:2]
+    if ow / oh > cw / ch:
+        scale = cw / ow
+        new_h = int(oh * scale)
+        pad = (ch - new_h) // 2
+        return grid[pad:ch - pad]
+    scale = ch / oh
+    new_w = int(ow * scale)
+    pad = (cw - new_w) // 2
+    return grid[:, pad:cw - pad]
+
+
+def merge_anyres_features(tile_feats, grid_wh, original_size,
+                          num_patches_per_side: int,
+                          image_newline=None, mode: str = "spatial_unpad"):
+    """[1+n_tiles, P, H] projected tile features -> merged [N, H]
+    (llava_arch.py:153-200 mm_patch_merge_type 'spatial'/'spatial_unpad').
+
+    tile_feats[0] is the base (global) view; grid_wh = (n_patch_w,
+    n_patch_h) from get_anyres_image_grid_shape; original_size = (width,
+    height) of the raw image; image_newline: optional [H] learned separator
+    appended per spatial row under 'unpad'.
+    """
+    import numpy as np
+    tile_feats = np.asarray(tile_feats)
+    base = tile_feats[0]
+    H = tile_feats.shape[-1]
+    if tile_feats.shape[0] == 1:
+        if "unpad" in mode and image_newline is not None:
+            return np.concatenate([base, np.asarray(image_newline)[None]], 0)
+        return base
+    s = num_patches_per_side
+    npw, nph = grid_wh
+    assert nph * npw == tile_feats.shape[0] - 1, \
+        f"grid {grid_wh} != {tile_feats.shape[0] - 1} tiles"
+    tiles = tile_feats[1:].reshape(nph, npw, s, s, H)
+    # (nph, npw, s, s, H) -> (nph, s, npw, s, H) -> raster [nph*s, npw*s, H]
+    g = tiles.transpose(0, 2, 1, 3, 4).reshape(nph * s, npw * s, H)
+    if "unpad" in mode:
+        g = unpad_feature_grid(g, original_size)
+        if image_newline is not None:
+            col = np.broadcast_to(np.asarray(image_newline),
+                                  (g.shape[0], 1, H))
+            g = np.concatenate([g, col], axis=1)
+    spatial = g.reshape(-1, H)
+    return np.concatenate([base, spatial], 0)
+
+
+def fuse_embeddings_multi(embed_table, ids, feats_list):
+    """Multi-image fusion: splice each image's features at its placeholder
+    (llava_arch.py:229-324, bs=1). Host-side numpy; variable output length.
+
+    ids: [T] with one IMAGE_TOKEN_INDEX per image (k of them, in order);
+    feats_list: k feature blocks [n_i, H]. Returns (fused [T', H] np array,
+    exp_ids [T'] with 0 at image rows, img_row_mask [T'] bool).
+    """
+    import numpy as np
+    ids = np.asarray(ids)
+    spots = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+    assert len(spots) == len(feats_list), \
+        f"{len(spots)} image tokens vs {len(feats_list)} feature blocks"
+    table = np.asarray(embed_table)
+    chunks, id_chunks, mask_chunks = [], [], []
+    prev = 0
+    for pos, feats in zip(spots, feats_list):
+        feats = np.asarray(feats)
+        seg = ids[prev:pos]
+        chunks += [table[np.maximum(seg, 0)], feats.astype(table.dtype)]
+        id_chunks += [seg, np.zeros((len(feats),), ids.dtype)]
+        mask_chunks += [np.zeros((len(seg),), bool),
+                        np.ones((len(feats),), bool)]
+        prev = pos + 1
+    seg = ids[prev:]
+    chunks.append(table[np.maximum(seg, 0)])
+    id_chunks.append(seg)
+    mask_chunks.append(np.zeros((len(seg),), bool))
+    return (np.concatenate(chunks, 0), np.concatenate(id_chunks, 0),
+            np.concatenate(mask_chunks, 0))
+
+
 def params_from_hf_projector(state: Dict, dtype=jnp.float32,
                              prefix: str = "model.mm_projector.") -> Params:
     import numpy as np

@@ -135,21 +135,54 @@ def divide_to_patches(img: np.ndarray, patch_size: int) -> List[np.ndarray]:
             for j in range(0, w, patch_size)]
 
 
-def process_anyres_image(img, image_size: int = 336,
-                         grid_pinpoints=((336, 672), (672, 336), (672, 672),
-                                         (1008, 336), (336, 1008))):
-    """Image -> [n_tiles+1, 3, S, S]: resized global view + best-grid tiles
-    (process_anyres_image). Features are concatenated tile-major under the
-    'flat' merge mode (llava_arch.py mm_patch_merge_type == 'flat')."""
-    if not isinstance(img, np.ndarray):
-        img = np.asarray(img.convert("RGB"))
-    h, w, _ = img.shape
-    bw, bh = select_best_resolution((w, h), grid_pinpoints)
+DEFAULT_GRID_PINPOINTS = ((336, 672), (672, 336), (672, 672),
+                          (1008, 336), (336, 1008))
+
+
+def resize_and_pad_image(img: np.ndarray, target_resolution) -> np.ndarray:
+    """Aspect-preserving resize + centered black pad to (tw, th)
+    (mm_utils.py:42-74)."""
+    import math
 
     from PIL import Image
-    pil = Image.fromarray(img.astype(np.uint8))
-    resized = np.asarray(pil.resize((bw, bh), Image.BICUBIC))
-    tiles = divide_to_patches(resized, image_size)
+    oh, ow = img.shape[:2]
+    tw, th = target_resolution
+    scale_w, scale_h = tw / ow, th / oh
+    if scale_w < scale_h:
+        nw, nh = tw, min(math.ceil(oh * scale_w), th)
+    else:
+        nh, nw = th, min(math.ceil(ow * scale_h), tw)
+    resized = np.asarray(Image.fromarray(img.astype(np.uint8))
+                         .resize((nw, nh), Image.BICUBIC))
+    out = np.zeros((th, tw, 3), np.uint8)
+    y, x = (th - nh) // 2, (tw - nw) // 2
+    out[y:y + nh, x:x + nw] = resized
+    return out
+
+
+def get_anyres_image_grid_shape(image_size, grid_pinpoints,
+                                patch_size: int):
+    """(n_patch_w, n_patch_h) for the selected anyres grid
+    (mm_utils.py:99-116; image_size is (width, height))."""
+    w, h = select_best_resolution(image_size, grid_pinpoints)
+    return w // patch_size, h // patch_size
+
+
+def process_anyres_image(img, image_size: int = 336,
+                         grid_pinpoints=DEFAULT_GRID_PINPOINTS):
+    """Image -> [1+n_tiles, 3, S, S]: shortest-edge-resized base view FIRST,
+    then the aspect-preserving padded best-grid tiles row-major
+    (mm_utils.py:119-145 process_anyres_image). Downstream merge:
+    models/llava.merge_anyres_features ('spatial'/'spatial_unpad') or
+    tile-major concat ('flat')."""
+    if not isinstance(img, np.ndarray):
+        img = np.asarray(img.convert("RGB"))
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w, _ = img.shape
+    best = select_best_resolution((w, h), grid_pinpoints)
+    padded = resize_and_pad_image(img, best)
+    tiles = divide_to_patches(padded, image_size)
     views = [process_image(img, image_size, pad_square=False)]
     views += [process_image(t, image_size, pad_square=False) for t in tiles]
     return np.stack(views)
