@@ -24,19 +24,177 @@ import numpy as np
 class CalibrationLogger:
     def __init__(self, save_dir: Optional[str] = None):
         self.save_dir = save_dir
-        self.rows: List[Dict[str, np.ndarray]] = []
         self.meta: Dict = {"created": time.time()}
+        self.reset_stats()
 
-    # ---------------- capture ----------------
+    def reset_stats(self) -> None:
+        """Clear all capture state (calibration_logger.py:38-43)."""
+        self.rows: List[Dict[str, np.ndarray]] = []
+        self.draft_sessions: List[Dict] = []
+        self.current_session: Optional[Dict] = None
+
+    # ---------------- capture: bulk rows (device calib_log buffers) -------
     def log_request(self, calib_data: Dict[str, np.ndarray]) -> None:
         """Record one request's device-collected candidate data
         ({token, depth, draft_conf, attn, margin, base_conf, base_top1,
-        accept, valid} arrays [steps, nodes])."""
-        valid = calib_data["valid"].astype(bool)
+        accept, valid} arrays [steps, nodes]). Each verify step also becomes
+        one draft session (the reference's per-step session granularity)."""
+        valid = np.asarray(calib_data["valid"]).astype(bool)
         if not valid.any():
             return
         self.rows.append({k: np.asarray(v)[valid]
                           for k, v in calib_data.items() if k != "valid"})
+        for s in range(valid.shape[0]):
+            m = valid[s]
+            if not m.any():
+                continue
+            self.draft_sessions.append({
+                "path_confidence_scores": np.asarray(
+                    calib_data["draft_conf"])[s][m],
+                "tokens": np.asarray(calib_data["token"])[s][m].tolist(),
+                "tree_depths": np.asarray(calib_data["depth"])[s][m],
+                "cross_modal_attention": np.asarray(
+                    calib_data["attn"])[s][m],
+                "acceptance_labels": np.asarray(
+                    calib_data["accept"])[s][m].tolist(),
+                "accepted_length": int(
+                    np.asarray(calib_data["accept"])[s][m].sum()),
+            })
+
+    # ---------------- capture: session API (calibration_logger.py:44-321) -
+    def start_draft_session(self, img_start_idx: Optional[int] = None,
+                            img_end_idx: Optional[int] = None) -> None:
+        self.current_session = {
+            "img_start_idx": img_start_idx, "img_end_idx": img_end_idx,
+            "tokens": [], "accepted_length": 0,
+            "cross_modal_attention": np.zeros((0,)),
+        }
+
+    def log_draft_confidence(self, path_confidence, local_confidence,
+                             draft_tokens, tree_positions, tree_depths,
+                             parent_positions, log_space: bool = False
+                             ) -> None:
+        """Per-node draft confidences + tree coordinates for the open
+        session (calibration_logger.py:65-94; the reference receives log-
+        probabilities — pass log_space=True for that convention)."""
+        if self.current_session is None:
+            return
+        p = np.asarray(path_confidence, np.float64).ravel()
+        l = np.asarray(local_confidence, np.float64).ravel()
+        if log_space:
+            p, l = np.exp(p), np.exp(l)
+        self.current_session.update(
+            path_confidence_scores=p, local_confidence_scores=l,
+            draft_tokens=np.asarray(draft_tokens).ravel().tolist(),
+            tree_positions=np.asarray(tree_positions).ravel(),
+            tree_depths=np.asarray(tree_depths).ravel(),
+            parent_positions=np.asarray(parent_positions).ravel())
+
+    def log_attention_weights(self, cross_modal_per_token) -> None:
+        """Per-token cross-modal (visual) attention intensity for the open
+        session (calibration_logger.py:96-212 — the reference reduces raw
+        attention maps over [img_start, img_end); the engine already reduces
+        on device, so this takes the per-token intensities directly)."""
+        if self.current_session is None:
+            return
+        self.current_session["cross_modal_attention"] = \
+            np.asarray(cross_modal_per_token, np.float64).ravel()
+
+    def log_acceptance(self, accepted_length: int, draft_tokens=None,
+                       best_candidate=None) -> None:
+        """Close the open session (calibration_logger.py:246-321): aligns
+        tokens/confidences, derives per-token acceptance labels (first
+        accepted_length accepted), appends to draft_sessions."""
+        if self.current_session is None:
+            return
+        s = self.current_session
+        s["accepted_length"] = int(accepted_length)
+        if draft_tokens is not None:
+            s["tokens"] = np.asarray(draft_tokens).ravel().tolist()
+            s["draft_tokens"] = list(s["tokens"])
+        probs = s.get("path_confidence_scores")
+        tokens = s.get("tokens") or s.get("draft_tokens") or []
+        if probs is not None and len(tokens):
+            n = min(len(tokens), len(probs))
+            s["tokens"] = tokens[:n]
+            for k in ("path_confidence_scores", "local_confidence_scores",
+                      "tree_positions", "tree_depths", "parent_positions",
+                      "cross_modal_attention"):
+                if k in s and s[k] is not None and len(s[k]) > n:
+                    s[k] = s[k][:n]
+            s["acceptance_labels"] = [1 if i < accepted_length else 0
+                                      for i in range(n)]
+        elif len(tokens):
+            s["acceptance_labels"] = [1 if i < accepted_length else 0
+                                      for i in range(len(tokens))]
+        if best_candidate is not None:
+            s["best_candidate"] = np.asarray(best_candidate).tolist()
+        self.draft_sessions.append(s)
+        self.current_session = None
+
+    def get_token_level_data(self) -> List[Dict]:
+        """Flatten sessions to per-token records
+        (calibration_logger.py:323-480)."""
+        out = []
+        for s in self.draft_sessions:
+            probs = s.get("path_confidence_scores")
+            labels = s.get("acceptance_labels")
+            if probs is None or labels is None:
+                continue
+            attn = s.get("cross_modal_attention")
+            depths = s.get("tree_depths")
+            local = s.get("local_confidence_scores")
+            for i, (p, a) in enumerate(zip(probs, labels)):
+                out.append({
+                    "path_confidence": float(p),
+                    "local_confidence": float(local[i])
+                    if local is not None and i < len(local) else float(p),
+                    "is_accepted": int(a),
+                    "token": s["tokens"][i] if i < len(s["tokens"]) else -1,
+                    "cross_modal_attention": float(attn[i])
+                    if attn is not None and i < len(attn) else 0.0,
+                    "tree_depth": int(depths[i])
+                    if depths is not None and i < len(depths) else 0,
+                })
+        return out
+
+    def analyze_by_cross_modal_attention(
+            self, num_quantiles: int = 5,
+            use_equal_frequency_confidence_bins: bool = False) -> Dict:
+        """Calibration quality per cross-modal-attention quantile
+        (calibration_logger.py:482-548): rank-based equal-count bins over
+        the attention intensity; per-bin ECE/avg-confidence/accept-rate."""
+        data = self.get_token_level_data()
+        if not data:
+            return {}
+        scores = np.asarray([d["cross_modal_attention"] for d in data])
+        conf = np.asarray([d["path_confidence"] for d in data])
+        acc = np.asarray([d["is_accepted"] for d in data], float)
+        n = len(scores)
+        q = min(num_quantiles, n)
+        order = np.argsort(scores)
+        bounds = np.linspace(0, n, q + 1).astype(int)
+        labels = np.zeros(n, int)
+        for i in range(q):
+            labels[order[bounds[i]:bounds[i + 1]]] = i
+        results = {}
+        for i in range(q):
+            m = labels == i
+            if not m.any():
+                continue
+            results[f"Q{i+1}"] = {
+                "range": f"[{scores[m].min():.4f}, {scores[m].max():.4f}]",
+                "count": int(m.sum()),
+                "avg_cross_modal_attention": float(scores[m].mean()),
+                "avg_confidence": float(conf[m].mean()),
+                "avg_accuracy": float(acc[m].mean()),
+                "ece": self.ece(conf[m], acc[m],
+                                equal_freq=use_equal_frequency_confidence_bins),
+                "binning_method": ("equal_frequency"
+                                   if use_equal_frequency_confidence_bins
+                                   else "equal_width"),
+            }
+        return results
 
     def _cat(self, key: str) -> np.ndarray:
         if not self.rows:
@@ -116,6 +274,12 @@ class CalibrationLogger:
             stats["by_depth"][int(d)] = {
                 "count": int(m.sum()), "accept_rate": float(acc[m].mean()),
                 "mean_conf": float(conf[m].mean())}
+        if self.draft_sessions:
+            lens = [s.get("accepted_length", 0) for s in self.draft_sessions]
+            stats["n_sessions"] = len(self.draft_sessions)
+            stats["avg_accepted_length"] = float(np.mean(lens))
+            stats["cross_modal_quantiles"] = \
+                self.analyze_by_cross_modal_attention()
         return stats
 
     # ---------------- persistence ----------------

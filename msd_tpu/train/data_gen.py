@@ -15,6 +15,7 @@ saved as .npz.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -132,6 +133,30 @@ def make_training_record(params: Dict, cfg: LlamaConfig, tokenizer,
             "img_mask": img_mask, "exp_ids": out["exp_ids"]}
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _verify_shaped_run(cfg: LlamaConfig, chunk: int, cache_len: int,
+                       params: Dict, fused_pad: jnp.ndarray,
+                       cos_t: jnp.ndarray, sin_t: jnp.ndarray) -> jnp.ndarray:
+    """Chunked causal forward at the verify program shape (one compile per
+    (cfg, chunk, cache, P) signature; params are traced args, not captured
+    constants)."""
+    Pc = fused_pad.shape[0]
+    kv0 = L.init_kv_cache(cfg, cache_len, fused_pad.dtype)
+
+    def step(kv, i):
+        start = i * chunk
+        rows = jax.lax.dynamic_slice(
+            fused_pad, (start, 0), (chunk, fused_pad.shape[1]))
+        pos = start + jnp.arange(chunk, dtype=jnp.int32)
+        bias = causal_prefill_bias(chunk, cache_len, start=start)
+        h, kv = L.llama_forward(params, cfg, rows, pos, kv, start, bias,
+                                cos_t, sin_t)
+        return kv, h
+
+    _, hs = jax.lax.scan(step, kv0, jnp.arange(Pc // chunk, dtype=jnp.int32))
+    return hs.reshape(Pc, -1)
+
+
 def teacher_forward_verify_shaped(params: Dict, cfg: LlamaConfig,
                                   ids: np.ndarray,
                                   img_feats: Optional[jnp.ndarray],
@@ -166,25 +191,8 @@ def teacher_forward_verify_shaped(params: Dict, cfg: LlamaConfig,
     fused_pad = jnp.zeros((Pc, fused.shape[1]), fused.dtype)
     fused_pad = jax.lax.dynamic_update_slice(fused_pad, fused, (0, 0))
 
-    @jax.jit
-    def run(fused_pad):
-        kv0 = L.init_kv_cache(cfg, cache_len, fused_pad.dtype)
-
-        def step(kv, i):
-            start = i * chunk
-            rows = jax.lax.dynamic_slice(
-                fused_pad, (start, 0), (chunk, fused_pad.shape[1]))
-            pos = start + jnp.arange(chunk, dtype=jnp.int32)
-            bias = causal_prefill_bias(chunk, cache_len, start=start)
-            h, kv = L.llama_forward(params, cfg, rows, pos, kv, start, bias,
-                                    cos_t, sin_t)
-            return kv, h
-
-        _, hs = jax.lax.scan(step, kv0,
-                             jnp.arange(Pc // chunk, dtype=jnp.int32))
-        return hs.reshape(Pc, -1)
-
-    hidden = np.asarray(run(fused_pad))[:P_exp]
+    hidden = np.asarray(_verify_shaped_run(
+        cfg, chunk, cache_len, params, fused_pad, cos_t, sin_t))[:P_exp]
     return {"fused": np.asarray(fused), "hidden": hidden,
             "exp_ids": np.asarray(exp_ids)}
 

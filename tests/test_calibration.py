@@ -261,3 +261,77 @@ def test_attn_feature_last_row_mode_lossless():
     ar = gen.naive_generate(ids, max_new_tokens=16)
     np.testing.assert_array_equal(r.tokens, ar.tokens)
     assert r.calib_data is not None
+
+
+def test_calibration_logger_session_api():
+    """Session protocol parity (calibration_logger.py:44-321): start ->
+    log_draft_confidence -> log_attention_weights -> log_acceptance, then
+    token-level extraction + cross-modal quantile analysis (:482-548)."""
+    from msd_tpu.calib.logger import CalibrationLogger
+
+    lg = CalibrationLogger()
+    rng = np.random.default_rng(0)
+    for sess in range(6):
+        lg.start_draft_session(img_start_idx=2, img_end_idx=6)
+        n = 8
+        conf = rng.uniform(0.05, 0.95, size=n)
+        lg.log_draft_confidence(np.log(conf), np.log(conf),  # log-space in
+                                draft_tokens=rng.integers(0, 100, n),
+                                tree_positions=np.arange(n),
+                                tree_depths=1 + np.arange(n) // 3,
+                                parent_positions=np.maximum(
+                                    np.arange(n) - 1, 0),
+                                log_space=True)
+        lg.log_attention_weights(rng.uniform(0, 1, size=n))
+        lg.log_acceptance(accepted_length=sess % 4)
+
+    assert len(lg.draft_sessions) == 6
+    assert lg.current_session is None
+    data = lg.get_token_level_data()
+    assert len(data) == 48
+    # labels: first accepted_length per session are 1
+    assert data[0]["is_accepted"] == 0          # session 0 accepted 0
+    assert data[8]["is_accepted"] == 1          # session 1 accepted 1
+    assert data[9]["is_accepted"] == 0
+    # log-space confidences were exponentiated back to probabilities
+    assert all(0.0 <= d["path_confidence"] <= 1.0 for d in data)
+
+    q = lg.analyze_by_cross_modal_attention(num_quantiles=4)
+    assert set(q) == {"Q1", "Q2", "Q3", "Q4"}
+    assert sum(v["count"] for v in q.values()) == 48
+    # rank-based equal-count bins: attention ranges are ordered
+    assert (q["Q1"]["avg_cross_modal_attention"]
+            < q["Q4"]["avg_cross_modal_attention"])
+    for v in q.values():
+        assert 0.0 <= v["ece"] <= 1.0
+
+
+def test_calibration_logger_sessions_from_engine_rows():
+    """log_request splits the device calib_log into per-step sessions and
+    get_calibration_stats reports per-depth + cross-modal quantiles."""
+    from msd_tpu.calib.logger import CalibrationLogger
+
+    lg = CalibrationLogger()
+    rng = np.random.default_rng(1)
+    S, N = 5, 12
+    valid = np.zeros((S, N), np.int32)
+    valid[:, :7] = 1
+    calib = {
+        "token": rng.integers(0, 100, (S, N)),
+        "depth": 1 + rng.integers(0, 3, (S, N)),
+        "draft_conf": rng.uniform(0, 1, (S, N)),
+        "attn": rng.uniform(0, 1, (S, N)),
+        "margin": rng.uniform(0, 1, (S, N)),
+        "base_conf": rng.uniform(0, 1, (S, N)),
+        "base_top1": rng.integers(0, 2, (S, N)),
+        "accept": rng.integers(0, 2, (S, N)),
+        "valid": valid,
+    }
+    lg.log_request(calib)
+    assert len(lg.draft_sessions) == S
+    stats = lg.get_calibration_stats()
+    assert stats["n_candidates"] == S * 7
+    assert stats["n_sessions"] == S
+    assert set(stats["by_depth"]) <= {1, 2, 3}
+    assert stats["cross_modal_quantiles"]
+    assert "avg_accepted_length" in stats
