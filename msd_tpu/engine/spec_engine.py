@@ -446,7 +446,8 @@ def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
                 plogits, ids_buf, E, st.sp.repetition_penalty)
         probs = jax.nn.softmax(process_logits(plogits, st.sp), axis=-1)
         key, sub = jax.random.split(key)
-        best, acc_len, next_tok = tree_mod.evaluate_sampling(tr, probs, sub)
+        best, acc_len, next_tok = tree_mod.evaluate_sampling(
+            tr, probs, sub, top_k=st.tree.top_k)
     return hidden, target_kv, best, acc_len, next_tok, key, logits
 
 

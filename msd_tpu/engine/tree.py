@@ -168,7 +168,8 @@ def evaluate_greedy(tree: Tree, tree_logits: jnp.ndarray
     return best, accept_len, next_token
 
 
-def evaluate_sampling(tree: Tree, tree_probs: jnp.ndarray, key: jnp.ndarray
+def evaluate_sampling(tree: Tree, tree_probs: jnp.ndarray, key: jnp.ndarray,
+                      top_k: int = 10
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Speculative-sampling acceptance (temperature > 0); lossless.
 
@@ -183,12 +184,12 @@ def evaluate_sampling(tree: Tree, tree_probs: jnp.ndarray, key: jnp.ndarray
 
     # The drafting frontier caps children per node at top_k; iterating all N
     # nodes per depth serialized 128 tiny steps. Instead gather each depth's
-    # <=K children of the current node (ascending tree order, matching the
-    # reference's sorted-row visit order) and loop over those. Skipping
-    # children beyond K cannot bias the output distribution (their mass stays
-    # in the residual) — it only forfeits acceptances, and the default
-    # frontier width (top_k=10) is below the cap.
-    K = min(N - 1, 16)
+    # children of the current node (ascending tree order, matching the
+    # reference's sorted-row visit order) and loop over those. The gather
+    # width tracks the configured frontier width so no drafted child is ever
+    # skipped (a skipped child cannot bias the distribution — its mass stays
+    # in the residual — but it would forfeit acceptances).
+    K = min(N - 1, max(16, top_k))
 
     def depth_step(carry, _):
         cur, acc_len, residual, alive, key = carry

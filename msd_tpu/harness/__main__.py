@@ -51,8 +51,13 @@ def main(argv=None):
     ap.add_argument("--bottom", type=int, default=None,
                     help="evaluate only the LAST N docs")
     ap.add_argument("--msd_model_path", default=None)
-    ap.add_argument("--use_msd", action="store_true", default=True)
-    ap.add_argument("--no_msd", dest="use_msd", action="store_false")
+    # store_true with default False — exact lmms_eval __main__.py:109-113
+    # semantics: MSD is opt-in via the flag (the llava_msd adapters default
+    # use_msd=True when constructed directly in python)
+    ap.add_argument("--use_msd", action="store_true", default=False,
+                    help="If True, use msd for inference")
+    ap.add_argument("--no_msd", dest="use_msd", action="store_false",
+                    help="(kept for round-1 compat; off is the default)")
     ap.add_argument("--use_calibration", action="store_true")
     ap.add_argument("--train_ratio", type=float, default=0.2)
     ap.add_argument("--output_path", default=None)

@@ -156,3 +156,16 @@ def mc_accuracy(prediction: str, target: str, n_choices: int = 8) -> float:
 
 def mean(xs: List[float]) -> float:
     return sum(xs) / len(xs) if xs else 0.0
+
+
+def bootstrap_stderr(xs: Sequence[float], iters: int = 1000,
+                     seed: int = 1234) -> float:
+    """Bootstrap standard error of the mean (the lmms-eval
+    api/metrics.py bootstrap_stderr analog, deterministic seed)."""
+    import numpy as np
+    xs = np.asarray(list(xs), float)
+    if len(xs) <= 1:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(xs), size=(iters, len(xs)))
+    return float(xs[idx].mean(axis=1).std(ddof=1))

@@ -124,6 +124,9 @@ class TaskConfig:
             vals = [r[name] for r in results if name in r]
             if vals:
                 out[name] = M.mean(vals)
+                # bootstrap stderr alongside every mean aggregation
+                # (evaluator.py bootstrap + api/metrics.py stderr)
+                out[name + "_stderr"] = M.bootstrap_stderr(vals)
         return out
 
 

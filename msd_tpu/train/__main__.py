@@ -38,6 +38,9 @@ def main(argv=None):
     fit.add_argument("--lr", type=float, default=2e-4)
     fit.add_argument("--max-len", type=int, default=2048)
     fit.add_argument("--resume", default=None)
+    fit.add_argument("--wandb-project", default=None,
+                     help="W&B project (main_deepspeed.py:141-143); no-op "
+                          "when wandb is unavailable")
 
     gen = sub.add_parser("gen-data")
     gen.add_argument("--basepath", required=True)
@@ -66,7 +69,8 @@ def main(argv=None):
         dparams["embed_tokens"] = params["target"]["embed_tokens"]
         tc = TrainerConfig(
             train=TrainConfig(lr=args.lr), batch_size=args.bs,
-            max_len=args.max_len, num_epochs=args.epochs, ckpt_dir=args.cpdir)
+            max_len=args.max_len, num_epochs=args.epochs, ckpt_dir=args.cpdir,
+            wandb_project=args.wandb_project)
         trainer = train_from_dirs(dcfg, dparams, params["target"]["lm_head"],
                                   args.tmpdir_v or "", args.tmpdir_t or "", tc)
         print(f"done: {trainer.step_count} steps, saved under {args.cpdir}")

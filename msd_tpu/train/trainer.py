@@ -39,6 +39,9 @@ class TrainerConfig:
     num_epochs: int = 40
     ckpt_dir: str = "checkpoints/draft"
     log_every: int = 50
+    # W&B experiment logging (main_deepspeed.py:141-143 wandb.init); None
+    # disables. The logger no-ops when wandb is unavailable/offline.
+    wandb_project: Optional[str] = None
 
 
 def _load_records(paths: List[str]) -> List[Dict[str, np.ndarray]]:
@@ -122,6 +125,13 @@ class DraftTrainer:
         self.key = jax.random.PRNGKey(0)
         self.step_count = 0
         self.epoch = 0
+        self.wandb = None
+        if tc.wandb_project:
+            from msd_tpu.harness.loggers import WandbLogger
+            self.wandb = WandbLogger(project=tc.wandb_project,
+                                     config={"train": vars(tc.train),
+                                             "batch_size": tc.batch_size,
+                                             "max_len": tc.max_len})
         self._step = jax.jit(functools.partial(
             train_step, cfg=dcfg, tcfg=tc.train, opt=self.opt), **jit_kw)
 
@@ -150,10 +160,17 @@ class DraftTrainer:
             if count % self.tc.log_every == 0:
                 log(f"epoch {self.epoch} step {count}: " + " ".join(
                     f"{k}={metrics_acc[k]/count:.4f}" for k in metrics_acc))
+                if self.wandb:
+                    self.wandb.log({f"train/{k}": float(v)
+                                    for k, v in metrics.items()},
+                                   step=self.step_count)
         out = {k: v / max(count, 1) for k, v in metrics_acc.items()}
         out["steps"] = count
         out["visual_ratio"] = ratio
         out["seconds"] = time.time() - t0
+        if self.wandb:
+            self.wandb.log({f"epoch/{k}": float(v) for k, v in out.items()},
+                           step=self.step_count)
         self.epoch += 1
         return out
 

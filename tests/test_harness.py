@@ -284,3 +284,33 @@ def test_http_server_stream_and_microbatch(tiny_adapter_parts):
         assert all(o["text"] == outs[0]["text"] for o in outs)
     finally:
         httpd.shutdown()
+
+
+def test_cli_use_msd_default_off_matches_reference():
+    """lmms_eval __main__.py:109-113: --use_msd is store_true default False."""
+    import argparse
+
+    from msd_tpu.harness.__main__ import main  # noqa: F401 (import side)
+    # introspect the parser defaults without running an eval
+    ap = argparse.ArgumentParser("msd_tpu.harness")
+    # simplest faithful check: parse_known via the real main's parser is not
+    # exposed; assert on the argv contract instead
+    import msd_tpu.harness.__main__ as m
+    import inspect
+    src = inspect.getsource(m.main)
+    assert 'add_argument("--use_msd", action="store_true", default=False' \
+        in src
+
+
+def test_bootstrap_stderr_in_aggregation():
+    from msd_tpu.harness import metrics as M2
+    from msd_tpu.harness.tasks import make_chartqa
+    se = M2.bootstrap_stderr([0.0, 1.0] * 50)
+    assert 0.01 < se < 0.15
+    assert M2.bootstrap_stderr([1.0]) == 0.0
+    task = make_chartqa(None)
+    agg = task.aggregate([{"relaxed_overall": 1.0},
+                          {"relaxed_overall": 0.0},
+                          {"relaxed_overall": 1.0}])
+    assert "relaxed_overall_stderr" in agg
+    assert agg["relaxed_overall"] == pytest.approx(2 / 3)
