@@ -183,3 +183,26 @@ def test_generator_autotune_tree():
     ar = gen.naive_generate(np.arange(3, 10, dtype=np.int32),
                             max_new_tokens=8)
     np.testing.assert_array_equal(r.tokens, ar.tokens)
+
+
+def test_plan_deploy_calibrated_roofline(tmp_path):
+    """plan_deploy estimates calibrate against a measured bench JSON
+    (VERDICT r1 item 10): efficiency transfers the single-chip 7B
+    measurement into the 13B/TP=4 plan."""
+    import json
+    import sys
+    sys.path.insert(0, "tools")
+    import plan_deploy as P
+
+    bench = {"metric": "msd_decode_speedup_vs_ar_at_alpha6.69_llava7b",
+             "detail": {"ar_ms_per_token": 20.0}}
+    eff = P.efficiency_from_bench(bench)
+    # theoretical 7B roofline is ~16.4ms at 819GB/s -> efficiency ~0.82
+    assert 0.5 < eff < 1.0
+    calibrated = P.plan("13b", tp=4, efficiency=eff)
+    uncal = P.plan("13b", tp=4)
+    assert calibrated["fits_v5e"] and uncal["fits_v5e"]
+    # lower efficiency -> slower estimated AR, same memory
+    assert calibrated["roofline"]["ar_ms_per_token"] > \
+        uncal["roofline"]["ar_ms_per_token"]
+    assert calibrated["per_chip_total_gb"] == uncal["per_chip_total_gb"]
