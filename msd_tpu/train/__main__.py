@@ -42,6 +42,20 @@ def main(argv=None):
                      help="W&B project (main_deepspeed.py:141-143); no-op "
                           "when wandb is unavailable")
 
+    pipe = sub.add_parser(
+        "pipeline", help="distill the draft on on-policy teacher states, "
+        "then evaluate per-task alpha (train/pipeline.py)")
+    pipe.add_argument("--basepath", default=None)
+    pipe.add_argument("--msd-model-path", dest="msd_model_path", default=None)
+    pipe.add_argument("--tiny", action="store_true",
+                      help="checkpoint-free tiny stack (pipeline smoke)")
+    pipe.add_argument("--tasks", required=True)
+    pipe.add_argument("--limit", type=int, default=None)
+    pipe.add_argument("--distill-docs", type=int, default=16)
+    pipe.add_argument("--distill-steps", type=int, default=200)
+    pipe.add_argument("--log-dir", default=None)
+    pipe.add_argument("--wandb-project", default=None)
+
     gen = sub.add_parser("gen-data")
     gen.add_argument("--basepath", required=True)
     gen.add_argument("--data", required=True, help="LLaVA-instruct style JSON")
@@ -52,6 +66,11 @@ def main(argv=None):
     gen.add_argument("--no-image", action="store_true")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from msd_tpu.train.pipeline import main_pipeline
+        main_pipeline(args)
+        return
 
     import jax.numpy as jnp
     from msd_tpu.utils.weights import load_llava
