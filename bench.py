@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=800)
     ap.add_argument("--distill-prompts", type=int, default=4)
     ap.add_argument("--distill-lr", type=float, default=2e-3)
+    ap.add_argument("--distill-rollout", type=int, default=0,
+                    help="rollout-augmented distillation passes (trains the "
+                         "depth>=2 expansion recursion on the draft's own "
+                         "predictions)")
     ap.add_argument("--head-sharpen", type=float, default=3.0,
                     help="scale the random lm_head by this factor. argmax-"
                          "invariant (greedy trajectories unchanged) but "
@@ -313,7 +317,8 @@ def main():
             tc = TrainerConfig(
                 train=TrainConfig(lr=args.distill_lr, warmup_steps=20,
                                   total_steps=max(args.distill_steps, 21),
-                                  noise_std=0.0),
+                                  noise_std=0.0,
+                                  rollout_steps=args.distill_rollout),
                 batch_size=2, max_len=recs[0]["hidden"].shape[0],
                 num_epochs=1, log_every=10 ** 9)
             trainer = DraftTrainer(dcfg, dp, head_w, tc)

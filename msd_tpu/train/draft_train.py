@@ -45,6 +45,14 @@ class TrainConfig:
     # train_embed=False freezes embed_tokens (reference default,
     # cnets.py:130-132) and skips its optimizer state
     train_embed: bool = False
+    # Rollout-augmented distillation (beyond the reference): extra forward
+    # passes whose input hidden states are the draft's OWN (stop-gradient)
+    # previous-pass predictions, shifted by one row — the exact input
+    # distribution the tree expansion sees at depth >= 2, which pure
+    # teacher-forced training never visits. rollout_steps=r trains the
+    # recursion to depth r+1; each pass r is weighted rollout_w**r.
+    rollout_steps: int = 0
+    rollout_w: float = 0.5
 
 
 class Batch(NamedTuple):
@@ -75,32 +83,50 @@ def add_uniform_noise(key, hidden: jnp.ndarray, std: float) -> jnp.ndarray:
 
 
 def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
-               batch: Batch, cos_t, sin_t) -> Tuple[jnp.ndarray, Dict]:
+               batch: Batch, cos_t, sin_t,
+               rollout_steps: int = 0,
+               rollout_w: float = 0.5) -> Tuple[jnp.ndarray, Dict]:
     B, T, H = batch.hidden.shape
 
     def per_seq(emb_next, hidden, target, loss_mask, attn_len, img_mask):
-        hin = draft_mod.draft_fuse(dparams, emb_next, hidden, img_mask)
         pos = jnp.arange(T, dtype=jnp.int32)
         qpos = pos[:, None]
         kpos = pos[None, :]
         keep = (kpos <= qpos) & (kpos < attn_len)
         bias = jnp.where(keep, 0.0, NEG_INF).astype(jnp.float32)
-        out = draft_mod.draft_forward_nocache(dparams, cfg, hin, pos, bias,
-                                              cos_t, sin_t)
-
-        diff = (out - target).astype(jnp.float32)
-        v_elem = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
-                           jnp.abs(diff) - 0.5)          # SmoothL1, beta=1
-        v_row = jnp.mean(v_elem, axis=-1)                 # mean over hidden
-
-        logits = (out @ head_w).astype(jnp.float32)
         tgt_logits = (target @ head_w).astype(jnp.float32)
         tgt_p = jax.nn.softmax(tgt_logits, axis=-1)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        p_row = -jnp.sum(tgt_p * logp, axis=-1)
+        tgt_arg = jnp.argmax(tgt_logits, -1)
 
-        # top-1 agreement diagnostic (main_deepspeed.py:437-441)
-        agree = (jnp.argmax(logits, -1) == jnp.argmax(tgt_logits, -1))
+        def one_pass(hidden_in):
+            hin = draft_mod.draft_fuse(dparams, emb_next, hidden_in, img_mask)
+            out = draft_mod.draft_forward_nocache(dparams, cfg, hin, pos,
+                                                  bias, cos_t, sin_t)
+            diff = (out - target).astype(jnp.float32)
+            v_elem = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
+                               jnp.abs(diff) - 0.5)      # SmoothL1, beta=1
+            v_row = jnp.mean(v_elem, axis=-1)             # mean over hidden
+            logits = (out @ head_w).astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            p_row = -jnp.sum(tgt_p * logp, axis=-1)
+            # top-1 agreement diagnostic (main_deepspeed.py:437-441)
+            agree = (jnp.argmax(logits, -1) == tgt_arg)
+            return out, v_row, p_row, agree
+
+        out, v_row, p_row, agree = one_pass(hidden)
+        w_sum = 1.0
+        for r in range(1, rollout_steps + 1):
+            # row j's input hidden becomes the draft's own prediction of h_j
+            # (previous pass, row j-1) — the depth-(r+1) expansion condition
+            h_r = jnp.concatenate(
+                [hidden[:1], jax.lax.stop_gradient(out[:-1])], axis=0)
+            out, v_r, p_r, _ = one_pass(h_r)
+            w = rollout_w ** r
+            v_row = v_row + w * v_r
+            p_row = p_row + w * p_r
+            w_sum += w
+        v_row = v_row / w_sum
+        p_row = p_row / w_sum
         return v_row, p_row, agree
 
     v_row, p_row, agree = jax.vmap(per_seq)(
@@ -140,7 +166,9 @@ def train_step(dparams: Dict, opt_state, cfg: DraftConfig, tcfg: TrainConfig,
                                                     tcfg.noise_std))
 
     def total_loss(p):
-        v, pl, top1 = draft_loss(p, cfg, head_w, batch, cos_t, sin_t)
+        v, pl, top1 = draft_loss(p, cfg, head_w, batch, cos_t, sin_t,
+                                 rollout_steps=tcfg.rollout_steps,
+                                 rollout_w=tcfg.rollout_w)
         return tcfg.v_w * v + tcfg.p_w * pl, (v, pl, top1)
 
     (loss, (v, pl, top1)), grads = jax.value_and_grad(

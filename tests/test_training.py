@@ -127,6 +127,37 @@ def test_training_reduces_loss_and_improves_acceptance(setup, tmp_path):
     assert t2.epoch == trainer.epoch
 
 
+def test_rollout_loss(setup):
+    """Rollout-augmented distillation: extra passes feed the draft its own
+    shifted predictions (the depth>=2 expansion condition). The loss must
+    (a) differ from the teacher-forced loss and (b) still descend."""
+    cfg, dcfg, tparams, dparams, tok = setup
+    from msd_tpu.train.draft_train import draft_loss
+    recs = _records(cfg, tparams, tok, n=2)
+    from msd_tpu.train.trainer import batches_from_records
+    rng = np.random.default_rng(0)
+    batch = next(batches_from_records(recs, 2, 96, rng))
+    cos_t, sin_t = L.make_rope(cfg, 104)
+    v0, p0, _ = draft_loss(dparams, dcfg, tparams["lm_head"], batch,
+                           cos_t, sin_t)
+    v2, p2, _ = draft_loss(dparams, dcfg, tparams["lm_head"], batch,
+                           cos_t, sin_t, rollout_steps=2)
+    assert float(v0) != float(v2)
+
+    tc = TrainerConfig(
+        train=TrainConfig(lr=3e-3, warmup_steps=2, total_steps=200,
+                          noise_std=0.0, rollout_steps=1),
+        batch_size=2, max_len=96, num_epochs=1, ckpt_dir="/tmp/ro_ckpt",
+        log_every=10 ** 9)
+    trainer = DraftTrainer(dcfg, dparams, tparams["lm_head"], tc)
+    first, last = None, None
+    for _ in range(10):
+        m = trainer.run_epoch([], recs, log=lambda *a: None)
+        first = first if first is not None else m["loss"]
+        last = m["loss"]
+    assert last < first
+
+
 def test_qwen_record_layout():
     from msd_tpu.models.qwen2vl import (IMAGE_PAD_ID, Qwen2VLTextConfig,
                                         init_qwen2_params)

@@ -55,6 +55,7 @@ def main():
     ap.add_argument("--eval-train", action="store_true",
                     help="decode a TRAINING prompt (on-trajectory alpha)")
     ap.add_argument("--noise", type=float, default=0.0)
+    ap.add_argument("--rollout", type=int, default=0)
     args = ap.parse_args()
 
     cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=4, heads=4,
@@ -85,7 +86,7 @@ def main():
 
     tc = TrainerConfig(
         train=TrainConfig(lr=3e-3, warmup_steps=5, total_steps=4000,
-                          noise_std=args.noise),
+                          noise_std=args.noise, rollout_steps=args.rollout),
         batch_size=3, max_len=96, num_epochs=1, ckpt_dir="/tmp/probe_ckpt",
         log_every=100000)
     trainer = DraftTrainer(dcfg, dparams, tparams["lm_head"], tc)
