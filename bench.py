@@ -81,7 +81,7 @@ def main():
     # (default ON so the driver-captured run records a MEASURED alpha)
     ap.add_argument("--distill-steps", type=int, default=800)
     ap.add_argument("--distill-prompts", type=int, default=4)
-    ap.add_argument("--distill-lr", type=float, default=2e-3)
+    ap.add_argument("--distill-lr", type=float, default=1e-3)
     ap.add_argument("--distill-rollout", type=int, default=0,
                     help="rollout-augmented distillation passes (trains the "
                          "depth>=2 expansion recursion on the draft's own "
@@ -250,7 +250,7 @@ def main():
             if args.quant != "none":
                 tp = L.quantize_llama_params(
                     tp, bits=8 if args.quant == "int8" else 4)
-            dp = jax.tree.map(jnp.asarray, draft_host)
+            dp = jax.tree.map(lambda a: jnp.asarray(a, dtype), draft_host)
             dp["embed_tokens"] = tp["embed_tokens"]
             if feats_host is not None:
                 feats = jnp.asarray(feats_host)
@@ -321,7 +321,10 @@ def main():
                                   rollout_steps=args.distill_rollout),
                 batch_size=2, max_len=recs[0]["hidden"].shape[0],
                 num_epochs=1, log_every=10 ** 9)
-            trainer = DraftTrainer(dcfg, dp, head_w, tc)
+            # fp32 master weights for the distill (AdamW on bf16 params is
+            # unstable at these lrs); rebuild() casts back to the bench dtype
+            dp32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), dp)
+            trainer = DraftTrainer(dcfg, dp32, head_w, tc)
             t0 = time.time()
             last = {}
             while trainer.step_count < args.distill_steps:
@@ -333,7 +336,7 @@ def main():
             trained_host = jax.tree.map(np.asarray, {
                 k: v for k, v in trainer.params.items()
                 if k != "embed_tokens"})
-            del trainer, head_w, recs, dp
+            del trainer, head_w, recs, dp, dp32
             rebuild(trained_host, feats_host)
             distilled_ok = True
         except Exception as e:  # never lose the bench to a distill failure
