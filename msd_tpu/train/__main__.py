@@ -56,6 +56,22 @@ def main(argv=None):
     pipe.add_argument("--log-dir", default=None)
     pipe.add_argument("--wandb-project", default=None)
 
+    ft = sub.add_parser(
+        "finetune", help="LLaVA target finetuning (LLaVA train.py analog): "
+        "stage-1 projector pretrain via --tune-mm-mlp-adapter, stage-2 full "
+        "finetune; vision tower frozen")
+    ft.add_argument("--basepath", required=True, help="target checkpoint dir")
+    ft.add_argument("--data", required=True, help="LLaVA-instruct style JSON")
+    ft.add_argument("--cpdir", default="checkpoints/finetune")
+    ft.add_argument("--epochs", type=int, default=1)
+    ft.add_argument("--bs", type=int, default=2)
+    ft.add_argument("--lr", type=float, default=2e-5)
+    ft.add_argument("--mm-projector-lr", type=float, default=None)
+    ft.add_argument("--tune-mm-mlp-adapter", action="store_true")
+    ft.add_argument("--freeze-backbone", action="store_true")
+    ft.add_argument("--pad-to", type=int, default=512)
+    ft.add_argument("--no-image", action="store_true")
+
     gen = sub.add_parser("gen-data")
     gen.add_argument("--basepath", required=True)
     gen.add_argument("--data", required=True, help="LLaVA-instruct style JSON")
@@ -74,6 +90,75 @@ def main(argv=None):
 
     import jax.numpy as jnp
     from msd_tpu.utils.weights import load_llava
+
+    if args.cmd == "finetune":
+        import jax
+        import numpy as np
+        from msd_tpu.models.clip_vit import clip_encode
+        from msd_tpu.train.finetune import (FinetuneConfig, LlavaFinetuner,
+                                            batches_from_finetune_records,
+                                            make_finetune_record)
+
+        params, lcfg = load_llava(args.basepath, jnp.bfloat16)
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(args.basepath)
+        except Exception:
+            from msd_tpu.harness.models.llava_msd import SimpleTokenizer
+            tokenizer = SimpleTokenizer(vocab_size=lcfg.text.vocab_size)
+        with open(args.data) as f:
+            raw = json.load(f)
+        n_img = 0 if args.no_image else lcfg.num_image_tokens
+        tower = None
+        if n_img:
+            tower = jax.jit(lambda px: clip_encode(params["vision"],
+                                                   lcfg.vision, px))
+        recs = []
+        for r in raw:
+            conv = r.get("conversations", [])
+            turns = [(conv[i]["value"].replace("<image>", "").strip(),
+                      conv[i + 1]["value"])
+                     for i in range(0, len(conv) - 1, 2)]
+            feats = None
+            if n_img and r.get("image") is not None:
+                from msd_tpu.utils.mm_utils import process_image
+                feats = np.asarray(
+                    tower(jnp.asarray(process_image(r["image"]))), np.float32)
+            rec = make_finetune_record(tokenizer, turns, feats, n_img,
+                                       pad_to=args.pad_to)
+            if float(rec["tgt_mask"].sum()) > 0:
+                recs.append(rec)
+        if len(recs) < args.bs:
+            raise SystemExit(
+                f"finetune: only {len(recs)} usable records (< batch size "
+                f"{args.bs}) — answers truncated away? raise --pad-to")
+        fc = FinetuneConfig(lr=args.lr, mm_projector_lr=args.mm_projector_lr,
+                            tune_mm_mlp_adapter=args.tune_mm_mlp_adapter,
+                            freeze_backbone=args.freeze_backbone,
+                            total_steps=max(args.epochs * len(recs) // args.bs,
+                                            1))
+        ft = LlavaFinetuner(
+            lcfg.text,
+            {"target": params["target"], "projector": params["projector"]},
+            n_img, fc, max_exp_len=args.pad_to + max(n_img - 1, 0))
+        rng = np.random.default_rng(0)
+        for ep in range(args.epochs):
+            m = ft.run(batches_from_finetune_records(
+                recs, args.bs, rng, n_img, lcfg.mm_hidden_size))
+            print(f"epoch {ep}: " + " ".join(f"{k}={v:.4f}"
+                                             for k, v in m.items()))
+        os.makedirs(args.cpdir, exist_ok=True)
+        flat = {}
+        for scope in ("target", "projector"):
+            leaves = jax.tree.leaves_with_path(ft.params[scope])
+            for path, leaf in leaves:
+                key = scope + "." + ".".join(
+                    str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
+                flat[key] = np.asarray(leaf, np.float32)
+        out = os.path.join(args.cpdir, "finetuned.npz")
+        np.savez(out, **flat)
+        print(f"done: {ft.step_count} steps, saved {out}")
+        return
 
     if args.cmd == "fit":
         import jax

@@ -158,6 +158,66 @@ def test_rollout_loss(setup):
     assert last < first
 
 
+def test_llava_finetune_stages(setup):
+    """LLaVA target finetuning (train.py analog): stage-1 projector pretrain
+    leaves the LM untouched and descends; stage-2 full finetune moves LM
+    params; text-only and image records mix in one batch."""
+    cfg, dcfg, tparams, dparams, tok = setup
+    from msd_tpu.models.llava import init_projector_params
+    from msd_tpu.train.finetune import (FinetuneConfig, LlavaFinetuner,
+                                        batches_from_finetune_records,
+                                        make_finetune_record)
+
+    n_img, vh = 4, 32
+
+    class PCfg:  # projector dims only
+        mm_hidden_size = vh
+
+        class text:
+            hidden_size = cfg.hidden_size
+    proj = init_projector_params(jax.random.PRNGKey(3), PCfg)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(n_img, vh)).astype(np.float32) * 0.1
+
+    recs = [make_finetune_record(tok, [("describe the image", "a red fox")],
+                                 feats, n_img, pad_to=64, system=""),
+            make_finetune_record(tok, [("hello there", "general kenobi")],
+                                 None, n_img, pad_to=64, system=""),
+            make_finetune_record(tok, [("what is shown", "a blue dog")],
+                                 feats, n_img, pad_to=64, system="")]
+    assert recs[0]["tgt_mask"].shape == (64 + n_img - 1,)
+    assert recs[0]["tgt_mask"].sum() > 0
+    params = {"target": jax.tree.map(jnp.copy, tparams), "projector": proj}
+
+    def run(fc, steps=8):
+        ft = LlavaFinetuner(cfg, jax.tree.map(jnp.copy, params), n_img, fc,
+                            max_exp_len=80)
+        losses = []
+        for _ in range(steps):
+            m = ft.run(batches_from_finetune_records(
+                recs, 3, np.random.default_rng(1), n_img, vh),
+                log=lambda *a: None)
+            losses.append(m["loss"])
+        return ft, losses
+
+    # stage 1: projector-only
+    ft1, l1 = run(FinetuneConfig(lr=1e-2, mm_projector_lr=1e-2,
+                                 warmup_steps=1, total_steps=200,
+                                 tune_mm_mlp_adapter=True))
+    assert l1[-1] < l1[0], l1
+    np.testing.assert_array_equal(  # LM frozen
+        np.asarray(ft1.params["target"]["lm_head"]),
+        np.asarray(params["target"]["lm_head"]))
+    assert not np.array_equal(np.asarray(ft1.params["projector"]["fc1"]),
+                              np.asarray(params["projector"]["fc1"]))
+
+    # stage 2: full finetune moves the LM
+    ft2, l2 = run(FinetuneConfig(lr=1e-3, warmup_steps=1, total_steps=200))
+    assert l2[-1] < l2[0], l2
+    assert not np.array_equal(np.asarray(ft2.params["target"]["lm_head"]),
+                              np.asarray(params["target"]["lm_head"]))
+
+
 def test_qwen_record_layout():
     from msd_tpu.models.qwen2vl import (IMAGE_PAD_ID, Qwen2VLTextConfig,
                                         init_qwen2_params)
