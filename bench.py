@@ -95,7 +95,8 @@ def main():
                          "draft stays on its learned trajectory. Real "
                          "checkpoints produce peaked logits on their own; "
                          "random init does not.")
-    ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--attn-impl", default="auto",
+                    choices=["xla", "pallas", "auto"])
     ap.add_argument("--residual-dtype", default="float32",
                     choices=["float32", "native"],
                     help="fp32 residual stream (default): matmuls stay bf16 "

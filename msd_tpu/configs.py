@@ -31,10 +31,14 @@ class LlamaConfig:
     max_position_embeddings: int = 4096
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
-    # attention backend: "xla" (masked einsum) or "pallas" (length-aware
+    # attention backend: "xla" (masked einsum), "pallas" (length-aware
     # flash kernel — skips dead KV-cache blocks; requires cache len % 128 == 0
-    # and head_dim == 128; TPU only)
+    # and head_dim == 128; TPU only), or "auto" (pallas for allocated cache
+    # lengths >= pallas_min_s, where skipping dead blocks beats the XLA
+    # kernel's full-cache read; xla below it — the grid/DMA overhead
+    # dominates at short caches)
     attn_impl: str = "xla"
+    pallas_min_s: int = 2048
     # residual-stream dtype ("float32" to carry the residual in fp32 while
     # every matmul stays in the param dtype). Stabilizes greedy argmax under
     # bf16: rounding drift otherwise accumulates across all layers and flips

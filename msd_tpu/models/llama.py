@@ -177,8 +177,15 @@ def _layer_post_attn(lp: Params, cfg: LlamaConfig, resid: jnp.ndarray,
 
 
 def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len):
-    """Attention backend dispatch (cfg.attn_impl)."""
-    if cfg.attn_impl == "pallas" and kv_len is not None \
+    """Attention backend dispatch (cfg.attn_impl).
+
+    "auto" selects per allocated cache length (static at trace time): the
+    pallas kernel's win is dead-block DMA skipping, which only outweighs its
+    grid overhead once the cache is long (>= cfg.pallas_min_s)."""
+    want_pallas = cfg.attn_impl == "pallas" or (
+        cfg.attn_impl == "auto" and kv_k.shape[0] >= cfg.pallas_min_s
+        and jax.default_backend() == "tpu")
+    if want_pallas and kv_len is not None \
             and kv_k.shape[0] % 128 == 0 and cfg.head_dim == 128:
         from msd_tpu.ops.pallas.decode_attention import decode_attention
         return decode_attention(q, kv_k, kv_v, bias, kv_len, block_s=128)
