@@ -79,14 +79,18 @@ def main():
     # on-chip on-policy distillation of the random draft against the random
     # target's own generations, to measure a real end-to-end alpha > 1
     # (default ON so the driver-captured run records a MEASURED alpha)
-    ap.add_argument("--distill-steps", type=int, default=800)
+    ap.add_argument("--distill-steps", type=int, default=1200)
     ap.add_argument("--distill-prompts", type=int, default=4)
     ap.add_argument("--distill-lr", type=float, default=1e-3)
-    ap.add_argument("--distill-rollout", type=int, default=0,
+    ap.add_argument("--distill-pw", type=float, default=0.4,
+                    help="ploss weight during distillation (higher than the "
+                         "reference's 0.1: sharper draft logit margins "
+                         "survive the bf16 cast at decode time)")
+    ap.add_argument("--distill-rollout", type=int, default=1,
                     help="rollout-augmented distillation passes (trains the "
                          "depth>=2 expansion recursion on the draft's own "
                          "predictions)")
-    ap.add_argument("--head-sharpen", type=float, default=3.0,
+    ap.add_argument("--head-sharpen", type=float, default=6.0,
                     help="scale the random lm_head by this factor. argmax-"
                          "invariant (greedy trajectories unchanged) but "
                          "amplifies logit gaps relative to bf16 rounding, so "
@@ -318,7 +322,7 @@ def main():
             tc = TrainerConfig(
                 train=TrainConfig(lr=args.distill_lr, warmup_steps=20,
                                   total_steps=max(args.distill_steps, 21),
-                                  noise_std=0.0,
+                                  noise_std=0.0, p_w=args.distill_pw,
                                   rollout_steps=args.distill_rollout),
                 batch_size=2, max_len=recs[0]["hidden"].shape[0],
                 num_epochs=1, log_every=10 ** 9)
@@ -378,6 +382,8 @@ def main():
             f"MSD={m.tokens[i]}, teacher-forced logprob gap {tie_gap:.5f}")
     log(f"MSD: {steps} steps, best {min(msd_times):.3f}s -> "
         f"{t_step*1e3:.2f} ms/step, measured alpha={m.avg_accept_len:.3f}")
+    log(f"accepted-length histogram (tokens/step incl. bonus): "
+        f"{dict(enumerate(np.asarray(m.alpha_hist).tolist()))}")
 
     speedup_ref = args.ref_alpha * t_ar / t_step
     speedup_measured = m.avg_accept_len * t_ar / t_step
