@@ -82,11 +82,16 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=1200)
     ap.add_argument("--distill-prompts", type=int, default=4)
     ap.add_argument("--distill-lr", type=float, default=1e-3)
-    ap.add_argument("--distill-pw", type=float, default=0.4,
+    ap.add_argument("--distill-pw", type=float, default=0.1,
                     help="ploss weight during distillation (higher than the "
                          "reference's 0.1: sharper draft logit margins "
                          "survive the bf16 cast at decode time)")
-    ap.add_argument("--distill-rollout", type=int, default=1,
+    ap.add_argument("--distill-noise-rel", type=float, default=0.01,
+                    help="relative (multiplicative) training noise on input "
+                         "hidden states — matches bf16 rounding statistics, "
+                         "so the draft learns a locally smooth map instead "
+                         "of a brittle lookup")
+    ap.add_argument("--distill-rollout", type=int, default=0,
                     help="rollout-augmented distillation passes (trains the "
                          "depth>=2 expansion recursion on the draft's own "
                          "predictions)")
@@ -231,6 +236,7 @@ def main():
     # that actually knows this target's trajectories. (With real checkpoints
     # the published draft heads play this role.)
     distilled_ok = False
+    bench_traj = None
     if args.distill_steps > 0:
         import gc
 
@@ -290,9 +296,15 @@ def main():
             for pi, p_ids in enumerate(prompts):
                 has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
                 p_feats = feats if has_img else None
-                cont = gen.naive_generate(
-                    p_ids, img_feats=p_feats,
-                    max_new_tokens=args.max_new if pi == 0 else 96).tokens
+                # MSD-decode trajectories: greedy MSD commits the VERIFY
+                # program's own argmax path, so the later timed decode stays
+                # on the recorded trajectory (AR-program near-tie flips threw
+                # it off mid-sequence otherwise)
+                # one shared max_new -> one compiled decode program
+                cont = gen.generate(p_ids, img_feats=p_feats,
+                                    max_new_tokens=args.max_new).tokens
+                if pi == 0:
+                    bench_traj = np.asarray(cont)
                 full = np.concatenate([p_ids, cont]).astype(np.int32)
                 mask = np.zeros((len(full),), np.float32)
                 mask[len(p_ids) - 1:] = 1.0
@@ -323,6 +335,7 @@ def main():
                 train=TrainConfig(lr=args.distill_lr, warmup_steps=20,
                                   total_steps=max(args.distill_steps, 21),
                                   noise_std=0.0, p_w=args.distill_pw,
+                                  noise_rel=args.distill_noise_rel,
                                   rollout_steps=args.distill_rollout),
                 batch_size=2, max_len=recs[0]["hidden"].shape[0],
                 num_epochs=1, log_every=10 ** 9)
@@ -380,6 +393,13 @@ def main():
         tie_gap = abs(lp_ar - lp_msd)
         log(f"first divergence at new-token {i}: AR={r.tokens[i]} "
             f"MSD={m.tokens[i]}, teacher-forced logprob gap {tie_gap:.5f}")
+    on_traj = None
+    if bench_traj is not None:
+        k2 = min(len(bench_traj), len(m.tokens))
+        on_traj = int(np.argmax(np.append(
+            bench_traj[:k2] != m.tokens[:k2], True)))
+        log(f"decode follows the distilled trajectory for {on_traj}/{k2} "
+            "tokens")
     log(f"MSD: {steps} steps, best {min(msd_times):.3f}s -> "
         f"{t_step*1e3:.2f} ms/step, measured alpha={m.avg_accept_len:.3f}")
     log(f"accepted-length histogram (tokens/step incl. bonus): "
@@ -408,6 +428,7 @@ def main():
             "residual_dtype": args.residual_dtype,
             "measured_speedup": round(speedup_measured, 3),
             "distilled_ok": distilled_ok,
+            "decode_on_distilled_trajectory_tokens": on_traj,
             "distill_steps": args.distill_steps,
             "tree_nodes": gen.eng.tree.num_nodes,
             "image_tokens": n_img,

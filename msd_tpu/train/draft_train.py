@@ -41,6 +41,12 @@ class TrainConfig:
     warmup_steps: int = 2000
     total_steps: int = 800_000
     noise_std: float = 0.2
+    # relative (per-element multiplicative) input noise: h *= 1 + U(-r/2, r/2).
+    # Unlike the reference's absolute noise (which is negligible against
+    # late-layer hidden magnitudes), this matches the statistics of bf16
+    # rounding (eps 2^-8 ~= 0.004) at ANY activation scale — the perturbation
+    # the draft actually sees at serve time.
+    noise_rel: float = 0.0
     weight_decay: float = 0.0
     # train_embed=False freezes embed_tokens (reference default,
     # cnets.py:130-132) and skips its optimizer state
@@ -164,6 +170,12 @@ def train_step(dparams: Dict, opt_state, cfg: DraftConfig, tcfg: TrainConfig,
     key, sub = jax.random.split(key)
     batch = batch._replace(hidden=add_uniform_noise(sub, batch.hidden,
                                                     tcfg.noise_std))
+    if tcfg.noise_rel > 0.0:
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, batch.hidden.shape, jnp.float32) - 0.5
+        batch = batch._replace(
+            hidden=batch.hidden * (1.0 + u * tcfg.noise_rel
+                                   ).astype(batch.hidden.dtype))
 
     def total_loss(p):
         v, pl, top1 = draft_loss(p, cfg, head_w, batch, cos_t, sin_t,

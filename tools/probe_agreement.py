@@ -56,6 +56,18 @@ def main():
                     help="decode a TRAINING prompt (on-trajectory alpha)")
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--rollout", type=int, default=0)
+    ap.add_argument("--pw", type=float, default=0.1)
+    ap.add_argument("--cast-bf16", action="store_true",
+                    help="cast the trained stack to bf16 before decode "
+                         "(emulates the 7B bench's serving dtype)")
+    ap.add_argument("--msd-records", action="store_true",
+                    help="record trajectories from MSD decode (verify-greedy) "
+                         "instead of AR decode")
+    ap.add_argument("--noise-rel", type=float, default=0.0)
+    ap.add_argument("--bench-mode", action="store_true",
+                    help="emulate the 7B bench exactly: bf16 target "
+                         "generates the records AND serves decode; draft "
+                         "trains fp32 and casts to bf16")
     args = ap.parse_args()
 
     cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=4, heads=4,
@@ -71,25 +83,38 @@ def main():
 
     eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
                        tree=TreeConfig(top_k=4, max_depth=5, num_nodes=16))
-    gen0 = MSDGenerator(tparams, dparams, cfg, dcfg, eng, eos_id=-1)
+    trec = tparams   # params that produce the training records
+    if args.bench_mode:
+        trec = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), tparams)
+        args.cast_bf16 = True
+    gen0 = MSDGenerator(trec, dparams if not args.bench_mode else
+                        jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
+                                     dparams), cfg, dcfg, eng, eos_id=-1)
 
     prompts = ["the quick brown fox", "jumps over the lazy dog",
                "pack my box with", "how vexingly quick"]
-    recs = []
+    recs, conts = [], []
     for p in prompts:
         ids = np.asarray(tok.encode(p), np.int32)
-        cont = gen0.naive_generate(ids, max_new_tokens=48).tokens
+        cont = (gen0.generate(ids, max_new_tokens=48).tokens
+                if args.msd_records else
+                gen0.naive_generate(ids, max_new_tokens=48).tokens)
+        conts.append(cont)
         full = np.concatenate([ids, cont]).astype(np.int32)
         mask = np.zeros((len(full),), np.float32)
         mask[len(ids) - 1:] = 1.0
-        recs.append(make_record_from_ids(tparams, cfg, full, mask, pad_to=96))
+        recs.append(make_record_from_ids(
+            trec, cfg, full, mask, pad_to=96,
+            verify_chunk=eng.tree.num_nodes,
+            cache_len=eng.max_seq_len + eng.tree.num_nodes))
 
     tc = TrainerConfig(
         train=TrainConfig(lr=3e-3, warmup_steps=5, total_steps=4000,
-                          noise_std=args.noise, rollout_steps=args.rollout),
+                          noise_std=args.noise, rollout_steps=args.rollout,
+                          p_w=args.pw, noise_rel=args.noise_rel),
         batch_size=3, max_len=96, num_epochs=1, ckpt_dir="/tmp/probe_ckpt",
         log_every=100000)
-    trainer = DraftTrainer(dcfg, dparams, tparams["lm_head"], tc)
+    trainer = DraftTrainer(dcfg, dparams, trec["lm_head"], tc)
     last = None
     for _ in range(args.steps):
         last = trainer.run_epoch([], recs[:-1], log=lambda *a: None)
@@ -98,19 +123,28 @@ def main():
 
     # (b) teacher-forced agreement
     eval_i = 0 if args.eval_train else -1
-    agree, pred, tgt, m = teacher_forced_agreement(recs[eval_i], tparams, cfg,
+    agree, pred, tgt, m = teacher_forced_agreement(recs[eval_i], trec, cfg,
                                                    dp, dcfg)
     kind = "train" if args.eval_train else "held-out"
     print(f"teacher-forced top1 agreement ({kind}): {agree:.3f}")
 
     # (c) decode-time depth-1
-    gen = MSDGenerator(tparams, dp, cfg, dcfg, eng, eos_id=-1)
+    tdec, ddec = tparams, dp
+    if args.cast_bf16:
+        tdec = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), tparams)
+        ddec = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), dp)
+        ddec["embed_tokens"] = tdec["embed_tokens"]
+    gen = MSDGenerator(tdec, ddec, cfg, dcfg, eng, eos_id=-1)
     ids = np.asarray(tok.encode(prompts[eval_i]), np.int32)
     ar = gen.naive_generate(ids, max_new_tokens=48).tokens
     r = gen.generate(ids, max_new_tokens=48, collect_calibration=True)
     same = np.array_equal(ar[:min(len(ar), len(r.tokens))],
                           r.tokens[:min(len(ar), len(r.tokens))])
     print(f"greedy MSD == AR: {same}")
+    rec_traj = conts[eval_i]
+    k = min(len(rec_traj), len(r.tokens))
+    on_rec = int(np.argmax(np.append(rec_traj[:k] != r.tokens[:k], True)))
+    print(f"decode follows record trajectory for {on_rec}/{k} tokens")
     cd = r.calib_data
     # node 1 = top depth-1 candidate (finalize_tree sorts by weight)
     d1 = cd["depth"][:, 1] == 1
