@@ -28,8 +28,14 @@ import numpy as np
 
 def collect_onpolicy_records(lm, task, n_docs: int, max_new: int = 64,
                              pad_to: Optional[int] = None,
-                             log=print) -> List[Dict]:
-    """Greedy target continuations on the task's docs -> trainer records."""
+                             log=print, msd_trajectories: bool = True
+                             ) -> List[Dict]:
+    """Greedy target continuations on the task's docs -> trainer records.
+
+    msd_trajectories=True records the MSD engine's own greedy path (the
+    verify program's argmax trajectory) so the distilled draft's later decode
+    stays on-trajectory even where the AR program's argmax flips a bf16
+    near-tie (bench.py finding, round 2)."""
     from msd_tpu.train.data_gen import make_record_from_ids
 
     gen = lm.gen
@@ -40,8 +46,11 @@ def collect_onpolicy_records(lm, task, n_docs: int, max_new: int = 64,
         ctx = task.doc_to_text(doc)
         visuals = task.doc_to_visual(doc)
         ids, feats = lm._prepare(ctx, visuals)
-        cont = gen.naive_generate(ids, img_feats=feats,
-                                  max_new_tokens=max_new).tokens
+        cont = (gen.generate(ids, img_feats=feats,
+                             max_new_tokens=max_new).tokens
+                if msd_trajectories else
+                gen.naive_generate(ids, img_feats=feats,
+                                   max_new_tokens=max_new).tokens)
         full = np.concatenate([ids, cont]).astype(np.int32)
         mask = np.zeros((len(full),), np.float32)
         mask[max(len(ids) - 1, 0):] = 1.0
@@ -60,7 +69,7 @@ def distill_and_eval(lm, tasks: List[str], *, distill_docs: int = 16,
                      distill_steps: int = 200, distill_max_new: int = 48,
                      limit: Optional[int] = None, lr: float = 1e-3,
                      batch_size: int = 2, wandb_project: Optional[str] = None,
-                     log=print) -> Dict:
+                     noise_rel: float = 0.01, log=print) -> Dict:
     """Train the adapter's draft on its own target's trajectories, then
     evaluate; returns the harness results dict (msd_stats carries the
     measured per-run alpha)."""
@@ -91,7 +100,8 @@ def distill_and_eval(lm, tasks: List[str], *, distill_docs: int = 16,
 
     tc = TrainerConfig(
         train=TrainConfig(lr=lr, warmup_steps=min(20, distill_steps // 4),
-                          total_steps=max(distill_steps, 8), noise_std=0.0),
+                          total_steps=max(distill_steps, 8), noise_std=0.0,
+                          noise_rel=noise_rel),
         batch_size=batch_size, max_len=max_len, num_epochs=1,
         log_every=max(distill_steps // 4, 1), wandb_project=wandb_project)
     trainer = DraftTrainer(gen.dcfg, dict(gen.params["draft"]), head_w, tc)
