@@ -92,11 +92,16 @@ def finalize_tree(cfg: TreeConfig, root_token: jnp.ndarray,
         jnp.where(sel_valid, token_mat[sel_layer, sel_node], -1).astype(jnp.int32),
     ])
 
-    # position-of table: (layer, node) -> tree index (1-based after root)
+    # position-of table: (layer, node) -> tree index (1-based after root).
+    # Dead-pad entries (budget > explored frontier) must NOT scatter: their
+    # (layer, node) is (0, 0), which would overwrite the REAL tree index of
+    # layer-0 slot 0 — the top depth-1 candidate — re-parenting its whole
+    # subtree onto the root and capping acceptance at 1 draft token whenever
+    # num_nodes - 1 > max_depth * top_k. Route them out of bounds instead.
     pos_of = jnp.full((D, K), 0, jnp.int32)
     tree_idx = jnp.arange(1, N, dtype=jnp.int32)
-    pos_of = pos_of.at[sel_layer, sel_node].set(
-        jnp.where(sel_valid, tree_idx, 0), mode="drop")
+    scat_layer = jnp.where(sel_valid, sel_layer, D)  # D -> dropped
+    pos_of = pos_of.at[scat_layer, sel_node].set(tree_idx, mode="drop")
 
     par_node = parent_mat[sel_layer, sel_node]
     par_ptr = jnp.where(sel_layer == 0, 0,

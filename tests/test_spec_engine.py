@@ -244,3 +244,27 @@ def test_streaming_matches_oneshot(gen):
         stats = gen.last_stream_stats
         assert stats["accept_steps"] == one.accept_steps
         assert stats["accept_len_sum"] == one.accept_len_sum
+
+
+def test_finalize_tree_padded_budget_keeps_parent_chain():
+    """Regression: when num_nodes - 1 > max_depth * top_k (dead-pad entries),
+    the pad scatter must not overwrite layer-0 slot 0's tree index — that
+    re-parented the top depth-1 candidate's subtree onto the root and capped
+    greedy acceptance at 1 draft token (round-2 7B bench finding)."""
+    import jax.numpy as jnp
+
+    from msd_tpu.configs import TreeConfig
+    from msd_tpu.engine.tree import finalize_tree
+
+    cfg = TreeConfig(top_k=2, max_depth=2, num_nodes=8)  # 7 > 2*2 -> pads
+    wm = jnp.asarray([[0.9, 0.05], [0.8, 0.04]], jnp.float32)
+    tm = jnp.asarray([[5, 6], [7, 8]], jnp.int32)
+    pm = jnp.asarray([[0, 1], [0, 0]], jnp.int32)
+    tr = finalize_tree(cfg, jnp.int32(3), wm, tm, pm, jnp.int32(2))
+    toks = np.asarray(tr.tokens)
+    par = np.asarray(tr.parents)
+    i5 = int(np.where(toks == 5)[0][0])
+    for child in (7, 8):   # both are children of token 5 (layer-0 slot 0)
+        ic = int(np.where(toks == child)[0][0])
+        assert par[ic] == i5, (child, par[ic], i5)
+        assert int(np.asarray(tr.positions)[ic]) == 2

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--eval-train", action="store_true",
                     help="decode a TRAINING prompt (on-trajectory alpha)")
     ap.add_argument("--noise", type=float, default=0.0)
+    ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--nodes", type=int, default=16)
     ap.add_argument("--rollout", type=int, default=0)
     ap.add_argument("--pw", type=float, default=0.1)
     ap.add_argument("--cast-bf16", action="store_true",
@@ -81,30 +84,43 @@ def main():
     dparams["embed_tokens"] = tparams["embed_tokens"]
     tok = SimpleTokenizer(vocab_size=256)
 
+    n_img = 8 if args.image else 0
+    feats = (jnp.asarray(np.random.default_rng(5).normal(size=(n_img, 64))
+                         * 0.1, jnp.float32) if n_img else None)
+
     eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
-                       tree=TreeConfig(top_k=4, max_depth=5, num_nodes=16))
+                       tree=TreeConfig(top_k=args.topk, max_depth=args.depth,
+                                       num_nodes=args.nodes))
     trec = tparams   # params that produce the training records
     if args.bench_mode:
         trec = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), tparams)
         args.cast_bf16 = True
     gen0 = MSDGenerator(trec, dparams if not args.bench_mode else
                         jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16),
-                                     dparams), cfg, dcfg, eng, eos_id=-1)
+                                     dparams), cfg, dcfg, eng, eos_id=-1,
+                        n_img=n_img)
 
     prompts = ["the quick brown fox", "jumps over the lazy dog",
                "pack my box with", "how vexingly quick"]
     recs, conts = [], []
     for p in prompts:
         ids = np.asarray(tok.encode(p), np.int32)
-        cont = (gen0.generate(ids, max_new_tokens=48).tokens
+        if n_img:
+            from msd_tpu.configs import IMAGE_TOKEN_INDEX
+            ids = np.concatenate([[ids[0], IMAGE_TOKEN_INDEX], ids[1:]]
+                                 ).astype(np.int32)
+        cont = (gen0.generate(ids, img_feats=feats,
+                              max_new_tokens=48).tokens
                 if args.msd_records else
-                gen0.naive_generate(ids, max_new_tokens=48).tokens)
+                gen0.naive_generate(ids, img_feats=feats,
+                                    max_new_tokens=48).tokens)
         conts.append(cont)
         full = np.concatenate([ids, cont]).astype(np.int32)
         mask = np.zeros((len(full),), np.float32)
         mask[len(ids) - 1:] = 1.0
         recs.append(make_record_from_ids(
             trec, cfg, full, mask, pad_to=96,
+            img_feats=feats, n_img=n_img,
             verify_chunk=eng.tree.num_nodes,
             cache_len=eng.max_seq_len + eng.tree.num_nodes))
 
@@ -134,10 +150,17 @@ def main():
         tdec = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), tparams)
         ddec = jax.tree.map(lambda a: jnp.asarray(a, jnp.bfloat16), dp)
         ddec["embed_tokens"] = tdec["embed_tokens"]
-    gen = MSDGenerator(tdec, ddec, cfg, dcfg, eng, eos_id=-1)
+    gen = MSDGenerator(tdec, ddec, cfg, dcfg, eng, eos_id=-1, n_img=n_img)
     ids = np.asarray(tok.encode(prompts[eval_i]), np.int32)
-    ar = gen.naive_generate(ids, max_new_tokens=48).tokens
-    r = gen.generate(ids, max_new_tokens=48, collect_calibration=True)
+    if n_img:
+        from msd_tpu.configs import IMAGE_TOKEN_INDEX
+        ids = np.concatenate([[ids[0], IMAGE_TOKEN_INDEX], ids[1:]]
+                             ).astype(np.int32)
+    fdec = (jnp.asarray(feats, jnp.bfloat16) if args.cast_bf16 and n_img
+            else feats)
+    ar = gen.naive_generate(ids, img_feats=fdec, max_new_tokens=48).tokens
+    r = gen.generate(ids, img_feats=fdec, max_new_tokens=48,
+                     collect_calibration=True)
     same = np.array_equal(ar[:min(len(ar), len(r.tokens))],
                           r.tokens[:min(len(ar), len(r.tokens))])
     print(f"greedy MSD == AR: {same}")
@@ -154,7 +177,7 @@ def main():
     print(f"alpha={r.avg_accept_len:.3f} steps={r.accept_steps} "
           f"tokens={len(r.tokens)}")
     # per-depth acceptance
-    for d in range(1, 6):
+    for d in range(1, args.depth + 1):
         sel = (cd["depth"] == d) & (cd["valid"] > 0)
         if sel.sum():
             print(f"depth {d}: n={sel.sum()} "
