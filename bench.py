@@ -80,6 +80,12 @@ def main():
     # target's own generations, to measure a real end-to-end alpha > 1
     # (default ON so the driver-captured run records a MEASURED alpha)
     ap.add_argument("--distill-steps", type=int, default=1200)
+    ap.add_argument("--distill-iters", type=int, default=2,
+                    help="record->train iterations. Iteration 2+ re-records "
+                         "the trajectories with the TRAINED draft, so the "
+                         "timed run's tree shapes (hence its near-tie verify "
+                         "numerics) match the recording run and the decode "
+                         "stays on-trajectory end to end")
     ap.add_argument("--distill-prompts", type=int, default=4)
     ap.add_argument("--distill-lr", type=float, default=1e-3)
     ap.add_argument("--distill-pw", type=float, default=0.1,
@@ -277,8 +283,6 @@ def main():
             from msd_tpu.train.draft_train import TrainConfig
             from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
 
-            t0 = time.time()
-            recs = []
             # the bench prompt's record covers its FULL decode trajectory
             # (max_new tokens) so the distilled draft is on-policy for every
             # step the timed MSD run takes
@@ -293,69 +297,84 @@ def main():
 
             prompts = [ids] + [mk_prompt()
                                for _ in range(args.distill_prompts - 1)]
-            for pi, p_ids in enumerate(prompts):
-                has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
-                p_feats = feats if has_img else None
-                # MSD-decode trajectories: greedy MSD commits the VERIFY
-                # program's own argmax path, so the later timed decode stays
-                # on the recorded trajectory (AR-program near-tie flips threw
-                # it off mid-sequence otherwise)
-                # one shared max_new -> one compiled decode program
-                cont = gen.generate(p_ids, img_feats=p_feats,
-                                    max_new_tokens=args.max_new).tokens
-                if pi == 0:
-                    bench_traj = np.asarray(cont)
-                full = np.concatenate([p_ids, cont]).astype(np.int32)
-                mask = np.zeros((len(full),), np.float32)
-                mask[len(p_ids) - 1:] = 1.0
-                # teacher states at the VERIFY program shape (tree-node rows
-                # over the engine's full cache) so the labels match what
-                # acceptance compares against at decode time
-                recs.append(make_record_from_ids(
-                    tp, tcfg, full, mask, pad_to=pad_rec,
-                    img_feats=p_feats, n_img=n_img if has_img else 0,
-                    verify_chunk=gen.eng.tree.num_nodes,
-                    cache_len=max_seq + gen.eng.tree.num_nodes))
-            log(f"distill data: {len(recs)} on-policy records "
-                f"in {time.time()-t0:.1f}s")
 
-            # free the 13.4GB target while training (deterministic re-init after)
-            head_w = tp["lm_head"]
-            if "lm_head_qs4" in tp:  # trainer's distill loss needs fp logits
-                from msd_tpu.ops.quant import dequantize_int4
-                head_w = dequantize_int4(head_w, tp["lm_head_qs4"], dtype)
-            elif "lm_head_qs" in tp:
-                from msd_tpu.ops.quant import dequantize
-                head_w = dequantize(head_w, tp["lm_head_qs"], dtype)
-            gen.params = None
-            del tp
-            gc.collect()
+            def collect_records():
+                """MSD-decode trajectories with the CURRENT draft: greedy MSD
+                commits the VERIFY program's own argmax path, so the timed
+                decode stays on the recorded trajectory (AR-program near-tie
+                flips threw it off mid-sequence otherwise). Teacher states at
+                the VERIFY program shape so labels match acceptance."""
+                t0 = time.time()
+                out, traj = [], None
+                for pi, p_ids in enumerate(prompts):
+                    has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
+                    p_feats = feats if has_img else None
+                    cont = gen.generate(p_ids, img_feats=p_feats,
+                                        max_new_tokens=args.max_new).tokens
+                    if pi == 0:
+                        traj = np.asarray(cont)
+                    full = np.concatenate([p_ids, cont]).astype(np.int32)
+                    mask = np.zeros((len(full),), np.float32)
+                    mask[len(p_ids) - 1:] = 1.0
+                    out.append(make_record_from_ids(
+                        tp, tcfg, full, mask, pad_to=pad_rec,
+                        img_feats=p_feats, n_img=n_img if has_img else 0,
+                        verify_chunk=gen.eng.tree.num_nodes,
+                        cache_len=max_seq + gen.eng.tree.num_nodes))
+                log(f"distill data: {len(out)} on-policy records "
+                    f"in {time.time()-t0:.1f}s")
+                return out, traj
 
-            tc = TrainerConfig(
-                train=TrainConfig(lr=args.distill_lr, warmup_steps=20,
-                                  total_steps=max(args.distill_steps, 21),
-                                  noise_std=0.0, p_w=args.distill_pw,
-                                  noise_rel=args.distill_noise_rel,
-                                  rollout_steps=args.distill_rollout),
-                batch_size=2, max_len=recs[0]["hidden"].shape[0],
-                num_epochs=1, log_every=10 ** 9)
-            # fp32 master weights for the distill (AdamW on bf16 params is
-            # unstable at these lrs); rebuild() casts back to the bench dtype
-            dp32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), dp)
-            trainer = DraftTrainer(dcfg, dp32, head_w, tc)
-            t0 = time.time()
-            last = {}
-            while trainer.step_count < args.distill_steps:
-                last = trainer.run_epoch([], recs, log=lambda *a: None)
-            log(f"distilled {trainer.step_count} steps in {time.time()-t0:.1f}s "
-                f"(top1_agree={last.get('top1_agree', 0):.3f})")
+            def train_phase(recs, steps, lr):
+                """Free the 13.4GB target, train the draft (fp32 master
+                weights — AdamW on bf16 params is unstable at these lrs),
+                snapshot to host. Caller must rebuild() after."""
+                nonlocal tp, dp
+                head_w = tp["lm_head"]
+                if "lm_head_qs4" in tp:  # distill loss needs fp logits
+                    from msd_tpu.ops.quant import dequantize_int4
+                    head_w = dequantize_int4(head_w, tp["lm_head_qs4"], dtype)
+                elif "lm_head_qs" in tp:
+                    from msd_tpu.ops.quant import dequantize
+                    head_w = dequantize(head_w, tp["lm_head_qs"], dtype)
+                gen.params = None
+                dp32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), dp)
+                del tp, dp
+                gc.collect()
+                tc = TrainerConfig(
+                    train=TrainConfig(lr=lr, warmup_steps=20,
+                                      total_steps=max(steps, 21),
+                                      noise_std=0.0, p_w=args.distill_pw,
+                                      noise_rel=args.distill_noise_rel,
+                                      rollout_steps=args.distill_rollout),
+                    batch_size=2, max_len=recs[0]["hidden"].shape[0],
+                    num_epochs=1, log_every=10 ** 9)
+                trainer = DraftTrainer(dcfg, dp32, head_w, tc)
+                t0 = time.time()
+                last = {}
+                while trainer.step_count < steps:
+                    last = trainer.run_epoch([], recs, log=lambda *a: None)
+                log(f"distilled {trainer.step_count} steps in "
+                    f"{time.time()-t0:.1f}s "
+                    f"(top1_agree={last.get('top1_agree', 0):.3f})")
+                trained = jax.tree.map(np.asarray, {
+                    k: v for k, v in trainer.params.items()
+                    if k != "embed_tokens"})
+                del trainer, head_w, dp32
+                return trained
 
-            # snapshot the trained draft to HOST memory, purge, re-init
-            trained_host = jax.tree.map(np.asarray, {
-                k: v for k, v in trainer.params.items()
-                if k != "embed_tokens"})
-            del trainer, head_w, recs, dp, dp32
-            rebuild(trained_host, feats_host)
+            iters = max(args.distill_iters, 1)
+            # iteration 1 does the bulk; later iterations fine-tune onto the
+            # re-recorded (trained-draft) trajectories at a lower lr
+            steps_it = [max(args.distill_steps // 2, 1)] * iters
+            steps_it[0] = args.distill_steps - sum(steps_it[1:])
+            recs, bench_traj = collect_records()
+            for it in range(iters):
+                lr_it = args.distill_lr if it == 0 else args.distill_lr / 3
+                trained_host = train_phase(recs, steps_it[it], lr_it)
+                rebuild(trained_host, feats_host)
+                if it < iters - 1:
+                    recs, bench_traj = collect_records()
             distilled_ok = True
         except Exception as e:  # never lose the bench to a distill failure
             log(f"WARNING: distillation failed ({e!r}); continuing with the "
