@@ -119,10 +119,18 @@ def main():
                          "stabilizes greedy argmax across program shapes")
     ap.add_argument("--tree-nodes", type=int, default=128,
                     help="-1 = autotune (the reference's total_token=-1)")
+    ap.add_argument("--tree-depth", type=int, default=10,
+                    help="draft expansion depth bound (each depth costs ~1ms "
+                         "of sequential draft+head time; worth trimming when "
+                         "alpha saturates below it)")
+    ap.add_argument("--tree-topk", type=int, default=10)
     ap.add_argument("--quant", default="none",
                     choices=["none", "int8", "int4"],
                     help="weight-only quantized target (int8 halves, int4 "
                          "quarters decode weight reads)")
+    ap.add_argument("--dtype", default=None, choices=["bfloat16", "float32"],
+                    help="override the model dtype (default: bf16; tiny "
+                         "defaults to fp32)")
     ap.add_argument("--backend-wait", type=float, default=1800.0,
                     help="seconds to keep retrying backend init across "
                          "axon tunnel flaps")
@@ -177,6 +185,8 @@ def main():
         tcfg = LlamaConfig.tiny(vocab_size=32000, hidden_size=512, layers=4,
                                 heads=8, intermediate_size=1376, max_pos=4096)
         dtype = jnp.float32
+    if args.dtype is not None:
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
     tcfg = dataclasses.replace(
         tcfg, attn_impl=args.attn_impl,
         residual_dtype=(None if args.residual_dtype == "native"
@@ -207,7 +217,8 @@ def main():
     log(f"max_seq_len={max_seq}, image={bool(n_img)}")
     nodes = args.tree_nodes if args.tree_nodes > 0 else 128
     eng = EngineConfig(max_seq_len=max_seq, prompt_pad_multiple=128,
-                       tree=TreeConfig(top_k=10, max_depth=10,
+                       tree=TreeConfig(top_k=args.tree_topk,
+                                       max_depth=args.tree_depth,
                                        num_nodes=nodes))
     gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
     if args.tree_nodes == -1:
@@ -356,7 +367,8 @@ def main():
                     last = trainer.run_epoch([], recs, log=lambda *a: None)
                 log(f"distilled {trainer.step_count} steps in "
                     f"{time.time()-t0:.1f}s "
-                    f"(top1_agree={last.get('top1_agree', 0):.3f})")
+                    f"(top1_agree={last.get('top1_agree', 0):.3f}, "
+                    f"vloss={last.get('vloss', 0):.4f})")
                 trained = jax.tree.map(np.asarray, {
                     k: v for k, v in trainer.params.items()
                     if k != "embed_tokens"})

@@ -56,6 +56,8 @@ def main():
                     help="decode a TRAINING prompt (on-trajectory alpha)")
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--nodes", type=int, default=16)
     ap.add_argument("--rollout", type=int, default=0)
@@ -73,8 +75,9 @@ def main():
                          "trains fp32 and casts to bf16")
     args = ap.parse_args()
 
-    cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=4, heads=4,
-                           intermediate_size=128, max_pos=512)
+    cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=args.hidden,
+                           layers=args.layers, heads=4,
+                           intermediate_size=2 * args.hidden, max_pos=512)
     dcfg = DraftConfig(text=cfg)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     tparams = L.init_llama_params(k1, cfg)
@@ -85,8 +88,9 @@ def main():
     tok = SimpleTokenizer(vocab_size=256)
 
     n_img = 8 if args.image else 0
-    feats = (jnp.asarray(np.random.default_rng(5).normal(size=(n_img, 64))
-                         * 0.1, jnp.float32) if n_img else None)
+    feats = (jnp.asarray(
+        np.random.default_rng(5).normal(size=(n_img, args.hidden)) * 0.1,
+        jnp.float32) if n_img else None)
 
     eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
                        tree=TreeConfig(top_k=args.topk, max_depth=args.depth,
@@ -134,7 +138,8 @@ def main():
     last = None
     for _ in range(args.steps):
         last = trainer.run_epoch([], recs[:-1], log=lambda *a: None)
-    print(f"train: loss={last['loss']:.4f} top1_agree={last.get('top1_agree')}")
+    print(f"train: loss={last['loss']:.4f} vloss={last.get('vloss'):.4f} "
+          f"top1_agree={last.get('top1_agree')}")
     dp = trainer.params
 
     # (b) teacher-forced agreement
