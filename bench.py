@@ -87,6 +87,12 @@ def main():
                          "numerics) match the recording run and the decode "
                          "stays on-trajectory end to end")
     ap.add_argument("--distill-prompts", type=int, default=4)
+    ap.add_argument("--records-source", default="engine",
+                    choices=["engine", "teacher"],
+                    help="engine: distill on the decode engine's OWN hidden "
+                         "states (collect_hiddens — exact decode-time "
+                         "numerics); teacher: verify-shaped teacher "
+                         "re-forward (the reference's ge_data approach)")
     ap.add_argument("--distill-lr", type=float, default=1e-3)
     ap.add_argument("--distill-pw", type=float, default=0.1,
                     help="ploss weight during distillation (higher than the "
@@ -313,27 +319,50 @@ def main():
                 """MSD-decode trajectories with the CURRENT draft: greedy MSD
                 commits the VERIFY program's own argmax path, so the timed
                 decode stays on the recorded trajectory (AR-program near-tie
-                flips threw it off mid-sequence otherwise). Teacher states at
-                the VERIFY program shape so labels match acceptance."""
+                flips threw it off mid-sequence otherwise).
+
+                records-source=engine additionally takes the HIDDEN STATES
+                from the decode engine itself (collect_hiddens) instead of a
+                teacher re-forward — the draft trains on exactly the values
+                its suffix path reads back at serve time."""
+                from msd_tpu.train.data_gen import record_from_traj
                 t0 = time.time()
                 out, traj = [], None
+                emb_host = np.asarray(tp["embed_tokens"]) \
+                    if args.records_source == "engine" else None
                 for pi, p_ids in enumerate(prompts):
                     has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
                     p_feats = feats if has_img else None
-                    cont = gen.generate(p_ids, img_feats=p_feats,
-                                        max_new_tokens=args.max_new).tokens
+                    if args.records_source == "engine":
+                        r = gen.generate(p_ids, img_feats=p_feats,
+                                         max_new_tokens=args.max_new,
+                                         collect_hiddens=True)
+                        cont = r.tokens
+                        e0 = len(p_ids) + (max(n_img - 1, 0) if has_img
+                                           else 0)
+                        ipos = int(np.argmax(p_ids == IMAGE_TOKEN_INDEX)) \
+                            if has_img else pad_rec
+                        out.append(record_from_traj(
+                            r.traj_hidden, r.exp_ids, e0, ipos,
+                            n_img if has_img else 0,
+                            np.asarray(p_feats) if has_img else None,
+                            emb_host, pad_rec))
+                    else:
+                        cont = gen.generate(
+                            p_ids, img_feats=p_feats,
+                            max_new_tokens=args.max_new).tokens
+                        full = np.concatenate([p_ids, cont]).astype(np.int32)
+                        mask = np.zeros((len(full),), np.float32)
+                        mask[len(p_ids) - 1:] = 1.0
+                        out.append(make_record_from_ids(
+                            tp, tcfg, full, mask, pad_to=pad_rec,
+                            img_feats=p_feats, n_img=n_img if has_img else 0,
+                            verify_chunk=gen.eng.tree.num_nodes,
+                            cache_len=max_seq + gen.eng.tree.num_nodes))
                     if pi == 0:
                         traj = np.asarray(cont)
-                    full = np.concatenate([p_ids, cont]).astype(np.int32)
-                    mask = np.zeros((len(full),), np.float32)
-                    mask[len(p_ids) - 1:] = 1.0
-                    out.append(make_record_from_ids(
-                        tp, tcfg, full, mask, pad_to=pad_rec,
-                        img_feats=p_feats, n_img=n_img if has_img else 0,
-                        verify_chunk=gen.eng.tree.num_nodes,
-                        cache_len=max_seq + gen.eng.tree.num_nodes))
                 log(f"distill data: {len(out)} on-policy records "
-                    f"in {time.time()-t0:.1f}s")
+                    f"({args.records_source}) in {time.time()-t0:.1f}s")
                 return out, traj
 
             def train_phase(recs, steps, lr):

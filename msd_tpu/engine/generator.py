@@ -29,6 +29,8 @@ class GenResult:
     accept_len_sum: int = 0     # sum of tokens-per-step over verify steps
     alpha_hist: Optional[np.ndarray] = None
     calib_data: Optional[Dict] = None  # per-node features when collecting
+    traj_hidden: Optional[np.ndarray] = None  # [cur_len, H] engine hiddens
+    exp_ids: Optional[np.ndarray] = None      # [cur_len] expanded ids
 
     @property
     def avg_accept_len(self) -> float:
@@ -58,7 +60,8 @@ class MSDGenerator:
 
     def _statics(self, max_new: int, sp: SamplingParams,
                  use_calibration: bool = False,
-                 collect_calibration: bool = False) -> SE.Statics:
+                 collect_calibration: bool = False,
+                 collect_hiddens: bool = False) -> SE.Statics:
         return SE.Statics(tcfg=self.tcfg, dcfg=self.dcfg, tree=self.eng.tree,
                           eng=self.eng, sp=sp, n_img=self.n_img,
                           eos_id=self.eos_id, max_new=max_new,
@@ -66,7 +69,8 @@ class MSDGenerator:
                           mrope_section=self.mrope_section,
                           attn_feature_mode=self.attn_feature_mode,
                           use_calibration=use_calibration,
-                          collect_calibration=collect_calibration)
+                          collect_calibration=collect_calibration,
+                          collect_hiddens=collect_hiddens)
 
     def autotune_tree(self, candidates=(40, 48, 50, 56, 60, 96, 128),
                       log=None) -> None:
@@ -155,18 +159,22 @@ class MSDGenerator:
                  sp: Optional[SamplingParams] = None,
                  use_calibration: bool = False,
                  collect_calibration: bool = False,
+                 collect_hiddens: bool = False,
                  img_grid=None) -> GenResult:
         """Speculative (MSD) generation; lossless wrt the target model.
 
         use_calibration: calibrated tree rerank (set_calibrator first).
         collect_calibration: return per-node calibration features/labels.
+        collect_hiddens: return the engine's own per-position hidden states
+        (on-policy distillation data with decode-time numerics).
         """
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
         if use_calibration and "calib" not in self.params:
             raise ValueError("set_calibrator() before use_calibration=True")
-        st = self._statics(max_new, sp, use_calibration, collect_calibration)
+        st = self._statics(max_new, sp, use_calibration, collect_calibration,
+                           collect_hiddens)
         key = jax.random.PRNGKey(seed)
         if isinstance(img_feats, (list, tuple)):  # multi-image prompt
             fused, exp_ids, img_rows, e0, img_pos = self._fuse_multi(
@@ -221,10 +229,15 @@ class MSDGenerator:
             n_steps = int(state.steps)
             calib_data = {k: np.asarray(v[:n_steps])
                           for k, v in state.calib_log.items()}
+        traj_hidden = exp_ids_out = None
+        if collect_hiddens:
+            traj_hidden = np.asarray(state.traj_hidden[:cur])
+            exp_ids_out = np.asarray(state.ids[:cur])
         return GenResult(tokens=out, accept_steps=int(state.steps),
                          accept_len_sum=int(state.acc_sum),
                          alpha_hist=np.asarray(state.alpha_hist),
-                         calib_data=calib_data)
+                         calib_data=calib_data, traj_hidden=traj_hidden,
+                         exp_ids=exp_ids_out)
 
     def generate_batch(self, ids_list, img_feats_list=None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,

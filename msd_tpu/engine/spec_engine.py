@@ -76,6 +76,11 @@ class Statics:
     use_calibration: bool = False
     # record per-node calibration features/labels each step (training phase)
     collect_calibration: bool = False
+    # export the engine's OWN trajectory hidden states (prefill rows + the
+    # verify hiddens committed at each step) — on-policy distillation data
+    # with EXACTLY the numerics the draft sees at decode time, eliminating
+    # the teacher-re-forward program-shape mismatch
+    collect_hiddens: bool = False
 
     @property
     def s_target(self) -> int:
@@ -114,6 +119,8 @@ class EngineState(NamedTuple):
     #                             slot from the latest draft prefix forward
     #                             (cnets.py:516-575 candidate_idx semantics)
     calib_log: Dict             # {} or fixed [max_new, N] feature/label buffers
+    traj_hidden: jnp.ndarray    # [S_t, H] engine-computed hidden per position
+    #                             (collect_hiddens) or [0, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +535,12 @@ def _commit(st: Statics, state: EngineState, tr: Tree, hidden: jnp.ndarray,
     done = eos_hit | (new_tokens >= st.max_new) | (new_len >= limit)
 
     hist_idx = jnp.minimum(n_new, 15)
+    traj_hidden = state.traj_hidden
+    if st.collect_hiddens:
+        traj_hidden = jax.lax.dynamic_update_slice(
+            traj_hidden, suffix_hidden.astype(traj_hidden.dtype), (E, 0))
     return state._replace(
+        traj_hidden=traj_hidden,
         ids=ids, cur_len=new_len, bonus=next_tok,
         suffix_tokens=suffix_tokens, suffix_hidden=suffix_hidden,
         suffix_len=n_new, target_kv=target_kv,
@@ -651,6 +663,12 @@ def _prefill_core(st: Statics, params: Dict, fused: jnp.ndarray,
     else:
         calib_log = {}
 
+    if st.collect_hiddens:
+        traj_hidden = jax.lax.dynamic_update_slice(
+            jnp.zeros((st.s_target, H), hidden.dtype), hidden, (0, 0))
+    else:
+        traj_hidden = jnp.zeros((0, 0), hidden.dtype)
+
     return EngineState(
         ids=ids_buf, cur_len=E0, bonus=bonus,
         suffix_tokens=jnp.zeros((P,), jnp.int32),
@@ -661,7 +679,8 @@ def _prefill_core(st: Statics, params: Dict, fused: jnp.ndarray,
         new_tokens=jnp.int32(0), steps=jnp.int32(0), acc_sum=jnp.int32(0),
         alpha_hist=jnp.zeros((16,), jnp.int32),
         done=jnp.bool_(False), key=key, img_pos=img_pos,
-        pos_delta=jnp.int32(0), attn_feat=attn_feat, calib_log=calib_log)
+        pos_delta=jnp.int32(0), attn_feat=attn_feat, calib_log=calib_log,
+        traj_hidden=traj_hidden)
 
 
 def _decode_body(st: Statics, params: Dict, cos_t, sin_t):
@@ -816,6 +835,12 @@ def qwen_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
     else:
         calib_log = {}
 
+    if st.collect_hiddens:
+        traj_hidden = jax.lax.dynamic_update_slice(
+            jnp.zeros((st.s_target, H), hidden.dtype), hidden, (0, 0))
+    else:
+        traj_hidden = jnp.zeros((0, 0), hidden.dtype)
+
     return EngineState(
         ids=ids_buf, cur_len=E0, bonus=bonus,
         suffix_tokens=jnp.zeros((P,), jnp.int32),
@@ -827,7 +852,7 @@ def qwen_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
         alpha_hist=jnp.zeros((16,), jnp.int32),
         done=jnp.bool_(False), key=key, img_pos=img_start,
         pos_delta=jnp.int32(pos_delta), attn_feat=attn_feat,
-        calib_log=calib_log)
+        calib_log=calib_log, traj_hidden=traj_hidden)
 
 
 

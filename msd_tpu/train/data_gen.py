@@ -247,6 +247,49 @@ def make_record_from_ids(params: Dict, cfg: LlamaConfig, ids: np.ndarray,
             "img_mask": img_mask, "exp_ids": out["exp_ids"]}
 
 
+def record_from_traj(traj_hidden: np.ndarray, exp_ids: np.ndarray, e0: int,
+                     img_pos: int, n_img: int,
+                     img_feats, embed_table: np.ndarray,
+                     pad_to: int) -> Dict[str, np.ndarray]:
+    """Trainer record from ENGINE-collected trajectory hiddens.
+
+    traj_hidden/exp_ids: GenResult.traj_hidden / .exp_ids from
+    ``generate(..., collect_hiddens=True)`` — the hidden states the decode
+    engine itself computed (prefill rows + committed verify rows), i.e. the
+    exact values its draft-suffix path will read back at serve time. Unlike
+    ``make_record_from_ids`` there is NO teacher re-forward, so the record
+    carries decode-time numerics verbatim (no program-shape mismatch).
+
+    e0: expanded prompt length; rows [e0-1, cur-1) get loss (the generated
+    region); img_feats: [n_img, H] PROJECTED image tokens or None.
+    """
+    cur, H = traj_hidden.shape
+    hidden = np.zeros((pad_to, H), np.float32)
+    hidden[:min(cur, pad_to)] = np.asarray(traj_hidden[:pad_to], np.float32)
+    ids_p = np.zeros((pad_to,), np.int32)
+    ids_p[:min(cur, pad_to)] = np.asarray(exp_ids[:pad_to], np.int32)
+
+    fused = np.asarray(embed_table, np.float32)[np.maximum(ids_p, 0)]
+    with_image = img_feats is not None and n_img > 0
+    if with_image:
+        fused[img_pos:img_pos + n_img] = np.asarray(img_feats,
+                                                    np.float32)[:pad_to - img_pos]
+    emb_next = np.concatenate([fused[1:], np.zeros_like(fused[:1])])
+    target = np.concatenate([hidden[1:], np.zeros_like(hidden[:1])])
+
+    tmask = np.zeros((pad_to,), np.float32)
+    lo = max(e0 - 1, 0)
+    hi = min(cur - 1, pad_to - 1)
+    if hi > lo:
+        tmask[lo:hi] = 1.0
+    j = np.arange(pad_to)
+    img_mask = ((j + 1 >= img_pos) & (j + 1 < img_pos + n_img)) if with_image \
+        else np.zeros((pad_to,), bool)
+    return {"emb_next": emb_next, "hidden": hidden, "target": target,
+            "loss_mask": tmask, "attn_len": np.int32(min(cur, pad_to)),
+            "img_mask": img_mask, "exp_ids": ids_p}
+
+
 def generate_dataset(params: Dict, cfg: LlamaConfig, tokenizer,
                      samples: List[Dict], out_dir: str, *,
                      encode_image_fn=None, n_img: int = 0, pad_to: int = 512,

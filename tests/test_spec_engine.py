@@ -268,3 +268,62 @@ def test_finalize_tree_padded_budget_keeps_parent_chain():
         ic = int(np.where(toks == child)[0][0])
         assert par[ic] == i5, (child, par[ic], i5)
         assert int(np.asarray(tr.positions)[ic]) == 2
+
+
+def test_collect_hiddens_matches_teacher_forward():
+    """collect_hiddens exports the engine's per-position hiddens; at full
+    matmul precision they must match a clean teacher prefill over the same
+    committed trajectory (same math, different program shape), and
+    record_from_traj must lay them out in the trainer's shift-by-one
+    convention."""
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.configs import (DraftConfig, EngineConfig, LlamaConfig,
+                                 TreeConfig, IMAGE_TOKEN_INDEX)
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+    from msd_tpu.train.data_gen import make_record_from_ids, record_from_traj
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=2,
+                           intermediate_size=64, max_pos=512)
+    dcfg = DraftConfig(text=cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = L.init_llama_params(k1, cfg)
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    n_img = 4
+    eng = EngineConfig(max_seq_len=128, prompt_pad_multiple=16,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, n_img=n_img, eos_id=-1)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 120, size=11).astype(np.int32)
+    ids[2] = IMAGE_TOKEN_INDEX
+    feats = jnp.asarray(rng.normal(size=(n_img, 32)) * 0.1, jnp.float32)
+
+    r = gen.generate(ids, img_feats=feats, max_new_tokens=16,
+                     collect_hiddens=True)
+    assert r.traj_hidden is not None
+    cur = r.traj_hidden.shape[0]
+    e0 = len(ids) + n_img - 1
+    assert cur == e0 + len(r.tokens)
+
+    full = np.concatenate([ids, r.tokens]).astype(np.int32)
+    mask = np.zeros((len(full),), np.float32)
+    mask[len(ids) - 1:] = 1.0
+    ref = make_record_from_ids(tp, cfg, full, mask, pad_to=len(full),
+                               img_feats=feats, n_img=n_img)
+    np.testing.assert_array_equal(ref["exp_ids"][:cur], r.exp_ids)
+    np.testing.assert_allclose(np.asarray(ref["hidden"][:cur], np.float32),
+                               np.asarray(r.traj_hidden, np.float32),
+                               atol=5e-4, rtol=1e-3)
+
+    rec = record_from_traj(r.traj_hidden, r.exp_ids, e0, 2, n_img,
+                           np.asarray(feats), np.asarray(tp["embed_tokens"]),
+                           pad_to=cur)
+    np.testing.assert_allclose(rec["target"][:-1], rec["hidden"][1:])
+    np.testing.assert_allclose(rec["emb_next"][:cur - 1],
+                               np.asarray(ref["emb_next"][:cur - 1],
+                                          np.float32), atol=1e-5)
+    assert rec["loss_mask"].sum() > 0
+    np.testing.assert_array_equal(rec["img_mask"], ref["img_mask"][:cur])
