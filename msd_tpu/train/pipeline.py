@@ -38,23 +38,38 @@ def collect_onpolicy_records(lm, task, n_docs: int, max_new: int = 64,
     near-tie (bench.py finding, round 2)."""
     from msd_tpu.train.data_gen import make_record_from_ids
 
+    from msd_tpu.train.data_gen import record_from_traj
+
     gen = lm.gen
     tcfg = gen.tcfg
     docs = task.load_docs(limit=n_docs)
     recs = []
+    emb_host = None
     for doc in docs[:n_docs]:
         ctx = task.doc_to_text(doc)
         visuals = task.doc_to_visual(doc)
         ids, feats = lm._prepare(ctx, visuals)
-        cont = (gen.generate(ids, img_feats=feats,
-                             max_new_tokens=max_new).tokens
-                if msd_trajectories else
-                gen.naive_generate(ids, img_feats=feats,
-                                   max_new_tokens=max_new).tokens)
+        n_img = gen.n_img if feats is not None else 0
+        if msd_trajectories:
+            # engine-collected hiddens: the record carries the decode
+            # engine's own numerics (bench.py round-2 finding — a teacher
+            # re-forward's program-shape deltas break a memorizing draft)
+            r = gen.generate(ids, img_feats=feats, max_new_tokens=max_new,
+                             collect_hiddens=True)
+            e0 = len(ids) + max(n_img - 1, 0)
+            pad = pad_to or ((r.traj_hidden.shape[0] + 127) // 128) * 128
+            if emb_host is None:
+                emb_host = np.asarray(gen.params["target"]["embed_tokens"])
+            recs.append(record_from_traj(
+                r.traj_hidden, r.exp_ids, e0, gen._img_pos(ids), n_img,
+                np.asarray(feats) if feats is not None else None,
+                emb_host, pad))
+            continue
+        cont = gen.naive_generate(ids, img_feats=feats,
+                                  max_new_tokens=max_new).tokens
         full = np.concatenate([ids, cont]).astype(np.int32)
         mask = np.zeros((len(full),), np.float32)
         mask[max(len(ids) - 1, 0):] = 1.0
-        n_img = gen.n_img if feats is not None else 0
         pad = pad_to or ((len(full) + 127) // 128) * 128
         recs.append(make_record_from_ids(
             gen.params["target"], tcfg, full, mask, pad_to=pad,
