@@ -103,6 +103,12 @@ def main():
                          "hidden states — matches bf16 rounding statistics, "
                          "so the draft learns a locally smooth map instead "
                          "of a brittle lookup")
+    ap.add_argument("--distill-vnorm", dest="distill_vnorm",
+                    action="store_true", default=True,
+                    help="RMS-normalized hidden regression (see "
+                         "TrainConfig.v_norm)")
+    ap.add_argument("--no-distill-vnorm", dest="distill_vnorm",
+                    action="store_false")
     ap.add_argument("--distill-rollout", type=int, default=0,
                     help="rollout-augmented distillation passes (trains the "
                          "depth>=2 expansion recursion on the draft's own "
@@ -386,6 +392,7 @@ def main():
                                       total_steps=max(steps, 21),
                                       noise_std=0.0, p_w=args.distill_pw,
                                       noise_rel=args.distill_noise_rel,
+                                      v_norm=args.distill_vnorm,
                                       rollout_steps=args.distill_rollout),
                     batch_size=2, max_len=recs[0]["hidden"].shape[0],
                     num_epochs=1, log_every=10 ** 9)
@@ -405,13 +412,21 @@ def main():
                 return trained
 
             iters = max(args.distill_iters, 1)
-            # iteration 1 does the bulk; later iterations fine-tune onto the
-            # re-recorded (trained-draft) trajectories at a lower lr
-            steps_it = [max(args.distill_steps // 2, 1)] * iters
-            steps_it[0] = args.distill_steps - sum(steps_it[1:])
+            # early iterations do the bulk; the FINAL iteration is a short,
+            # low-lr polish so the draft (and hence its tree shapes, whose
+            # cache-slot layout perturbs near-tie verify roundings) barely
+            # moves after the last trajectory recording — keeping the timed
+            # decode on the recorded path end to end
+            if iters == 1:
+                steps_it = [args.distill_steps]
+            else:
+                last = max(100, args.distill_steps // 8)
+                mid = (args.distill_steps - last) // (iters - 1)
+                steps_it = [mid] * (iters - 1) + [last]
+                steps_it[0] += args.distill_steps - sum(steps_it)
             recs, bench_traj = collect_records()
             for it in range(iters):
-                lr_it = args.distill_lr if it == 0 else args.distill_lr / 3
+                lr_it = args.distill_lr if it == 0 else args.distill_lr / 6
                 trained_host = train_phase(recs, steps_it[it], lr_it)
                 rebuild(trained_host, feats_host)
                 if it < iters - 1:

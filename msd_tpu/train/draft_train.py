@@ -59,6 +59,12 @@ class TrainConfig:
     # recursion to depth r+1; each pass r is weighted rollout_w**r.
     rollout_steps: int = 0
     rollout_w: float = 0.5
+    # normalize the regression residual by the target hidden's RMS before
+    # SmoothL1. Raw hiddens with std >> 1 (deep residual streams) put
+    # SmoothL1 in its linear regime — constant unit gradients, poor
+    # conditioning — and the hidden prediction never tightens, which is what
+    # the depth>=2 draft recursion depends on.
+    v_norm: bool = False
 
 
 class Batch(NamedTuple):
@@ -91,7 +97,8 @@ def add_uniform_noise(key, hidden: jnp.ndarray, std: float) -> jnp.ndarray:
 def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
                batch: Batch, cos_t, sin_t,
                rollout_steps: int = 0,
-               rollout_w: float = 0.5) -> Tuple[jnp.ndarray, Dict]:
+               rollout_w: float = 0.5,
+               v_norm: bool = False) -> Tuple[jnp.ndarray, Dict]:
     B, T, H = batch.hidden.shape
 
     def per_seq(emb_next, hidden, target, loss_mask, attn_len, img_mask):
@@ -104,11 +111,19 @@ def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
         tgt_p = jax.nn.softmax(tgt_logits, axis=-1)
         tgt_arg = jnp.argmax(tgt_logits, -1)
 
+        v_scale = 1.0
+        if v_norm:
+            t32 = target.astype(jnp.float32)
+            m32 = loss_mask.astype(jnp.float32)[:, None]
+            v_scale = jax.lax.stop_gradient(jnp.sqrt(
+                jnp.sum(m32 * t32 * t32)
+                / (jnp.sum(m32) * t32.shape[-1] + 1e-6) + 1e-6))
+
         def one_pass(hidden_in):
             hin = draft_mod.draft_fuse(dparams, emb_next, hidden_in, img_mask)
             out = draft_mod.draft_forward_nocache(dparams, cfg, hin, pos,
                                                   bias, cos_t, sin_t)
-            diff = (out - target).astype(jnp.float32)
+            diff = (out - target).astype(jnp.float32) / v_scale
             v_elem = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
                                jnp.abs(diff) - 0.5)      # SmoothL1, beta=1
             v_row = jnp.mean(v_elem, axis=-1)             # mean over hidden
@@ -180,7 +195,8 @@ def train_step(dparams: Dict, opt_state, cfg: DraftConfig, tcfg: TrainConfig,
     def total_loss(p):
         v, pl, top1 = draft_loss(p, cfg, head_w, batch, cos_t, sin_t,
                                  rollout_steps=tcfg.rollout_steps,
-                                 rollout_w=tcfg.rollout_w)
+                                 rollout_w=tcfg.rollout_w,
+                                 v_norm=tcfg.v_norm)
         return tcfg.v_w * v + tcfg.p_w * pl, (v, pl, top1)
 
     (loss, (v, pl, top1)), grads = jax.value_and_grad(
