@@ -87,6 +87,12 @@ def main():
                          "numerics) match the recording run and the decode "
                          "stays on-trajectory end to end")
     ap.add_argument("--distill-prompts", type=int, default=4)
+    ap.add_argument("--draft-mode", default="eagle",
+                    choices=["eagle", "medusa"],
+                    help="medusa: per-depth resblock heads over the depth-1 "
+                         "draft hidden (no recursion; one stacked lm_head "
+                         "read per expansion) — see DraftConfig.medusa_heads")
+    ap.add_argument("--distill-medusa-w", type=float, default=1.0)
     ap.add_argument("--records-source", default="engine",
                     choices=["engine", "teacher"],
                     help="engine: distill on the decode engine's OWN hidden "
@@ -203,7 +209,10 @@ def main():
         tcfg, attn_impl=args.attn_impl,
         residual_dtype=(None if args.residual_dtype == "native"
                         else args.residual_dtype))
-    dcfg = DraftConfig(text=tcfg)
+    dcfg = DraftConfig(
+        text=tcfg,
+        medusa_heads=(max(args.tree_depth - 1, 1)
+                      if args.draft_mode == "medusa" else 0))
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     t0 = time.time()
@@ -211,6 +220,9 @@ def main():
     if args.head_sharpen != 1.0:
         tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
     dp = draft_mod.init_draft_params(k2, dcfg, dtype)
+    if dcfg.medusa_heads:
+        dp["medusa"] = draft_mod.init_medusa_params(
+            jax.random.PRNGKey(7), dcfg, dtype)
     # the MSD draft checkpoints freeze the base model's embedding
     # (load_emb=True, main_deepspeed.py:145-163) — share the device buffer
     dp["embed_tokens"] = tp["embed_tokens"]
@@ -393,6 +405,7 @@ def main():
                                       noise_std=0.0, p_w=args.distill_pw,
                                       noise_rel=args.distill_noise_rel,
                                       v_norm=args.distill_vnorm,
+                                      medusa_w=args.distill_medusa_w,
                                       rollout_steps=args.distill_rollout),
                     batch_size=2, max_len=recs[0]["hidden"].shape[0],
                     num_epochs=1, log_every=10 ** 9)
@@ -404,6 +417,7 @@ def main():
                 log(f"distilled {trainer.step_count} steps in "
                     f"{time.time()-t0:.1f}s "
                     f"(top1_agree={last.get('top1_agree', 0):.3f}, "
+                    f"medusa1_agree={last.get('medusa1_agree', 0):.3f}, "
                     f"vloss={last.get('vloss', 0):.4f})")
                 trained = jax.tree.map(np.asarray, {
                     k: v for k, v in trainer.params.items()
@@ -506,6 +520,7 @@ def main():
             "decode_on_distilled_trajectory_tokens": on_traj,
             "distill_steps": args.distill_steps,
             "tree_nodes": gen.eng.tree.num_nodes,
+            "draft_mode": args.draft_mode,
             "image_tokens": n_img,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
             "quant": args.quant,

@@ -154,6 +154,13 @@ class DraftConfig:
     text: LlamaConfig = dataclasses.field(default_factory=LlamaConfig.llava_7b)
     num_layers: int = 1
     fc_bias: bool = True
+    # Medusa-style direct multi-depth heads (> 0 switches the engine's tree
+    # expansion from EAGLE recursion to per-depth resblock heads over the
+    # depth-1 draft hidden). Depth d >= 2 candidates come from head
+    # ``medusa[d-2]`` — no self-recursion, and every depth's logits share one
+    # stacked lm_head matmul, so expansion is one forward instead of
+    # max_depth sequential ones.
+    medusa_heads: int = 0
 
     @staticmethod
     def tiny() -> "DraftConfig":

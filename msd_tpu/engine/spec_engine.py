@@ -272,6 +272,54 @@ def _draft_expand_static(st: Statics, params: Dict, draft_kv: Dict,
     return tr, draft_kv
 
 
+def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
+                         last_hidden: jnp.ndarray, root_token: jnp.ndarray,
+                         attn_feat: jnp.ndarray) -> Tuple[Tree, Dict]:
+    """Medusa-style expansion (public multi-head drafting technique): depth-1
+    candidates from head(last_hidden) as usual; depth d >= 2 from per-depth
+    resblock heads over the SAME last_hidden — no recursion, so the draft
+    never eats its own prediction error, and every depth's logits come from
+    one stacked lm_head matmul (one weight read instead of max_depth).
+
+    Tree shape: each depth's K candidates branch off the previous depth's
+    top-1 (backbone chain), expressed directly in the OPT wm/tm/pm matrices
+    (pm = 0) and packed by the same finalize_tree."""
+    t = st.tree
+    K, D = t.top_k, t.max_depth
+    d_use = min(D, 1 + st.dcfg.medusa_heads)
+    dp = params["draft"]
+    head = params["target"]["lm_head"]
+
+    mh = draft_mod.medusa_hiddens(dp["medusa"], last_hidden)   # [Km, H]
+    xs = jnp.concatenate([last_hidden[None], mh[:d_use - 1]], axis=0)
+    logits = (xs @ head).astype(jnp.float32)                   # [d_use, V]
+    probs = jax.nn.softmax(logits, axis=-1)
+    w, idx = jax.lax.top_k(probs, K)                           # [d_use, K]
+
+    prefix = jnp.cumprod(jnp.concatenate(
+        [jnp.ones((1,), jnp.float32), w[:-1, 0]]))             # [d_use]
+    wm = jnp.zeros((D, K), jnp.float32).at[:d_use].set(prefix[:, None] * w)
+    tm = jnp.zeros((D, K), jnp.int32).at[:d_use].set(idx.astype(jnp.int32))
+    pm = jnp.zeros((D, K), jnp.int32)
+
+    if st.collect_calibration:
+        margin = w[:, 0] - w[:, 1]                             # [d_use]
+        ex = {
+            "local_conf": jnp.zeros((D, K), jnp.float32).at[:d_use].set(w),
+            "attn": jnp.zeros((D, K), jnp.float32)
+                    .at[:d_use].set(jnp.broadcast_to(attn_feat[:K],
+                                                     (d_use, K))),
+            "margin": jnp.zeros((D, K), jnp.float32)
+                      .at[:d_use].set(jnp.broadcast_to(margin[:, None],
+                                                       (d_use, K))),
+        }
+    else:
+        ex = None
+    tr = tree_mod.finalize_tree(t, root_token, wm, tm, pm, jnp.int32(d_use),
+                                extra_mats=ex)
+    return tr, draft_kv
+
+
 def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
                   last_hidden: jnp.ndarray, root_token: jnp.ndarray,
                   cos_t, sin_t, attn_feat: jnp.ndarray,
@@ -290,6 +338,9 @@ def _draft_expand(st: Statics, params: Dict, draft_kv: Dict, E: jnp.ndarray,
     if t.static_choices is not None:
         return _draft_expand_static(st, params, draft_kv, E, last_hidden,
                                     root_token, cos_t, sin_t, pos_delta)
+    if st.dcfg.medusa_heads > 0:
+        return _draft_expand_medusa(st, params, draft_kv, last_hidden,
+                                    root_token, attn_feat)
     K, D, n_draft = t.top_k, t.max_depth, t.num_draft
     dp = params["draft"]
     head = params["target"]["lm_head"]

@@ -44,6 +44,30 @@ def init_draft_params(key, cfg: DraftConfig, dtype=jnp.float32) -> Params:
     return p
 
 
+def init_medusa_params(key, cfg: DraftConfig, dtype=jnp.float32) -> Params:
+    """Per-depth residual-block heads (Medusa-style, public technique:
+    SiLU resblock + shared lm_head). K = cfg.medusa_heads; head k predicts
+    the token k+2 steps ahead of the current position."""
+    h = cfg.text.hidden_size
+    k = cfg.medusa_heads
+    return {
+        "mw": (jax.random.normal(key, (k, h, h), jnp.float32)
+               * (h ** -0.5) * 0.1).astype(dtype),
+        "mb": jnp.zeros((k, h), dtype),
+    }
+
+
+def medusa_hiddens(mp: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [..., H] depth-1 draft hidden -> [K, ..., H] per-depth hiddens.
+
+    h_k = x + silu(x @ mw[k] + mb[k]); head(h_k) is the depth-(k+2)
+    distribution. All K blocks read the SAME x (no recursion)."""
+    y = jnp.einsum("...h,khg->k...g", x, mp["mw"]) + \
+        mp["mb"].reshape((mp["mb"].shape[0],) + (1,) * (x.ndim - 1)
+                         + (mp["mb"].shape[-1],))
+    return x[None] + jax.nn.silu(y.astype(jnp.float32)).astype(x.dtype)
+
+
 def draft_fuse(params: Params, emb_next: jnp.ndarray, target_hidden: jnp.ndarray,
                image_row_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """fc([emb_next, target_hidden]) with image rows passing emb_next through.

@@ -103,6 +103,9 @@ def draft_param_specs(cfg: DraftConfig, has_bias: bool = True) -> Dict:
     }
     if has_bias:
         d["fc_b"] = P(None)
+    if cfg.medusa_heads > 0:
+        # per-depth resblock heads: small [K, H, H]; replicate
+        d["medusa"] = {"mw": P(None, None, None), "mb": P(None, None)}
     return d
 
 

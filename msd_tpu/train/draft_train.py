@@ -65,6 +65,11 @@ class TrainConfig:
     # conditioning — and the hidden prediction never tightens, which is what
     # the depth>=2 draft recursion depends on.
     v_norm: bool = False
+    # Medusa-head training weight: when the draft params carry a "medusa"
+    # block, each head k gets hard-label CE against the trajectory token
+    # k+2 steps ahead, weighted medusa_w * 0.8**(k-1) (the public Medusa
+    # recipe's decay).
+    medusa_w: float = 0.2
 
 
 class Batch(NamedTuple):
@@ -98,8 +103,10 @@ def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
                batch: Batch, cos_t, sin_t,
                rollout_steps: int = 0,
                rollout_w: float = 0.5,
-               v_norm: bool = False) -> Tuple[jnp.ndarray, Dict]:
+               v_norm: bool = False,
+               medusa_w: float = 0.2) -> Tuple[jnp.ndarray, Dict]:
     B, T, H = batch.hidden.shape
+    n_med = dparams["medusa"]["mw"].shape[0] if "medusa" in dparams else 0
 
     def per_seq(emb_next, hidden, target, loss_mask, attn_len, img_mask):
         pos = jnp.arange(T, dtype=jnp.int32)
@@ -135,6 +142,34 @@ def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
             return out, v_row, p_row, agree
 
         out, v_row, p_row, agree = one_pass(hidden)
+
+        med = jnp.float32(0.0)
+        med_agree = jnp.float32(0.0)
+        if n_med:
+            mh = draft_mod.medusa_hiddens(dparams["medusa"], out)  # [Km,T,H]
+            med_den = jnp.float32(1e-5)
+            agree_den = jnp.float32(1e-5)
+            for k in range(1, n_med + 1):
+                # head k predicts t_{j+2+k}; greedy trajectory label =
+                # argmax head(target[j+k]) (a shift of tgt_arg — free)
+                lab_k = jnp.concatenate(
+                    [tgt_arg[k:], jnp.zeros((k,), tgt_arg.dtype)])
+                m_k = jnp.concatenate(
+                    [loss_mask[k:], jnp.zeros((k,), loss_mask.dtype)]
+                ).astype(jnp.float32)
+                lg = (mh[k - 1] @ head_w).astype(jnp.float32)   # [T, V]
+                ce = (jax.nn.logsumexp(lg, axis=-1)
+                      - jnp.take_along_axis(lg, lab_k[:, None], axis=1)[:, 0])
+                wk = 0.8 ** (k - 1)
+                med = med + wk * jnp.sum(m_k * ce)
+                med_den = med_den + wk * jnp.sum(m_k)
+                if k == 1:
+                    ag = (jnp.argmax(lg, -1) == lab_k).astype(jnp.float32)
+                    med_agree = jnp.sum(m_k * ag)
+                    agree_den = agree_den + jnp.sum(m_k)
+            med = med / med_den
+            med_agree = med_agree / agree_den
+
         w_sum = 1.0
         for r in range(1, rollout_steps + 1):
             # row j's input hidden becomes the draft's own prediction of h_j
@@ -148,18 +183,18 @@ def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
             w_sum += w
         v_row = v_row / w_sum
         p_row = p_row / w_sum
-        return v_row, p_row, agree
+        return v_row, p_row, agree, med, med_agree
 
-    v_row, p_row, agree = jax.vmap(per_seq)(
+    v_row, p_row, agree, med, med_agree = jax.vmap(per_seq)(
         batch.emb_next, batch.hidden, batch.target, batch.loss_mask,
         batch.attn_len, batch.img_mask)
 
     m = batch.loss_mask.astype(jnp.float32)
     denom = jnp.sum(m) + 1e-5
     vloss = jnp.sum(m * v_row) / denom
-    ploss = jnp.sum(m * p_row) / denom
+    ploss = jnp.sum(m * p_row) / denom + medusa_w * jnp.mean(med)
     top1 = jnp.sum(m * agree.astype(jnp.float32)) / denom
-    return vloss, ploss, top1
+    return vloss, ploss, top1, jnp.mean(med_agree)
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
@@ -193,17 +228,19 @@ def train_step(dparams: Dict, opt_state, cfg: DraftConfig, tcfg: TrainConfig,
                                    ).astype(batch.hidden.dtype))
 
     def total_loss(p):
-        v, pl, top1 = draft_loss(p, cfg, head_w, batch, cos_t, sin_t,
-                                 rollout_steps=tcfg.rollout_steps,
-                                 rollout_w=tcfg.rollout_w,
-                                 v_norm=tcfg.v_norm)
-        return tcfg.v_w * v + tcfg.p_w * pl, (v, pl, top1)
+        v, pl, top1, med_agree = draft_loss(
+            p, cfg, head_w, batch, cos_t, sin_t,
+            rollout_steps=tcfg.rollout_steps,
+            rollout_w=tcfg.rollout_w,
+            v_norm=tcfg.v_norm, medusa_w=tcfg.medusa_w)
+        return tcfg.v_w * v + tcfg.p_w * pl, (v, pl, top1, med_agree)
 
-    (loss, (v, pl, top1)), grads = jax.value_and_grad(
+    (loss, (v, pl, top1, med_agree)), grads = jax.value_and_grad(
         total_loss, has_aux=True)(dparams)
     updates, opt_state = opt.update(grads, opt_state, dparams)
     dparams = optax.apply_updates(dparams, updates)
-    metrics = {"loss": loss, "vloss": v, "ploss": pl, "top1_agree": top1}
+    metrics = {"loss": loss, "vloss": v, "ploss": pl, "top1_agree": top1,
+               "medusa1_agree": med_agree}
     return dparams, opt_state, key, metrics
 
 

@@ -117,8 +117,9 @@ class DraftTrainer:
             jit_kw["out_shardings"] = (
                 jax.tree.map(_sh, self.params),
                 jax.tree.map(_sh, self.opt_state), repl,
-                jax.tree.map(lambda _: repl, {"loss": 0, "vloss": 0,
-                                              "ploss": 0, "top1_agree": 0}))
+                jax.tree.map(lambda _: repl,
+                             {"loss": 0, "vloss": 0, "ploss": 0,
+                              "top1_agree": 0, "medusa1_agree": 0}))
         else:
             self.opt_state = self.opt.init(dparams)
         self.cos_t, self.sin_t = make_rope(dcfg.text, tc.max_len + 8)

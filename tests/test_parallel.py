@@ -76,7 +76,7 @@ def test_sharded_train_step_matches_unsharded():
         attn_len=jnp.full((B,), T, jnp.int32),
         img_mask=jnp.zeros((B, T), jnp.bool_))
 
-    v0, p0, _ = draft_loss(dp, dcfg, head_w, batch, cos_t, sin_t)
+    v0, p0, _, _ = draft_loss(dp, dcfg, head_w, batch, cos_t, sin_t)
 
     mesh = make_mesh(4, dp=2, tp=2)
     dp_sh = shard_params(dp, draft_param_specs(dcfg, "fc_b" in dp), mesh)

@@ -327,3 +327,67 @@ def test_collect_hiddens_matches_teacher_forward():
                                           np.float32), atol=1e-5)
     assert rec["loss_mask"].sum() > 0
     np.testing.assert_array_equal(rec["img_mask"], ref["img_mask"][:cur])
+
+
+def test_medusa_draft_mode():
+    """Medusa-style multi-head drafting (DraftConfig.medusa_heads > 0):
+    greedy MSD == greedy AR with random heads (lossless regardless of draft
+    quality), and distilling the heads on an engine-recorded trajectory
+    raises alpha with depth >= 2 acceptances (no recursion drift)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, \
+        TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+    from msd_tpu.train.data_gen import record_from_traj
+    from msd_tpu.train.draft_train import TrainConfig
+    from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
+
+    cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=2, heads=4,
+                           intermediate_size=128, max_pos=512)
+    dcfg = DraftConfig(text=cfg, medusa_heads=4)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    tp = L.init_llama_params(k1, cfg)
+    tp["lm_head"] = tp["lm_head"] * 3.0
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    dp["medusa"] = draft_mod.init_medusa_params(k3, dcfg)
+    dp["embed_tokens"] = tp["embed_tokens"]
+
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=5, num_nodes=24))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 250, size=9).astype(np.int32)
+
+    ar = gen.naive_generate(ids, max_new_tokens=40).tokens
+    r0 = gen.generate(ids, max_new_tokens=40, collect_hiddens=True)
+    np.testing.assert_array_equal(ar, r0.tokens)  # lossless w/ random heads
+
+    rec = record_from_traj(r0.traj_hidden, r0.exp_ids, len(ids), len(ids), 0,
+                           None, np.asarray(tp["embed_tokens"]), pad_to=64)
+    tc = TrainerConfig(
+        train=TrainConfig(lr=3e-3, warmup_steps=5, total_steps=600,
+                          noise_std=0.0, noise_rel=0.01, v_norm=True,
+                          medusa_w=1.0),
+        batch_size=1, max_len=64, num_epochs=1, ckpt_dir="/tmp/med_ckpt",
+        log_every=10 ** 9)
+    trainer = DraftTrainer(dcfg, dp, tp["lm_head"], tc)
+    last = {}
+    for _ in range(600):
+        last = trainer.run_epoch([], [rec], log=lambda *a: None)
+        if trainer.step_count >= 600:
+            break
+    assert last["medusa1_agree"] > 0.5, last
+
+    gen2 = MSDGenerator(tp, trainer.params, cfg, dcfg, eng, eos_id=-1)
+    r1 = gen2.generate(ids, max_new_tokens=40)
+    np.testing.assert_array_equal(ar, r1.tokens)  # still lossless
+    assert r1.avg_accept_len > r0.avg_accept_len + 0.5, \
+        (r0.avg_accept_len, r1.avg_accept_len)
+    # depth >= 2 acceptance happens (tokens-per-step bucket >= 3)
+    assert np.asarray(r1.alpha_hist)[3:].sum() > 0, r1.alpha_hist

@@ -138,10 +138,10 @@ def test_rollout_loss(setup):
     rng = np.random.default_rng(0)
     batch = next(batches_from_records(recs, 2, 96, rng))
     cos_t, sin_t = L.make_rope(cfg, 104)
-    v0, p0, _ = draft_loss(dparams, dcfg, tparams["lm_head"], batch,
-                           cos_t, sin_t)
-    v2, p2, _ = draft_loss(dparams, dcfg, tparams["lm_head"], batch,
-                           cos_t, sin_t, rollout_steps=2)
+    v0, p0, _, _ = draft_loss(dparams, dcfg, tparams["lm_head"], batch,
+                              cos_t, sin_t)
+    v2, p2, _, _ = draft_loss(dparams, dcfg, tparams["lm_head"], batch,
+                              cos_t, sin_t, rollout_steps=2)
     assert float(v0) != float(v2)
 
     tc = TrainerConfig(
