@@ -281,12 +281,23 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     never eats its own prediction error, and every depth's logits come from
     one stacked lm_head matmul (one weight read instead of max_depth).
 
-    Tree shape: each depth's K candidates branch off the previous depth's
-    top-1 (backbone chain), expressed directly in the OPT wm/tm/pm matrices
-    (pm = 0) and packed by the same finalize_tree."""
+    The tree layout is STATIC: node (depth d, rank s) always occupies slot
+    1 + (d-1)*K + s, each depth's K candidates branching off the previous
+    depth's rank-0 node (backbone chain). Static slots matter beyond speed:
+    a node's verify value depends only on the committed prefix, the (fixed)
+    backbone ancestor slots and its own rope position — sibling rows are
+    exact zero-contributions under the mask — so the committed rows are
+    numerically canonical functions of the trajectory, and near-tie argmax
+    flips between runs with slightly different draft params (which plagued
+    the weight-sorted finalize_tree layout) largely disappear."""
+    import numpy as _np
+
     t = st.tree
     K, D = t.top_k, t.max_depth
     d_use = min(D, 1 + st.dcfg.medusa_heads)
+    N = t.num_nodes
+    n_used = 1 + d_use * K
+    assert n_used <= N, (n_used, N)
     dp = params["draft"]
     head = params["target"]["lm_head"]
 
@@ -296,27 +307,64 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     probs = jax.nn.softmax(logits, axis=-1)
     w, idx = jax.lax.top_k(probs, K)                           # [d_use, K]
 
+    # ---- static structure (trace-time numpy constants) ----
+    depth_np = _np.zeros((N,), _np.int32)
+    par_np = _np.zeros((N,), _np.int32)
+    valid_np = _np.zeros((N,), bool)
+    for d in range(1, d_use + 1):
+        lo = 1 + (d - 1) * K
+        depth_np[lo:lo + K] = d
+        par_np[lo:lo + K] = 0 if d == 1 else 1 + (d - 2) * K
+        valid_np[lo:lo + K] = True
+    valid_np[0] = True
+    # ancestor mask: backbone chain + self
+    mask_np = _np.eye(N, dtype=bool)
+    mask_np[:, 0] = True
+    for d in range(1, d_use + 1):
+        lo = 1 + (d - 1) * K
+        for a in range(1, d):
+            mask_np[lo:lo + K, 1 + (a - 1) * K] = True
+    # retrieve paths
+    P = t.max_path_len
+    ret_np = _np.full((N, P), -1, _np.int32)
+    ret_np[:, 0] = 0
+    ret_np[0, 1:] = -1
+    for d in range(1, d_use + 1):
+        lo = 1 + (d - 1) * K
+        for a in range(1, d):
+            ret_np[lo:lo + K, a] = 1 + (a - 1) * K
+        ret_np[lo:lo + K, d] = _np.arange(lo, lo + K)
+
+    # ---- dynamic: tokens + weights ----
+    tokens = jnp.full((N,), -1, jnp.int32)
+    tokens = tokens.at[0].set(root_token.astype(jnp.int32))
+    tokens = tokens.at[1:n_used].set(idx[:d_use].reshape(-1).astype(jnp.int32))
     prefix = jnp.cumprod(jnp.concatenate(
         [jnp.ones((1,), jnp.float32), w[:-1, 0]]))             # [d_use]
-    wm = jnp.zeros((D, K), jnp.float32).at[:d_use].set(prefix[:, None] * w)
-    tm = jnp.zeros((D, K), jnp.int32).at[:d_use].set(idx.astype(jnp.int32))
-    pm = jnp.zeros((D, K), jnp.int32)
+    node_w = jnp.zeros((N,), jnp.float32).at[0].set(1.0)
+    node_w = node_w.at[1:n_used].set((prefix[:, None] * w).reshape(-1))
 
+    extras = {}
     if st.collect_calibration:
         margin = w[:, 0] - w[:, 1]                             # [d_use]
-        ex = {
-            "local_conf": jnp.zeros((D, K), jnp.float32).at[:d_use].set(w),
-            "attn": jnp.zeros((D, K), jnp.float32)
-                    .at[:d_use].set(jnp.broadcast_to(attn_feat[:K],
-                                                     (d_use, K))),
-            "margin": jnp.zeros((D, K), jnp.float32)
-                      .at[:d_use].set(jnp.broadcast_to(margin[:, None],
-                                                       (d_use, K))),
+        z = lambda: jnp.zeros((N,), jnp.float32)  # noqa: E731
+        extras = {
+            "local_conf": z().at[1:n_used].set(w.reshape(-1)),
+            "attn": z().at[1:n_used].set(
+                jnp.broadcast_to(attn_feat[:K], (d_use, K)).reshape(-1)),
+            "margin": z().at[1:n_used].set(
+                jnp.broadcast_to(margin[:, None], (d_use, K)).reshape(-1)),
         }
-    else:
-        ex = None
-    tr = tree_mod.finalize_tree(t, root_token, wm, tm, pm, jnp.int32(d_use),
-                                extra_mats=ex)
+
+    tr = Tree(tokens=tokens,
+              parents=jnp.asarray(par_np),
+              mask=jnp.asarray(mask_np),
+              positions=jnp.asarray(depth_np),
+              retrieve=jnp.asarray(ret_np),
+              valid=jnp.asarray(valid_np),
+              node_depth=jnp.asarray(depth_np),
+              node_weight=node_w,
+              extras=extras)
     return tr, draft_kv
 
 

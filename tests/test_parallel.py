@@ -83,7 +83,7 @@ def test_sharded_train_step_matches_unsharded():
     batch_sh = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
     head_sh = jax.device_put(head_w, NamedSharding(mesh, P(None, "model")))
-    v1, p1, _ = jax.jit(draft_loss, static_argnums=(1,))(
+    v1, p1, _, _ = jax.jit(draft_loss, static_argnums=(1,))(
         dp_sh, dcfg, head_sh, batch_sh, cos_t, sin_t)
 
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
