@@ -440,7 +440,7 @@ def main():
                 steps_it[0] += args.distill_steps - sum(steps_it)
             recs, bench_traj = collect_records()
             for it in range(iters):
-                lr_it = args.distill_lr if it == 0 else args.distill_lr / 6
+                lr_it = args.distill_lr / (3.0 ** it)
                 trained_host = train_phase(recs, steps_it[it], lr_it)
                 rebuild(trained_host, feats_host)
                 if it < iters - 1:
