@@ -87,7 +87,7 @@ def main():
                          "numerics) match the recording run and the decode "
                          "stays on-trajectory end to end")
     ap.add_argument("--distill-prompts", type=int, default=4)
-    ap.add_argument("--draft-mode", default="eagle",
+    ap.add_argument("--draft-mode", default="medusa",
                     choices=["eagle", "medusa"],
                     help="medusa: per-depth resblock heads over the depth-1 "
                          "draft hidden (no recursion; one stacked lm_head "
@@ -135,9 +135,9 @@ def main():
                     help="fp32 residual stream (default): matmuls stay bf16 "
                          "on the MXU, the residual adds accumulate in fp32 — "
                          "stabilizes greedy argmax across program shapes")
-    ap.add_argument("--tree-nodes", type=int, default=128,
+    ap.add_argument("--tree-nodes", type=int, default=96,
                     help="-1 = autotune (the reference's total_token=-1)")
-    ap.add_argument("--tree-depth", type=int, default=10,
+    ap.add_argument("--tree-depth", type=int, default=8,
                     help="draft expansion depth bound (each depth costs ~1ms "
                          "of sequential draft+head time; worth trimming when "
                          "alpha saturates below it)")
