@@ -93,6 +93,10 @@ def main():
                          "draft hidden (no recursion; one stacked lm_head "
                          "read per expansion) — see DraftConfig.medusa_heads")
     ap.add_argument("--distill-medusa-w", type=float, default=1.0)
+    ap.add_argument("--medusa-widths", default="",
+                    help="comma list of per-depth candidate widths for the "
+                         "medusa tree (e.g. '10,8,6,4,3,2,2,2,1,1,1,1,1,1'); "
+                         "overrides --tree-depth/--tree-topk/--tree-nodes")
     ap.add_argument("--records-source", default="engine",
                     choices=["engine", "teacher"],
                     help="engine: distill on the decode engine's OWN hidden "
@@ -153,6 +157,11 @@ def main():
                     help="seconds to keep retrying backend init across "
                          "axon tunnel flaps")
     args = ap.parse_args()
+    m_widths = None
+    if args.draft_mode == "medusa" and args.medusa_widths:
+        m_widths = tuple(int(x) for x in args.medusa_widths.split(","))
+        args.tree_topk = m_widths[0]
+        args.tree_depth = len(m_widths)
 
     if not wait_for_backend(args.backend_wait):
         log(f"FATAL: no TPU backend after {args.backend_wait:.0f}s of "
@@ -240,10 +249,13 @@ def main():
           + 128 + 16 + 127) // 128) * 128)
     log(f"max_seq_len={max_seq}, image={bool(n_img)}")
     nodes = args.tree_nodes if args.tree_nodes > 0 else 128
+    if m_widths is not None:
+        nodes = 1 + sum(m_widths)
     eng = EngineConfig(max_seq_len=max_seq, prompt_pad_multiple=128,
                        tree=TreeConfig(top_k=args.tree_topk,
                                        max_depth=args.tree_depth,
-                                       num_nodes=nodes))
+                                       num_nodes=nodes,
+                                       medusa_widths=m_widths))
     gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
     if args.tree_nodes == -1:
         gen.autotune_tree(log=log)

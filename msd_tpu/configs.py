@@ -186,6 +186,12 @@ class TreeConfig:
     # tuples). When set, drafting follows this fixed shape instead of
     # OPT-Tree; num_nodes/max_depth must cover it.
     static_choices: Optional[tuple] = None
+    # medusa mode only: per-depth candidate widths, e.g. (10, 6, 4, 3, 2, 2,
+    # 1, 1, ...). None = top_k at every depth. Wide shallow + narrow deep
+    # buys much longer chains for the same node budget (deep heads only need
+    # their top-1 to extend the accepted path). len() must be <= max_depth
+    # and 1 + len() - 1 heads must exist.
+    medusa_widths: Optional[tuple] = None
 
     @property
     def num_draft(self) -> int:

@@ -281,23 +281,31 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     never eats its own prediction error, and every depth's logits come from
     one stacked lm_head matmul (one weight read instead of max_depth).
 
-    The tree layout is STATIC: node (depth d, rank s) always occupies slot
-    1 + (d-1)*K + s, each depth's K candidates branching off the previous
+    The tree layout is STATIC: depth d's widths[d-1] candidates occupy a
+    fixed contiguous slot range, each depth branching off the previous
     depth's rank-0 node (backbone chain). Static slots matter beyond speed:
     a node's verify value depends only on the committed prefix, the (fixed)
     backbone ancestor slots and its own rope position — sibling rows are
-    exact zero-contributions under the mask — so the committed rows are
+    exact zero-contributions under the mask — so committed rows are
     numerically canonical functions of the trajectory, and near-tie argmax
     flips between runs with slightly different draft params (which plagued
-    the weight-sorted finalize_tree layout) largely disappear."""
+    the weight-sorted finalize_tree layout) largely disappear.
+
+    TreeConfig.medusa_widths tapers the per-depth width (wide shallow,
+    narrow deep): deep heads only need their top-1 to extend the accepted
+    chain, so the same node budget buys much deeper trees."""
     import numpy as _np
 
     t = st.tree
     K, D = t.top_k, t.max_depth
-    d_use = min(D, 1 + st.dcfg.medusa_heads)
+    widths = list(t.medusa_widths) if t.medusa_widths is not None \
+        else [K] * D
+    widths = widths[:min(D, 1 + st.dcfg.medusa_heads)]
+    d_use = len(widths)
     N = t.num_nodes
-    n_used = 1 + d_use * K
+    n_used = 1 + sum(widths)
     assert n_used <= N, (n_used, N)
+    W = max(widths)
     dp = params["draft"]
     head = params["target"]["lm_head"]
 
@@ -305,56 +313,55 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     xs = jnp.concatenate([last_hidden[None], mh[:d_use - 1]], axis=0)
     logits = (xs @ head).astype(jnp.float32)                   # [d_use, V]
     probs = jax.nn.softmax(logits, axis=-1)
-    w, idx = jax.lax.top_k(probs, K)                           # [d_use, K]
+    w, idx = jax.lax.top_k(probs, W)                           # [d_use, W]
 
     # ---- static structure (trace-time numpy constants) ----
+    lo_of = _np.cumsum([1] + widths)[:-1]          # slot base per depth
     depth_np = _np.zeros((N,), _np.int32)
     par_np = _np.zeros((N,), _np.int32)
     valid_np = _np.zeros((N,), bool)
-    for d in range(1, d_use + 1):
-        lo = 1 + (d - 1) * K
-        depth_np[lo:lo + K] = d
-        par_np[lo:lo + K] = 0 if d == 1 else 1 + (d - 2) * K
-        valid_np[lo:lo + K] = True
     valid_np[0] = True
-    # ancestor mask: backbone chain + self
     mask_np = _np.eye(N, dtype=bool)
     mask_np[:, 0] = True
-    for d in range(1, d_use + 1):
-        lo = 1 + (d - 1) * K
-        for a in range(1, d):
-            mask_np[lo:lo + K, 1 + (a - 1) * K] = True
-    # retrieve paths
     P = t.max_path_len
     ret_np = _np.full((N, P), -1, _np.int32)
-    ret_np[:, 0] = 0
-    ret_np[0, 1:] = -1
+    ret_np[0, 0] = 0
     for d in range(1, d_use + 1):
-        lo = 1 + (d - 1) * K
+        lo, wd = int(lo_of[d - 1]), widths[d - 1]
+        depth_np[lo:lo + wd] = d
+        par_np[lo:lo + wd] = 0 if d == 1 else int(lo_of[d - 2])
+        valid_np[lo:lo + wd] = True
+        ret_np[lo:lo + wd, 0] = 0
         for a in range(1, d):
-            ret_np[lo:lo + K, a] = 1 + (a - 1) * K
-        ret_np[lo:lo + K, d] = _np.arange(lo, lo + K)
+            mask_np[lo:lo + wd, int(lo_of[a - 1])] = True
+            ret_np[lo:lo + wd, a] = int(lo_of[a - 1])
+        ret_np[lo:lo + wd, d] = _np.arange(lo, lo + wd)
 
     # ---- dynamic: tokens + weights ----
     tokens = jnp.full((N,), -1, jnp.int32)
     tokens = tokens.at[0].set(root_token.astype(jnp.int32))
-    tokens = tokens.at[1:n_used].set(idx[:d_use].reshape(-1).astype(jnp.int32))
-    prefix = jnp.cumprod(jnp.concatenate(
-        [jnp.ones((1,), jnp.float32), w[:-1, 0]]))             # [d_use]
     node_w = jnp.zeros((N,), jnp.float32).at[0].set(1.0)
-    node_w = node_w.at[1:n_used].set((prefix[:, None] * w).reshape(-1))
+    conf = jnp.zeros((N,), jnp.float32)
+    chain = jnp.float32(1.0)
+    for d in range(1, d_use + 1):
+        lo, wd = int(lo_of[d - 1]), widths[d - 1]
+        tokens = tokens.at[lo:lo + wd].set(idx[d - 1, :wd].astype(jnp.int32))
+        node_w = node_w.at[lo:lo + wd].set(chain * w[d - 1, :wd])
+        if st.collect_calibration:
+            conf = conf.at[lo:lo + wd].set(w[d - 1, :wd])
+        chain = chain * w[d - 1, 0]
 
     extras = {}
     if st.collect_calibration:
-        margin = w[:, 0] - w[:, 1]                             # [d_use]
-        z = lambda: jnp.zeros((N,), jnp.float32)  # noqa: E731
-        extras = {
-            "local_conf": z().at[1:n_used].set(w.reshape(-1)),
-            "attn": z().at[1:n_used].set(
-                jnp.broadcast_to(attn_feat[:K], (d_use, K)).reshape(-1)),
-            "margin": z().at[1:n_used].set(
-                jnp.broadcast_to(margin[:, None], (d_use, K)).reshape(-1)),
-        }
+        margin = (w[:, 0] - w[:, 1]) if W > 1 else jnp.zeros((d_use,))
+        attn_v = jnp.zeros((N,), jnp.float32)
+        marg_v = jnp.zeros((N,), jnp.float32)
+        for d in range(1, d_use + 1):
+            lo, wd = int(lo_of[d - 1]), widths[d - 1]
+            attn_v = attn_v.at[lo:lo + wd].set(attn_feat[:wd])
+            marg_v = marg_v.at[lo:lo + wd].set(
+                jnp.broadcast_to(margin[d - 1], (wd,)))
+        extras = {"local_conf": conf, "attn": attn_v, "margin": marg_v}
 
     tr = Tree(tokens=tokens,
               parents=jnp.asarray(par_np),

@@ -391,3 +391,36 @@ def test_medusa_draft_mode():
         (r0.avg_accept_len, r1.avg_accept_len)
     # depth >= 2 acceptance happens (tokens-per-step bucket >= 3)
     assert np.asarray(r1.alpha_hist)[3:].sum() > 0, r1.alpha_hist
+
+
+def test_medusa_tapered_widths():
+    """medusa_widths tapers per-depth candidate counts; the static layout,
+    parents and retrieve paths must stay consistent and greedy MSD must stay
+    lossless at depths beyond the uniform top_k budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, \
+        TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+
+    cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=2, heads=4,
+                           intermediate_size=128, max_pos=512)
+    widths = (4, 3, 2, 1, 1, 1)
+    dcfg = DraftConfig(text=cfg, medusa_heads=len(widths) - 1)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    tp = L.init_llama_params(k1, cfg)
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    dp["medusa"] = draft_mod.init_medusa_params(k3, dcfg)
+    dp["embed_tokens"] = tp["embed_tokens"]
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=len(widths),
+                                       num_nodes=16, medusa_widths=widths))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 250, size=9).astype(np.int32)
+    ar = gen.naive_generate(ids, max_new_tokens=40).tokens
+    r = gen.generate(ids, max_new_tokens=40)
+    np.testing.assert_array_equal(ar, r.tokens)
