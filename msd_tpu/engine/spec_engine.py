@@ -301,10 +301,18 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     widths = list(t.medusa_widths) if t.medusa_widths is not None \
         else [K] * D
     widths = widths[:min(D, 1 + st.dcfg.medusa_heads)]
-    d_use = len(widths)
     N = t.num_nodes
+    # fit the width plan into the node budget, shallow depths first
+    budget, fitted = N - 1, []
+    for wd in widths:
+        take = min(wd, budget)
+        if take <= 0:
+            break
+        fitted.append(take)
+        budget -= take
+    widths = fitted
+    d_use = len(widths)
     n_used = 1 + sum(widths)
-    assert n_used <= N, (n_used, N)
     W = max(widths)
     dp = params["draft"]
     head = params["target"]["lm_head"]

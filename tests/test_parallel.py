@@ -256,3 +256,24 @@ def test_zero_optimizer_state_sharding():
     assert np.isfinite(out["loss"])
     mu_fc2 = adam_node(trainer.opt_state).mu["fc_w"]
     assert mu_fc2.sharding.spec == P("data", None)
+
+
+def test_tp_sharded_medusa_inference_matches_single_device():
+    """TP-sharded medusa-mode decode is bit-identical to single device
+    (medusa heads replicated; lm_head column-sharded with gathered top_k)."""
+    cfg, dcfg, tp, dp, eng = build()
+    import dataclasses
+    dcfg = dataclasses.replace(dcfg, medusa_heads=3)
+    dp = dict(dp)
+    dp["medusa"] = draft_mod.init_medusa_params(jax.random.PRNGKey(5), dcfg)
+    ids = np.arange(3, 15, dtype=np.int32)
+
+    gen0 = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=2)
+    ref = gen0.generate(ids, max_new_tokens=16)
+
+    mesh = make_mesh(4, dp=1, tp=4)
+    tp_sh = shard_params(tp, llama_param_specs(cfg), mesh)
+    dp_sh = shard_params(dp, draft_param_specs(dcfg, "fc_b" in dp), mesh)
+    gen1 = MSDGenerator(tp_sh, dp_sh, cfg, dcfg, eng, eos_id=2)
+    out = gen1.generate(ids, max_new_tokens=16)
+    np.testing.assert_array_equal(out.tokens, ref.tokens)
