@@ -184,7 +184,23 @@ def load_draft(path: str, tcfg: LlamaConfig,
     from msd_tpu.models.draft import params_from_torch_draft
 
     state = dict(_load_state(path))
-    dcfg = DraftConfig(text=tcfg)
+    # medusa heads (this framework's own extension): stacked [K, H, H]/[K, H]
+    # under "medusa.mw"/"medusa.mb" (or per-head "medusa.{k}.w"/".b")
+    med = None
+    if "medusa.mw" in state:
+        med = {"mw": jnp.asarray(np.asarray(state.pop("medusa.mw")), dtype),
+               "mb": jnp.asarray(np.asarray(state.pop("medusa.mb")), dtype)}
+    elif any(k.startswith("medusa.0.") for k in state):
+        ws, bs = [], []
+        k = 0
+        while f"medusa.{k}.w" in state:
+            ws.append(np.asarray(state.pop(f"medusa.{k}.w")))
+            bs.append(np.asarray(state.pop(f"medusa.{k}.b")))
+            k += 1
+        med = {"mw": jnp.asarray(np.stack(ws), dtype),
+               "mb": jnp.asarray(np.stack(bs), dtype)}
+    dcfg = DraftConfig(text=tcfg,
+                       medusa_heads=(med["mw"].shape[0] if med else 0))
     if "embed_tokens.weight" not in state:
         # draft checkpoints trained with load_emb=True freeze the base
         # embedding and may not serialize it (main_deepspeed.py:145-163)
@@ -193,6 +209,8 @@ def load_draft(path: str, tcfg: LlamaConfig,
                              "base_embed from the target model")
         state["embed_tokens.weight"] = np.asarray(base_embed)
     params = params_from_torch_draft(state, dcfg, dtype=dtype)
+    if med is not None:
+        params["medusa"] = med
     return params, dcfg
 
 

@@ -295,3 +295,43 @@ def test_lora_merge_loading(ckpt_dirs, tmp_path):
         np.asarray(base_params["target"]["layers"]["q_proj"][1]))
     np.testing.assert_allclose(np.asarray(merged_params["projector"]["fc1"]),
                                proj_override.T, atol=1e-6)
+
+
+def test_load_draft_with_medusa_heads(tmp_path):
+    """A draft checkpoint carrying stacked medusa heads loads with
+    medusa_heads inferred, and the engine runs in medusa mode from it."""
+    from safetensors.numpy import save_file
+
+    import jax
+    import jax.numpy as jnp
+    from msd_tpu.configs import EngineConfig, LlamaConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import llama as L
+    from msd_tpu.utils.weights import load_draft
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "mdraft")
+    make_draft_checkpoint(path, rng)
+    import safetensors.numpy as stnp
+    st = dict(stnp.load_file(os.path.join(path, "model.safetensors")))
+    st["medusa.mw"] = (rng.normal(size=(3, H, H)) * 0.01).astype(np.float32)
+    st["medusa.mb"] = np.zeros((3, H), np.float32)
+    save_file(st, os.path.join(path, "model.safetensors"))
+
+    tcfg = LlamaConfig.tiny(vocab_size=V, hidden_size=H, layers=LAYERS,
+                            heads=HEADS, intermediate_size=INTER, max_pos=512)
+    tparams = L.init_llama_params(jax.random.PRNGKey(1), tcfg)
+    dparams, dcfg = load_draft(path, tcfg,
+                               base_embed=tparams["embed_tokens"],
+                               dtype=jnp.float32)
+    assert dcfg.medusa_heads == 3
+    assert dparams["medusa"]["mw"].shape == (3, H, H)
+
+    eng = EngineConfig(max_seq_len=128, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=16))
+    gen = MSDGenerator(tparams, dparams, tcfg, dcfg, eng, eos_id=-1)
+    ar = gen.naive_generate(np.arange(3, 12, dtype=np.int32),
+                            max_new_tokens=12).tokens
+    out = gen.generate(np.arange(3, 12, dtype=np.int32),
+                       max_new_tokens=12).tokens
+    np.testing.assert_array_equal(ar, out)
