@@ -177,7 +177,10 @@ def main(argv=None):
             wandb_project=args.wandb_project)
         trainer = train_from_dirs(dcfg, dparams, params["target"]["lm_head"],
                                   args.tmpdir_v or "", args.tmpdir_t or "", tc)
-        print(f"done: {trainer.step_count} steps, saved under {args.cpdir}")
+        from msd_tpu.utils.weights import save_draft
+        exp = save_draft(trainer.params, os.path.join(args.cpdir, "export"))
+        print(f"done: {trainer.step_count} steps, saved under {args.cpdir}; "
+              f"deployable draft at {exp}")
     else:
         import jax
         from transformers import AutoTokenizer

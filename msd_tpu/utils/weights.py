@@ -214,6 +214,42 @@ def load_draft(path: str, tcfg: LlamaConfig,
     return params, dcfg
 
 
+def save_draft(params: Dict, path: str,
+               include_embed: bool = False) -> str:
+    """Export a draft param pytree (incl. medusa heads) to the torch-layout
+    safetensors file that ``load_draft`` reads — the deployable artifact of
+    ``DraftTrainer`` runs (the reference ships cnets state_dicts the same
+    way; medusa.mw/.mb is this framework's extension)."""
+    from safetensors.numpy import save_file
+
+    from msd_tpu.models.llama import _HF_LAYER_MAP
+
+    os.makedirs(path, exist_ok=True)
+    st = {}
+    layers = params["layers"]
+    n_layers = np.asarray(layers["q_proj"]).shape[0]
+    for i in range(n_layers):
+        for ours, (theirs, transpose) in _HF_LAYER_MAP.items():
+            if ours == "input_layernorm" and i == 0:
+                continue  # EAGLE layer 0 has no input_layernorm
+            w = np.asarray(layers[ours][i], np.float32)
+            st[f"layers.{i}.{theirs}"] = np.ascontiguousarray(
+                w.T if transpose else w)
+    st["fc.weight"] = np.ascontiguousarray(
+        np.asarray(params["fc_w"], np.float32).T)
+    if "fc_b" in params:
+        st["fc.bias"] = np.asarray(params["fc_b"], np.float32)
+    if include_embed and "embed_tokens" in params:
+        st["embed_tokens.weight"] = np.asarray(params["embed_tokens"],
+                                               np.float32)
+    if "medusa" in params:
+        st["medusa.mw"] = np.asarray(params["medusa"]["mw"], np.float32)
+        st["medusa.mb"] = np.asarray(params["medusa"]["mb"], np.float32)
+    out = os.path.join(path, "model.safetensors")
+    save_file(st, out)
+    return out
+
+
 def load_qwen2_vl(path: str, dtype=jnp.bfloat16):
     """Load a local Qwen2-VL checkpoint dir -> (lm_params, vision_params,
     text_cfg, vision_cfg)."""

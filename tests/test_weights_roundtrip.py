@@ -335,3 +335,24 @@ def test_load_draft_with_medusa_heads(tmp_path):
     out = gen.generate(np.arange(3, 12, dtype=np.int32),
                        max_new_tokens=12).tokens
     np.testing.assert_array_equal(ar, out)
+
+
+def test_save_draft_roundtrip(tmp_path):
+    """save_draft -> load_draft is an identity for all draft params incl.
+    medusa heads (the trainer's deployable export)."""
+    import jax
+    import jax.numpy as jnp
+    from msd_tpu.configs import DraftConfig, LlamaConfig
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.utils.weights import load_draft, save_draft
+
+    cfg = LlamaConfig.tiny(vocab_size=64, hidden_size=32, layers=1, heads=2,
+                           intermediate_size=64, max_pos=128)
+    dcfg = DraftConfig(text=cfg, medusa_heads=2)
+    dp = draft_mod.init_draft_params(jax.random.PRNGKey(0), dcfg)
+    dp["medusa"] = draft_mod.init_medusa_params(jax.random.PRNGKey(1), dcfg)
+    save_draft(dp, str(tmp_path / "exp"), include_embed=True)
+    dp2, dcfg2 = load_draft(str(tmp_path / "exp"), cfg, dtype=jnp.float32)
+    assert dcfg2.medusa_heads == 2
+    for a, b in zip(jax.tree.leaves(dp), jax.tree.leaves(dp2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
