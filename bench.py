@@ -153,7 +153,7 @@ def main():
     ap.add_argument("--dtype", default=None, choices=["bfloat16", "float32"],
                     help="override the model dtype (default: bf16; tiny "
                          "defaults to fp32)")
-    ap.add_argument("--backend-wait", type=float, default=1800.0,
+    ap.add_argument("--backend-wait", type=float, default=5400.0,
                     help="seconds to keep retrying backend init across "
                          "axon tunnel flaps")
     args = ap.parse_args()
