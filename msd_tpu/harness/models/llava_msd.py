@@ -169,7 +169,20 @@ class LlavaMSD:
         draft, dcfg = load_draft(msd_model_path, lcfg.text,
                                  base_embed=params["target"]["embed_tokens"],
                                  dtype=dtype)
-        eng = eng or EngineConfig()
+        if eng is None:
+            eng = EngineConfig()
+            if dcfg.medusa_heads:
+                # medusa checkpoints: tapered-width static tree spanning the
+                # available heads (wide shallow, narrow deep)
+                import dataclasses
+
+                from msd_tpu.configs import TreeConfig
+                d = dcfg.medusa_heads + 1
+                widths = tuple(max(1, 10 // (1 + i)) for i in range(d))
+                eng = dataclasses.replace(
+                    eng, tree=TreeConfig(top_k=widths[0], max_depth=d,
+                                         num_nodes=1 + sum(widths),
+                                         medusa_widths=widths))
         gen = MSDGenerator(params["target"], draft, lcfg.text, dcfg, eng,
                            n_img=lcfg.num_image_tokens,
                            eos_id=tokenizer.eos_token_id)
