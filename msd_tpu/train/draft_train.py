@@ -149,6 +149,20 @@ def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
             mh = draft_mod.medusa_hiddens(dparams["medusa"], out)  # [Km,T,H]
             med_den = jnp.float32(1e-5)
             agree_den = jnp.float32(1e-5)
+
+            # remat per head: the [T, V] logits are recomputed in backward
+            # instead of all n_med of them living until the gradient pass
+            # (13 heads x [896, 32000] fp32 OOMed the 7B distill otherwise)
+            @jax.checkpoint
+            def head_ce(mh_k, lab_k, m_k):
+                lg = (mh_k @ head_w).astype(jnp.float32)        # [T, V]
+                ce = (jax.nn.logsumexp(lg, axis=-1)
+                      - jnp.take_along_axis(lg, lab_k[:, None],
+                                            axis=1)[:, 0])
+                ag = jnp.sum(m_k * (jnp.argmax(lg, -1) == lab_k
+                                    ).astype(jnp.float32))
+                return jnp.sum(m_k * ce), ag
+
             for k in range(1, n_med + 1):
                 # head k predicts t_{j+2+k}; greedy trajectory label =
                 # argmax head(target[j+k]) (a shift of tgt_arg — free)
@@ -157,15 +171,12 @@ def draft_loss(dparams: Dict, cfg: DraftConfig, head_w: jnp.ndarray,
                 m_k = jnp.concatenate(
                     [loss_mask[k:], jnp.zeros((k,), loss_mask.dtype)]
                 ).astype(jnp.float32)
-                lg = (mh[k - 1] @ head_w).astype(jnp.float32)   # [T, V]
-                ce = (jax.nn.logsumexp(lg, axis=-1)
-                      - jnp.take_along_axis(lg, lab_k[:, None], axis=1)[:, 0])
                 wk = 0.8 ** (k - 1)
-                med = med + wk * jnp.sum(m_k * ce)
+                ce_sum, ag_sum = head_ce(mh[k - 1], lab_k, m_k)
+                med = med + wk * ce_sum
                 med_den = med_den + wk * jnp.sum(m_k)
                 if k == 1:
-                    ag = (jnp.argmax(lg, -1) == lab_k).astype(jnp.float32)
-                    med_agree = jnp.sum(m_k * ag)
+                    med_agree = ag_sum
                     agree_den = agree_den + jnp.sum(m_k)
             med = med / med_den
             med_agree = med_agree / agree_den
