@@ -45,6 +45,9 @@ class TaskConfig:
     # request per choice (doc_to_choice) scored by likelihood
     doc_to_target: Optional[Callable[[Dict], str]] = None
     doc_to_choice: Optional[Callable[[Dict], List[str]]] = None
+    # optional whole-result-set aggregation (e.g. MME's acc_plus pairs):
+    # receives the per-doc result dicts, returns extra aggregate metrics
+    aggregate_extra: Optional[Callable[[List[Dict]], Dict[str, float]]] = None
 
     # ------------------------------------------------------------------
     def load_docs(self, limit: Optional[int] = None) -> List[Dict]:
@@ -127,6 +130,8 @@ class TaskConfig:
                 # bootstrap stderr alongside every mean aggregation
                 # (evaluator.py bootstrap + api/metrics.py stderr)
                 out[name + "_stderr"] = M.bootstrap_stderr(vals)
+        if self.aggregate_extra is not None:
+            out.update(self.aggregate_extra(results))
         return out
 
 
@@ -414,6 +419,70 @@ def make_yesno_task(name: str, dataset_path=None) -> TaskConfig:
         } for i in range(n)])
 
 
+def make_vqav2(dataset_path=None) -> TaskConfig:
+    """VQAv2: consensus accuracy over 10 annotator answers
+    (lmms-eval tasks/vqav2/utils.py semantics via metrics.vqa_accuracy)."""
+    return TaskConfig(
+        name="vqav2",
+        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question using "
+                               "a single word or phrase."),
+        doc_to_visual=_visual,
+        process_results=lambda d, r: {"vqa_accuracy": M.vqa_accuracy(
+            r[0], d.get("answers", [d.get("answer", "")] * 10))},
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16, "temperature": 0.0},
+        metric_names=("vqa_accuracy",),
+        synthetic_docs=lambda n: [{
+            "question": f"What color is object {i}?",
+            "answers": (["red"] * 7 + ["blue"] * 3) if i % 2 == 0
+            else ["blue"] * 10,
+            "image": _synth_image(i),
+        } for i in range(n)])
+
+
+def make_mme(dataset_path=None) -> TaskConfig:
+    """MME: yes/no probes scored acc + acc_plus (both questions of an image
+    pair must be right for acc_plus — lmms-eval tasks/mme/utils.py). Doc
+    schema: question/answer(Y|N)/question_id pairs share an image id."""
+    def _res(d, r):
+        pred = r[0].strip().lower().rstrip(".")
+        pred = "yes" if pred.startswith("yes") else (
+            "no" if pred.startswith("no") else pred)
+        ok = 1.0 if pred == d["answer"].strip().lower() else 0.0
+        return {"mme_acc": ok,
+                "_pair_id": d.get("question_id", d.get("image_id", "")),
+                "_ok": ok}
+    return TaskConfig(
+        name="mme",
+        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question using "
+                               "a single word or phrase."),
+        doc_to_visual=_visual,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 4, "temperature": 0.0},
+        metric_names=("mme_acc",),
+        aggregate_extra=_mme_acc_plus,
+        synthetic_docs=lambda n: [{
+            "question": ("Is this a photo of a cat?" if i % 2 == 0 else
+                         "Is this a photo of a dog?"),
+            "answer": "Yes" if i % 4 < 2 else "No",
+            "question_id": f"img_{i // 2}",
+            "image": _synth_image(i // 2),
+        } for i in range(n)])
+
+
+def _mme_acc_plus(rows):
+    """acc_plus: fraction of image pairs with BOTH probes correct."""
+    pairs = {}
+    for row in rows:
+        pid = row.get("_pair_id", "")
+        pairs.setdefault(pid, []).append(row.get("_ok", 0.0))
+    both = [1.0 if all(v >= 1.0 for v in vs) else 0.0
+            for vs in pairs.values()]
+    return {"mme_acc_plus": sum(both) / max(len(both), 1)}
+
+
+
 def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     root = dataset_root or os.environ.get("MSD_TPU_DATASETS", "")
 
@@ -437,6 +506,12 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_task("mmbench_en", make_mc_task("mmbench_en", p("MMBench")))
     register_task("ocrbench", make_freeform_task("ocrbench", p("OCRBench")))
     register_task("ai2d_ppl", make_mc_ppl_task("ai2d_ppl", p("AI2D")))
+    register_task("vqav2", make_vqav2(p("VQAv2")))
+    register_task("mme", make_mme(p("MME")))
+    register_task("seedbench", make_mc_task("seedbench", p("SEED-Bench")))
+    register_task("mmstar", make_mc_task("mmstar", p("MMStar")))
+    register_task("realworldqa", make_mc_task("realworldqa",
+                                              p("RealWorldQA")))
     # user YAML tasks (the lmms-eval tasks/*.yaml layer): every *.yaml under
     # $MSD_TPU_TASKS (or <dataset_root>/tasks) registers one task
     yaml_dir = os.environ.get("MSD_TPU_TASKS",

@@ -314,3 +314,26 @@ def test_bootstrap_stderr_in_aggregation():
                           {"relaxed_overall": 1.0}])
     assert "relaxed_overall_stderr" in agg
     assert agg["relaxed_overall"] == pytest.approx(2 / 3)
+
+
+def test_mme_acc_plus_pairing():
+    """MME acc_plus: both probes of an image pair must be correct
+    (lmms-eval tasks/mme/utils.py aggregation semantics)."""
+    from msd_tpu.harness.tasks import _mme_acc_plus
+
+    rows = [
+        {"mme_acc": 1.0, "_pair_id": "a", "_ok": 1.0},
+        {"mme_acc": 1.0, "_pair_id": "a", "_ok": 1.0},   # pair a: both ok
+        {"mme_acc": 1.0, "_pair_id": "b", "_ok": 1.0},
+        {"mme_acc": 0.0, "_pair_id": "b", "_ok": 0.0},   # pair b: one wrong
+    ]
+    out = _mme_acc_plus(rows)
+    assert out["mme_acc_plus"] == 0.5
+
+
+def test_new_round2_tasks_registered():
+    from msd_tpu.harness.registry import TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for t in ("vqav2", "mme", "seedbench", "mmstar", "realworldqa"):
+        assert t in TASK_REGISTRY, t
