@@ -93,7 +93,8 @@ def main():
                          "draft hidden (no recursion; one stacked lm_head "
                          "read per expansion) — see DraftConfig.medusa_heads")
     ap.add_argument("--distill-medusa-w", type=float, default=1.0)
-    ap.add_argument("--medusa-widths", default="",
+    ap.add_argument("--medusa-widths",
+                    default="10,8,6,4,3,2,2,2,1,1,1,1,1,1",
                     help="comma list of per-depth candidate widths for the "
                          "medusa tree (e.g. '10,8,6,4,3,2,2,2,1,1,1,1,1,1'); "
                          "overrides --tree-depth/--tree-topk/--tree-nodes")
@@ -494,6 +495,22 @@ def main():
         tie_gap = abs(lp_ar - lp_msd)
         log(f"first divergence at new-token {i}: AR={r.tokens[i]} "
             f"MSD={m.tokens[i]}, teacher-forced logprob gap {tie_gap:.5f}")
+    # multi-prompt measured alpha: the near-tie trajectory-divergence point
+    # varies per prompt (it's a numeric lottery), so a single-prompt alpha is
+    # high-variance; aggregate acceptance over ALL distilled prompts
+    agg_steps, agg_tokens = m.accept_steps, m.accept_len_sum
+    if distilled_ok and len(prompts) > 1:
+        per = [round(m.avg_accept_len, 2)]
+        for p_ids in prompts[1:]:
+            has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
+            r_i = gen.generate(p_ids, img_feats=feats if has_img else None,
+                               max_new_tokens=args.max_new)
+            agg_steps += r_i.accept_steps
+            agg_tokens += r_i.accept_len_sum
+            per.append(round(r_i.avg_accept_len, 2))
+        log(f"per-prompt measured alpha: {per}")
+    alpha_meas = agg_tokens / max(agg_steps, 1)
+
     on_traj = None
     if bench_traj is not None:
         k2 = min(len(bench_traj), len(m.tokens))
@@ -507,7 +524,7 @@ def main():
         f"{dict(enumerate(np.asarray(m.alpha_hist).tolist()))}")
 
     speedup_ref = args.ref_alpha * t_ar / t_step
-    speedup_measured = m.avg_accept_len * t_ar / t_step
+    speedup_measured = alpha_meas * t_ar / t_step
     log(f"speedup at ref alpha {args.ref_alpha}: {speedup_ref:.2f}x | "
         f"at measured alpha: {speedup_measured:.2f}x")
 
@@ -516,13 +533,14 @@ def main():
         "value": round(speedup_ref, 3),
         "unit": "x",
         "vs_baseline": round(speedup_ref / 2.5, 3),
-        "measured_alpha": round(m.avg_accept_len, 3),
+        "measured_alpha": round(alpha_meas, 3),
         "measured_speedup": round(speedup_measured, 3),
         "detail": {
             "ar_ms_per_token": round(t_ar * 1e3, 3),
             "ar_tokens_per_s": round(1 / t_ar, 1),
             "msd_ms_per_step": round(t_step * 1e3, 3),
-            "measured_alpha": round(m.avg_accept_len, 3),
+            "measured_alpha": round(alpha_meas, 3),
+            "measured_alpha_bench_prompt": round(m.avg_accept_len, 3),
             "greedy_lossless_vs_ar": lossless,
             "divergence_logprob_gap": (round(tie_gap, 5)
                                        if tie_gap is not None else None),
