@@ -93,8 +93,7 @@ def main():
                          "draft hidden (no recursion; one stacked lm_head "
                          "read per expansion) — see DraftConfig.medusa_heads")
     ap.add_argument("--distill-medusa-w", type=float, default=1.0)
-    ap.add_argument("--medusa-widths",
-                    default="10,8,6,4,3,2,2,2,1,1,1,1,1,1",
+    ap.add_argument("--medusa-widths", default="",
                     help="comma list of per-depth candidate widths for the "
                          "medusa tree (e.g. '10,8,6,4,3,2,2,2,1,1,1,1,1,1'); "
                          "overrides --tree-depth/--tree-topk/--tree-nodes")
