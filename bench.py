@@ -123,6 +123,20 @@ def main():
                     help="rollout-augmented distillation passes (trains the "
                          "depth>=2 expansion recursion on the draft's own "
                          "predictions)")
+    ap.add_argument("--greedy-round-bits", type=int, default=6,
+                    help="round logits to this many mantissa bits before "
+                         "every greedy argmax (AR, prefill, verify — "
+                         "identically), making the greedy trajectory "
+                         "canonical across program shapes (see "
+                         "ops/sampling.canon_logits). 0 = exact fp32 argmax")
+    ap.add_argument("--pin-first-token", dest="pin_first_token",
+                    action="store_true", default=True,
+                    help="compute each prompt's first new token once via the "
+                         "AR prefill program and pin the MSD path to it, so "
+                         "AR-vs-MSD divergence can only start inside the "
+                         "decode loop")
+    ap.add_argument("--no-pin-first-token", dest="pin_first_token",
+                    action="store_false")
     ap.add_argument("--head-sharpen", type=float, default=6.0,
                     help="scale the random lm_head by this factor. argmax-"
                          "invariant (greedy trajectories unchanged) but "
@@ -199,6 +213,7 @@ def main():
     from msd_tpu.engine.generator import MSDGenerator
     from msd_tpu.models import draft as draft_mod
     from msd_tpu.models import llama as L
+    from msd_tpu.ops.sampling import SamplingParams
 
     log("devices:", probe[0])
     dtype = jnp.bfloat16
@@ -256,7 +271,9 @@ def main():
                                        max_depth=args.tree_depth,
                                        num_nodes=nodes,
                                        medusa_widths=m_widths))
-    gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1)
+    bench_sp = SamplingParams(greedy_round_bits=args.greedy_round_bits)
+    gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img, eos_id=-1,
+                       sp=bench_sp)
     if args.tree_nodes == -1:
         gen.autotune_tree(log=log)
         log(f"autotuned tree nodes={gen.eng.tree.num_nodes}")
@@ -268,6 +285,14 @@ def main():
         ids[1] = IMAGE_TOKEN_INDEX
         feats = jnp.asarray(
             rng.normal(size=(n_img, tcfg.hidden_size)) * 0.02, dtype)
+
+    def mk_prompt():
+        q = rng.integers(3, 31000, size=args.prompt_tokens).astype(np.int32)
+        if n_img:
+            q[1] = IMAGE_TOKEN_INDEX  # engine is in image mode
+        return q
+
+    prompts = [ids] + [mk_prompt() for _ in range(args.distill_prompts - 1)]
 
     # ---- AR baseline ----
     t0 = time.time()
@@ -282,6 +307,16 @@ def main():
     t_ar = min(ar_times) / max(n_ar, 1)
     log(f"AR: {n_ar} tokens, best {min(ar_times):.3f}s -> {t_ar*1e3:.2f} ms/tok "
         f"({1/t_ar:.1f} tok/s)")
+
+    # ---- first-token pinning (canonical AR-prefill program) ----
+    tok0s = [None] * len(prompts)
+    if args.pin_first_token:
+        t0 = time.time()
+        tok0s = [gen.first_token(p, img_feats=feats,
+                                 max_new_tokens=args.max_new)
+                 for p in prompts]
+        log(f"pinned first tokens (AR prefill) in {time.time()-t0:.1f}s: "
+            f"{tok0s}")
 
     # ---- optional on-policy distillation for a real measured alpha ----
     # Distills the draft on the (random) target's own greedy continuations —
@@ -319,7 +354,7 @@ def main():
             if feats_host is not None:
                 feats = jnp.asarray(feats_host)
             gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img,
-                               eos_id=-1)
+                               eos_id=-1, sp=bench_sp)
 
         # pre-distill host snapshots (the failure path restores from these)
         dp_host0 = jax.tree.map(np.asarray, {
@@ -335,15 +370,6 @@ def main():
             # step the timed MSD run takes
             pad_rec = ((args.prompt_tokens + (575 if n_img else 0)
                         + args.max_new + 127) // 128) * 128
-            def mk_prompt():
-                q = rng.integers(3, 31000,
-                                 size=args.prompt_tokens).astype(np.int32)
-                if n_img:
-                    q[1] = IMAGE_TOKEN_INDEX  # engine is in image mode
-                return q
-
-            prompts = [ids] + [mk_prompt()
-                               for _ in range(args.distill_prompts - 1)]
 
             def collect_records():
                 """MSD-decode trajectories with the CURRENT draft: greedy MSD
@@ -366,7 +392,8 @@ def main():
                     if args.records_source == "engine":
                         r = gen.generate(p_ids, img_feats=p_feats,
                                          max_new_tokens=args.max_new,
-                                         collect_hiddens=True)
+                                         collect_hiddens=True,
+                                         first_token=tok0s[pi])
                         cont = r.tokens
                         e0 = len(p_ids) + (max(n_img - 1, 0) if has_img
                                            else 0)
@@ -380,7 +407,8 @@ def main():
                     else:
                         cont = gen.generate(
                             p_ids, img_feats=p_feats,
-                            max_new_tokens=args.max_new).tokens
+                            max_new_tokens=args.max_new,
+                            first_token=tok0s[pi]).tokens
                         full = np.concatenate([p_ids, cont]).astype(np.int32)
                         mask = np.zeros((len(full),), np.float32)
                         mask[len(p_ids) - 1:] = 1.0
@@ -465,13 +493,15 @@ def main():
 
     # ---- MSD ----
     t0 = time.time()
-    m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+    m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new,
+                     first_token=tok0s[0])
     log(f"MSD compile+first run {time.time()-t0:.1f}s "
         f"(steps={m.accept_steps}, alpha={m.avg_accept_len:.2f})")
     msd_times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+        m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new,
+                         first_token=tok0s[0])
         msd_times.append(time.time() - t0)
     steps = max(m.accept_steps, 1)
     t_step = min(msd_times) / steps
@@ -500,10 +530,11 @@ def main():
     agg_steps, agg_tokens = m.accept_steps, m.accept_len_sum
     if distilled_ok and len(prompts) > 1:
         per = [round(m.avg_accept_len, 2)]
-        for p_ids in prompts[1:]:
+        for pi, p_ids in enumerate(prompts[1:], start=1):
             has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
             r_i = gen.generate(p_ids, img_feats=feats if has_img else None,
-                               max_new_tokens=args.max_new)
+                               max_new_tokens=args.max_new,
+                               first_token=tok0s[pi])
             agg_steps += r_i.accept_steps
             agg_tokens += r_i.accept_len_sum
             per.append(round(r_i.avg_accept_len, 2))
@@ -544,6 +575,8 @@ def main():
             "divergence_logprob_gap": (round(tie_gap, 5)
                                        if tie_gap is not None else None),
             "residual_dtype": args.residual_dtype,
+            "greedy_round_bits": args.greedy_round_bits,
+            "pin_first_token": args.pin_first_token,
             "measured_speedup": round(speedup_measured, 3),
             "distilled_ok": distilled_ok,
             "decode_on_distilled_trajectory_tokens": on_traj,

@@ -154,19 +154,42 @@ class MSDGenerator:
         return (jnp.asarray(fused_p), jnp.asarray(exp_p),
                 jnp.asarray(rows_p), e0, img_pos)
 
+    def first_token(self, ids: np.ndarray,
+                    img_feats: Optional[jnp.ndarray] = None,
+                    max_new_tokens: Optional[int] = None, seed: int = 0,
+                    sp: Optional[SamplingParams] = None) -> int:
+        """First new token from the CANONICAL (AR-prefill) program.
+
+        Feed the result to ``generate(..., first_token=...)`` to pin the MSD
+        path's first token to the AR baseline's — AR-vs-MSD greedy
+        divergence then can only start inside the decode loop (the two
+        prefills are different XLA programs whose reduction orders can flip
+        near-tie argmaxes)."""
+        ids = np.asarray(ids, np.int32)
+        sp = sp if sp is not None else self.sp
+        max_new = max_new_tokens or self.eng.max_new_tokens
+        st = self._statics(max_new, sp)
+        key = jax.random.PRNGKey(seed)
+        padded = jnp.asarray(self._pad(ids))
+        carry = SE.ar_prefill(st, self.params, padded, jnp.int32(len(ids)),
+                              img_feats, jnp.int32(self._img_pos(ids)), key)
+        return int(carry[3])
+
     def generate(self, ids: np.ndarray, img_feats: Optional[jnp.ndarray] = None,
                  max_new_tokens: Optional[int] = None, seed: int = 0,
                  sp: Optional[SamplingParams] = None,
                  use_calibration: bool = False,
                  collect_calibration: bool = False,
                  collect_hiddens: bool = False,
-                 img_grid=None) -> GenResult:
+                 img_grid=None, first_token: Optional[int] = None) -> GenResult:
         """Speculative (MSD) generation; lossless wrt the target model.
 
         use_calibration: calibrated tree rerank (set_calibrator first).
         collect_calibration: return per-node calibration features/labels.
         collect_hiddens: return the engine's own per-position hidden states
         (on-policy distillation data with decode-time numerics).
+        first_token: pin the first new token (see first_token()); expand-mode
+        single-image/text prompts only.
         """
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
@@ -177,18 +200,29 @@ class MSDGenerator:
                            collect_hiddens)
         key = jax.random.PRNGKey(seed)
         if isinstance(img_feats, (list, tuple)):  # multi-image prompt
-            fused, exp_ids, img_rows, e0, img_pos = self._fuse_multi(
+            fused, exp_ids_in, img_rows, e0, img_pos = self._fuse_multi(
                 ids, img_feats)
-            state = SE.prefill_prefused(st, self.params, fused, exp_ids,
+            state = SE.prefill_prefused(st, self.params, fused, exp_ids_in,
                                         jnp.int32(e0), img_rows,
                                         jnp.int32(img_pos), key)
             state = SE.decode(st, self.params, state)
             cur = int(state.cur_len)
             out = _trim(np.asarray(state.ids[e0:cur + 1]), self.eos_id,
                         max_new)
+            calib_data = None
+            if collect_calibration:
+                n_steps = int(state.steps)
+                calib_data = {k: np.asarray(v[:n_steps])
+                              for k, v in state.calib_log.items()}
+            traj_hidden = exp_ids_out = None
+            if collect_hiddens:  # the prefused path carries st's flags too
+                traj_hidden = np.asarray(state.traj_hidden[:cur])
+                exp_ids_out = np.asarray(state.ids[:cur])
             return GenResult(tokens=out, accept_steps=int(state.steps),
                              accept_len_sum=int(state.acc_sum),
-                             alpha_hist=np.asarray(state.alpha_hist))
+                             alpha_hist=np.asarray(state.alpha_hist),
+                             calib_data=calib_data, traj_hidden=traj_hidden,
+                             exp_ids=exp_ids_out)
         padded_np = self._pad(ids)
         padded = jnp.asarray(padded_np)
         if self.image_mode == "inline":
@@ -206,16 +240,19 @@ class MSDGenerator:
                                         jnp.int32(delta), key)
                 state = SE.decode(st, self.params, state)
         else:
+            tok0 = (None if first_token is None
+                    else jnp.int32(int(first_token)))
             try:
                 state = SE.generate_program(st, self.params, padded,
                                             jnp.int32(len(ids)), img_feats,
-                                            jnp.int32(self._img_pos(ids)), key)
+                                            jnp.int32(self._img_pos(ids)),
+                                            key, tok0)
             except Exception as e:
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
                 state = SE.prefill(st, self.params, padded,
                                    jnp.int32(len(ids)), img_feats,
-                                   jnp.int32(self._img_pos(ids)), key)
+                                   jnp.int32(self._img_pos(ids)), key, tok0)
                 state = SE.decode(st, self.params, state)
 
         has_img = img_feats is not None

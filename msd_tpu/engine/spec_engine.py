@@ -159,20 +159,23 @@ def _rerank(st: Statics, params: Dict, logits: jnp.ndarray,
             attn_feat: jnp.ndarray, depth: jnp.ndarray):
     """Calibrated in-place rerank of per-row candidate sets.
 
-    logits/cand_ids/cand_probs: [R, V] / [R, K] / [R, K]. Implements
-    cnets.py:1286-1339: calibrated logit bias scatter-added at the candidate
-    ids, re-softmax, reselect K within each row's candidate set.
-    Returns (new_ids, new_probs, margin_row).
+    logits/cand_ids/cand_probs: [R, V] / [R, K] / [R, K]; depth: scalar or
+    [R] per-row depths. Implements cnets.py:1286-1339: calibrated logit bias
+    scatter-added at the candidate ids, re-softmax, reselect K within each
+    row's candidate set. Returns (new_ids, new_probs, margin_row).
     """
     from msd_tpu.calib.device import calibration_bias
 
     R, K = cand_ids.shape
     ct = params["calib"]
     margin_row = cand_probs[:, 0] - cand_probs[:, 1]            # [R]
+    depth_row = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (R,))
+    if attn_feat.shape[0] < K:  # medusa width can exceed the OPT-Tree top_k
+        attn_feat = jnp.pad(attn_feat, (0, K - attn_feat.shape[0]))
     bias = calibration_bias(
         ct, cand_ids.reshape(-1), cand_probs.reshape(-1),
         jnp.tile(attn_feat[:K], (R,)),
-        jnp.full((R * K,), depth, jnp.int32),
+        jnp.repeat(depth_row, K),
         jnp.repeat(margin_row, K)).reshape(R, K)
     rows = jnp.arange(R)[:, None]
     logits_c = logits.at[rows, cand_ids].add(bias.astype(logits.dtype))
@@ -322,6 +325,13 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     logits = (xs @ head).astype(jnp.float32)                   # [d_use, V]
     probs = jax.nn.softmax(logits, axis=-1)
     w, idx = jax.lax.top_k(probs, W)                           # [d_use, W]
+    margin_pre = (w[:, 0] - w[:, 1]) if W > 1 \
+        else jnp.zeros((d_use,), jnp.float32)                  # pre-rerank
+    if st.use_calibration:
+        # calibrated rerank of each depth's candidate row (row r = depth r+1)
+        idx_r, w_r, _ = _rerank(st, params, logits, idx.astype(jnp.int32), w,
+                                attn_feat, jnp.arange(1, d_use + 1))
+        idx, w = idx_r, w_r
 
     # ---- static structure (trace-time numpy constants) ----
     lo_of = _np.cumsum([1] + widths)[:-1]          # slot base per depth
@@ -361,7 +371,7 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
 
     extras = {}
     if st.collect_calibration:
-        margin = (w[:, 0] - w[:, 1]) if W > 1 else jnp.zeros((d_use,))
+        margin = margin_pre
         attn_v = jnp.zeros((N,), jnp.float32)
         marg_v = jnp.zeros((N,), jnp.float32)
         for d in range(1, d_use + 1):
@@ -558,7 +568,9 @@ def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
     logits = L.lm_head(tp, hidden)  # [N, V] fp32
 
     if st.sp.greedy:
-        best, acc_len, next_tok = tree_mod.evaluate_greedy(tr, logits)
+        from msd_tpu.ops.sampling import canon_logits
+        best, acc_len, next_tok = tree_mod.evaluate_greedy(
+            tr, canon_logits(logits, st.sp.greedy_round_bits))
     else:
         from msd_tpu.ops.sampling import apply_repetition_penalty
         plogits = logits
@@ -671,12 +683,16 @@ def _commit(st: Statics, state: EngineState, tr: Tree, hidden: jnp.ndarray,
 @partial(jax.jit, static_argnums=(0,))
 def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
             prompt_len: jnp.ndarray, img_feats: Optional[jnp.ndarray],
-            img_pos: jnp.ndarray, key: jnp.ndarray) -> EngineState:
+            img_pos: jnp.ndarray, key: jnp.ndarray,
+            bonus_override: Optional[jnp.ndarray] = None) -> EngineState:
     """Target + draft prefill over a padded prompt.
 
     ids: [P_pad] (unexpanded, IMAGE_TOKEN_INDEX at img_pos when n_img > 0);
     img_feats: [n_img, H] projected image tokens (encoded ONCE per request —
     unlike utils.py:537-542 which re-runs CLIP every step).
+    bonus_override: optional scalar first token (< 0 = ignore): pins the
+    first new token to a value computed by a CANONICAL program (the AR
+    prefill), so AR-vs-MSD divergence can only start inside the decode loop.
     """
     tcfg, dcfg = st.tcfg, st.dcfg
     # an image-capable engine still serves text-only prompts (feats is None)
@@ -698,7 +714,7 @@ def prefill(st: Statics, params: Dict, ids: jnp.ndarray,
         img_rows = jnp.zeros((P_exp,), jnp.bool_)
 
     return _prefill_core(st, params, fused, exp_ids, E0, img_rows, img_pos,
-                         key)
+                         key, bonus_override)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -717,7 +733,8 @@ def prefill_prefused(st: Statics, params: Dict, fused: jnp.ndarray,
 def _prefill_core(st: Statics, params: Dict, fused: jnp.ndarray,
                   exp_ids: jnp.ndarray, E0: jnp.ndarray,
                   img_rows: jnp.ndarray, img_pos: jnp.ndarray,
-                  key: jnp.ndarray) -> EngineState:
+                  key: jnp.ndarray,
+                  bonus_override: Optional[jnp.ndarray] = None) -> EngineState:
     tcfg, dcfg = st.tcfg, st.dcfg
     P_exp = fused.shape[0]
     cos_t, sin_t = params["cos_t"], params["sin_t"]
@@ -732,6 +749,9 @@ def _prefill_core(st: Statics, params: Dict, fused: jnp.ndarray,
     last_logits = L.lm_head(tp, hidden[E0 - 1][None])[0]
     key, sub = jax.random.split(key)
     bonus = sample_token(sub, last_logits, st.sp)
+    if bonus_override is not None:
+        bonus = jnp.where(bonus_override >= 0,
+                          bonus_override.astype(jnp.int32), bonus)
 
     # ---- draft prefill: SE[j] = fused[j+1]-style shifted inputs ----
     j = jnp.arange(P_exp)
@@ -974,14 +994,16 @@ def qwen_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
 def generate_program(st: Statics, params: Dict, ids: jnp.ndarray,
                      prompt_len: jnp.ndarray,
                      img_feats: Optional[jnp.ndarray], img_pos: jnp.ndarray,
-                     key: jnp.ndarray) -> EngineState:
+                     key: jnp.ndarray,
+                     bonus_override: Optional[jnp.ndarray] = None
+                     ) -> EngineState:
     """prefill + decode fused into ONE program.
 
     Avoids the cross-program KV-cache handoff (XLA could not alias the
     donated caches between the separate prefill and decode executables,
     costing a full extra KV allocation at 7B image sizes)."""
     state = prefill.__wrapped__(st, params, ids, prompt_len, img_feats,
-                                img_pos, key)
+                                img_pos, key, bonus_override)
     return decode.__wrapped__(st, params, state)
 
 

@@ -9,11 +9,10 @@ replaced with the deterministic local extractor shared with MathVista.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List
 
-from msd_tpu.harness.task_utils.mathvista import (extract_answer,
-                                                  get_most_similar,
-                                                  safe_equal)
+from msd_tpu.harness.task_utils.mathvista import extract_answer, safe_equal
 
 
 def create_query(problem: Dict, shot_type: str = "format-prompt",
@@ -57,9 +56,10 @@ def score_answer(question: str, answer, extraction) -> bool:
         return True
     a, e = str(answer).strip(), str(extraction).strip()
     if len(a) == 1 and a.isalpha() and e:
-        # option-letter answers: accept "(B)", "B.", "B) ..." forms
-        return get_most_similar(e.upper()[:1], [a.upper()]) == a.upper() \
-            and e.upper()[0] == a.upper()
+        # option-letter answers: accept "(B)", "B.", "B) ..." forms by
+        # extracting the letter before comparing
+        m = re.search(r"\(?([A-Ha-h])\)?[.):\s]?", e)
+        return bool(m) and m.group(1).upper() == a.upper()
     try:
         return abs(float(e) - float(a)) < 1e-6
     except (TypeError, ValueError):

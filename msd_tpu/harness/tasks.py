@@ -370,8 +370,12 @@ def make_mc_ppl_task(name: str, dataset_path=None) -> TaskConfig:
         lps = [lp for lp, _ in results]
         pred = int(np.argmax(lps)) if lps else -1
         ans = d["answer"]
-        gold = ("ABCDEFGH".index(ans.strip().upper()[0])
-                if isinstance(ans, str) and ans.strip() else int(ans))
+        # real AI2D answers are option-index strings ("2"); letters otherwise
+        if isinstance(ans, str) and ans.strip():
+            a = ans.strip()
+            gold = int(a) if a.isdigit() else "ABCDEFGH".index(a.upper()[0])
+        else:
+            gold = int(ans)
         return {"accuracy": 1.0 if pred == gold else 0.0}
 
     return TaskConfig(
@@ -449,8 +453,12 @@ def make_mme(dataset_path=None) -> TaskConfig:
         pred = "yes" if pred.startswith("yes") else (
             "no" if pred.startswith("no") else pred)
         ok = 1.0 if pred == d["answer"].strip().lower() else 0.0
+        # pair key must be NUMERIC: _gather_metrics allgathers a float array
+        # under world_size > 1, so a string id would break multi-host MME
+        import zlib
+        pid = str(d.get("question_id", d.get("image_id", "")))
         return {"mme_acc": ok,
-                "_pair_id": d.get("question_id", d.get("image_id", "")),
+                "_pair_id": float(zlib.crc32(pid.encode())),
                 "_ok": ok}
     return TaskConfig(
         name="mme",

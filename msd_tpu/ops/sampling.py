@@ -23,6 +23,9 @@ class SamplingParams:
     top_p: float = 1.0
     top_k: int = 0
     repetition_penalty: float = 1.0
+    # Canonical greedy argmax: round logits to this many mantissa bits before
+    # every greedy argmax (0 = off, exact fp32 argmax). See canon_logits.
+    greedy_round_bits: int = 0
 
     @property
     def greedy(self) -> bool:
@@ -67,9 +70,34 @@ def apply_repetition_penalty(logits: jnp.ndarray, ids_buf: jnp.ndarray,
     return jnp.where(present, pen, logits)
 
 
+def canon_logits(logits: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Round logits to ``bits`` mantissa bits (a scale-free grid) for a
+    CANONICAL greedy argmax.
+
+    bf16 matmul reduction orders differ across XLA program shapes (a 1-row AR
+    step, an N-row tree verify, a fused vs split prefill), so near-tie argmaxes
+    can flip between programs computing the same math — the decode trajectory
+    becomes a numeric lottery. Rounding to a grid much coarser than that
+    reduction noise before the argmax makes ties collapse to the same bucket
+    (argmax's lowest-index tie-break is deterministic), so the greedy
+    trajectory is a function of (prefix, weights) alone, independent of
+    program shape. Applied IDENTICALLY in the AR baseline, prefill bonus
+    sampling, and tree verification, losslessness (greedy MSD == greedy AR)
+    is preserved by construction and becomes robust on real bf16 hardware.
+
+    bits=0 disables (exact fp32 argmax); bits=7 is the bf16 grid; smaller is
+    coarser (quantum 2^-bits relative).
+    """
+    if not bits:
+        return logits
+    return jax.lax.reduce_precision(logits, exponent_bits=8,
+                                    mantissa_bits=bits)
+
+
 def sample_token(key: jnp.ndarray, logits: jnp.ndarray,
                  sp: SamplingParams) -> jnp.ndarray:
     """[V] logits -> token id (argmax when greedy)."""
     if sp.greedy:
-        return jnp.argmax(logits).astype(jnp.int32)
+        return jnp.argmax(canon_logits(logits, sp.greedy_round_bits)
+                          ).astype(jnp.int32)
     return jax.random.categorical(key, process_logits(logits, sp)).astype(jnp.int32)

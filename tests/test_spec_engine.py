@@ -424,3 +424,43 @@ def test_medusa_tapered_widths():
     ar = gen.naive_generate(ids, max_new_tokens=40).tokens
     r = gen.generate(ids, max_new_tokens=40)
     np.testing.assert_array_equal(ar, r.tokens)
+
+
+def test_greedy_round_bits_lossless_and_pinned_first_token():
+    """Canonical greedy argmax (greedy_round_bits > 0): MSD == AR with the
+    rounding applied identically on both paths, and first_token() pinning
+    keeps the output unchanged (the pin injects AR's own token 1)."""
+    sp = SamplingParams(greedy_round_bits=6)
+    g = make_gen(sp=sp)
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        ids = rng.integers(3, 120, size=rng.integers(4, 30)).astype(np.int32)
+        ar = g.naive_generate(ids, max_new_tokens=24)
+        tok0 = g.first_token(ids, max_new_tokens=24)
+        assert tok0 == int(ar.tokens[0])
+        msd = g.generate(ids, max_new_tokens=24, first_token=tok0)
+        np.testing.assert_array_equal(
+            msd.tokens, ar.tokens,
+            err_msg=f"trial {trial}: rounded-greedy MSD diverged from AR")
+
+
+def test_canon_logits_properties():
+    """Rounding is idempotent, monotone in comparisons it preserves, and a
+    no-op at bits=0; argmax over rounded logits breaks exact ties toward the
+    lower index regardless of tiny perturbations."""
+    from msd_tpu.ops.sampling import canon_logits
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64,)) * 30,
+                    jnp.float32)
+    r1 = canon_logits(x, 6)
+    r2 = canon_logits(r1, 6)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(canon_logits(x, 0)),
+                                  np.asarray(x))
+    # two near-tie values collapse to the same bucket -> argmax picks the
+    # lower index in both perturbed copies
+    base = jnp.zeros((8,), jnp.float32).at[2].set(10.0).at[5].set(10.0)
+    a = base.at[5].add(1e-4)   # below the 2^-6 * 8 quantum at magnitude 10
+    b = base.at[2].add(1e-4)
+    ia = int(jnp.argmax(canon_logits(a, 6)))
+    ib = int(jnp.argmax(canon_logits(b, 6)))
+    assert ia == ib == 2
