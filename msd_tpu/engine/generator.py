@@ -109,22 +109,27 @@ class MSDGenerator:
 
     def _img_pos(self, ids: np.ndarray) -> int:
         if self.image_mode == "inline":
-            from msd_tpu.models.qwen2vl import IMAGE_PAD_ID
-            pos = np.nonzero(ids == IMAGE_PAD_ID)[0]
+            from msd_tpu.models.qwen2vl import IMAGE_PAD_ID, VIDEO_PAD_ID
+            pos = np.nonzero((ids == IMAGE_PAD_ID) |
+                             (ids == VIDEO_PAD_ID))[0]
             return int(pos[0]) if len(pos) else len(ids)
         pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
         return int(pos[0]) if len(pos) else len(ids)
 
     def _qwen_pos(self, ids_padded: np.ndarray, prompt_len: int,
                   img_grid) -> tuple:
-        """(pos3 [3, P_pad] or None, pos_delta) for inline mode."""
+        """(pos3 [3, P_pad] or None, pos_delta) for inline mode.
+
+        img_grid: (grid_h, grid_w) for images or (grid_t, grid_h, grid_w)
+        for videos — LLM-space merged grids."""
         from msd_tpu.models.qwen2vl import mrope_positions
         if not self.n_img or img_grid is None:
             return None, 0
-        gh, gw = img_grid
+        gt, (gh, gw) = (1, img_grid) if len(img_grid) == 2 \
+            else (img_grid[0], img_grid[1:])
         img_start = self._img_pos(ids_padded[:prompt_len])
         pos3, delta = mrope_positions(len(ids_padded), img_start,
-                                      self.n_img, gh, gw)
+                                      self.n_img, gh, gw, grid_t=gt)
         return jnp.asarray(pos3, jnp.int32), delta
 
     def _fuse_multi(self, ids: np.ndarray, img_feats_list) -> tuple:

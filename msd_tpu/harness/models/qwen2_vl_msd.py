@@ -19,14 +19,18 @@ import jax.numpy as jnp
 
 from msd_tpu.harness.instance import Instance
 from msd_tpu.harness.registry import register_model
-from msd_tpu.models.qwen2vl import IMAGE_PAD_ID, VISION_END_ID, VISION_START_ID
+from msd_tpu.models.qwen2vl import (IMAGE_PAD_ID, VIDEO_PAD_ID,
+                                    VISION_END_ID, VISION_START_ID)
 from msd_tpu.ops.sampling import SamplingParams
 
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 
-def qwen_chat_ids(tokenizer, question: str, n_img: int,
-                  with_image: bool) -> Tuple[np.ndarray, Optional[int]]:
+
+def qwen_chat_ids(tokenizer, question: str, n_img: int, with_image: bool,
+                  pad_id: int = IMAGE_PAD_ID
+                  ) -> Tuple[np.ndarray, Optional[int]]:
     """Token ids for '<|im_start|>user ... <|im_end|><|im_start|>assistant'
-    with an inline image span; returns (ids, img_start or None)."""
+    with an inline image/video span; returns (ids, img_start or None)."""
     pre = tokenizer.encode("<|im_start|>user\n")
     post = tokenizer.encode(f"{question}<|im_end|>\n<|im_start|>assistant\n")
     ids: List[int] = list(pre)
@@ -34,10 +38,78 @@ def qwen_chat_ids(tokenizer, question: str, n_img: int,
     if with_image:
         ids.append(VISION_START_ID)
         img_start = len(ids)
-        ids.extend([IMAGE_PAD_ID] * n_img)
+        ids.extend([pad_id] * n_img)
         ids.append(VISION_END_ID)
     ids.extend(post)
     return np.asarray(ids, np.int32), img_start
+
+
+def is_video_visual(visual) -> bool:
+    """Video inputs: a video file path, a [T, H, W, 3] frame array, or a
+    {'video': frames} wrapper (reference qwen2_vl_msd.py:224 detects paths
+    by extension; arrays stand in where decord is unavailable)."""
+    if isinstance(visual, str):
+        return visual.lower().endswith(VIDEO_EXTS)
+    if isinstance(visual, np.ndarray):
+        return visual.ndim == 4
+    return isinstance(visual, dict) and "video" in visual
+
+
+def sample_frames(total: int, max_num_frames: int) -> np.ndarray:
+    """Uniform frame sampling to EXACTLY max_num_frames indices (reference
+    qwen2_vl_msd.py:251-257 linspace; the endpoint includes the last frame,
+    and a fixed count keeps the engine's vision-token span static)."""
+    return np.linspace(0, max(total - 1, 0), max_num_frames, dtype=int)
+
+
+def _decode_video_file(path: str) -> np.ndarray:
+    """[T, H, W, 3] uint8 frames from a video file; tries decord (the
+    reference's loader), imageio, then OpenCV — this image bakes none of
+    them, so array/frame-list inputs are the first-class path here."""
+    try:
+        import decord
+        vr = decord.VideoReader(path)
+        return vr.get_batch(range(len(vr))).asnumpy()
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio
+        return np.asarray(iio.imread(path, plugin="pyav"))
+    except ImportError:
+        pass
+    try:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame[:, :, ::-1])  # BGR -> RGB
+        cap.release()
+        if frames:
+            return np.stack(frames)
+    except ImportError:
+        pass
+    raise RuntimeError(
+        f"no video decoder available for {path!r} (decord/imageio/cv2 all "
+        "missing); pass frames as a [T, H, W, 3] array or a list of PIL "
+        "images instead")
+
+
+def load_video_frames(visual, max_num_frames: int) -> np.ndarray:
+    """Any accepted video input -> [max_num_frames, H, W, 3] uint8."""
+    if isinstance(visual, dict):
+        visual = visual["video"]
+    if isinstance(visual, str):
+        arr = _decode_video_file(visual)
+    elif isinstance(visual, np.ndarray):
+        arr = visual
+    else:  # list/tuple of PIL frames
+        arr = np.stack([np.asarray(v.convert("RGB"))
+                        if hasattr(v, "convert") else np.asarray(v)
+                        for v in visual])
+    return arr[sample_frames(len(arr), max_num_frames)]
 
 
 @register_model("qwen2_vl_msd", "qwen2_vl")
@@ -72,23 +144,53 @@ class Qwen2VLMSD:
                                tokenizer, "eos_token_id", 151645),
                            image_mode="inline",
                            mrope_section=tcfg.mrope_section)
+        from msd_tpu.models.qwen2vl_vision import qwen_vision_encode_video
         enc = jax.jit(lambda px: qwen_vision_encode(vision, vcfg, px))
-        return cls(gen, tokenizer, enc, img_grid=grid, **kw)
+        enc_v = jax.jit(lambda px: qwen_vision_encode_video(vision, vcfg, px))
+        return cls(gen, tokenizer, enc, encode_video_fn=enc_v,
+                   img_grid=grid, **kw)
 
     def __init__(self, generator, tokenizer, encode_image_fn=None, *,
                  use_msd: bool = True, img_grid: Tuple[int, int] = (24, 24),
-                 **_ignored):
+                 encode_video_fn=None, max_num_frames: int = 32,
+                 temporal_patch_size: int = 2, **_ignored):
         assert generator.image_mode == "inline"
         self.gen = generator
         self.tokenizer = tokenizer
         self.encode_image_fn = encode_image_fn
+        self.encode_video_fn = encode_video_fn
         self.use_msd = use_msd
         self.img_grid = img_grid  # PATCH grid (pre-merge) for preprocessing
         # mrope positions use the post-merge token grid (spatial_merge=2)
         self.merged_grid = (img_grid[0] // 2, img_grid[1] // 2)
+        self.max_num_frames = int(max_num_frames)
+        self.video_grid_t = self.max_num_frames // int(temporal_patch_size)
+        self._vgen = None
         self.total_accept_len = 0
         self.total_accept_steps = 0
         self.rank, self.world_size = 0, 1
+
+    @property
+    def video_gen(self):
+        """Engine instance for video prompts (grid_t temporal blocks give a
+        longer static vision span than images, so the prompt-span statics and
+        the cache budget differ; params are shared device buffers)."""
+        if self._vgen is None:
+            import dataclasses
+
+            from msd_tpu.engine.generator import MSDGenerator
+            g = self.gen
+            n_vid = (self.video_grid_t * self.merged_grid[0]
+                     * self.merged_grid[1])
+            need = (n_vid + 512 + g.eng.tree.num_nodes
+                    + g.eng.tree.max_path_len)
+            eng = g.eng if g.eng.max_seq_len >= need else dataclasses.replace(
+                g.eng, max_seq_len=((need + 127) // 128) * 128)
+            self._vgen = MSDGenerator(
+                g.params["target"], g.params["draft"], g.tcfg, g.dcfg, eng,
+                n_img=n_vid, eos_id=g.eos_id, image_mode="inline",
+                mrope_section=g.mrope_section, sp=g.sp)
+        return self._vgen
 
     def _sp(self, gen_kwargs: Dict) -> SamplingParams:
         return SamplingParams(
@@ -96,30 +198,60 @@ class Qwen2VLMSD:
             top_p=float(gen_kwargs.get("top_p", 1.0)),
             top_k=int(gen_kwargs.get("top_k", 0) or 0))
 
+    def _encode_video(self, visual):
+        """Video visual -> ([n_video, H] features, (grid_t, gh, gw))."""
+        from PIL import Image
+
+        from msd_tpu.utils.mm_utils import process_image
+        frames = load_video_frames(visual, self.max_num_frames)
+        px = np.stack([process_image(Image.fromarray(np.asarray(f)),
+                                     image_size=self.img_grid[0] * 14)
+                       for f in frames])                     # [T, 3, H, W]
+        feats = self.encode_video_fn(jnp.asarray(px))
+        return feats, (self.video_grid_t,) + self.merged_grid
+
+    def _prep_request(self, context: str, visuals):
+        """-> (engine, ids, feats, img_grid or None) for one request,
+        routing video visuals through the video engine + <|video_pad|> span
+        (reference qwen2_vl_msd.py:218-258)."""
+        vis = visuals[0] if visuals else None
+        if vis is not None and self.gen.n_img > 0 and is_video_visual(vis) \
+                and self.encode_video_fn is not None:
+            gen = self.video_gen
+            feats, grid = self._encode_video(vis)
+            ids, _ = qwen_chat_ids(self.tokenizer, context, gen.n_img, True,
+                                   pad_id=VIDEO_PAD_ID)
+            return gen, ids, feats, grid
+        with_image = vis is not None and self.gen.n_img > 0
+        ids, _ = qwen_chat_ids(self.tokenizer, context, self.gen.n_img,
+                               with_image)
+        feats = None
+        if with_image:
+            from msd_tpu.utils.mm_utils import process_image
+            px = process_image(vis, image_size=self.img_grid[0] * 14)
+            feats = self.encode_image_fn(jnp.asarray(px))
+        return (self.gen, ids, feats,
+                self.merged_grid if with_image else None)
+
+    def _generate_plain(self, context: str, visuals, gen_kwargs: Dict) -> str:
+        gen, ids, feats, grid = self._prep_request(context, visuals)
+        sp = self._sp(gen_kwargs)
+        max_new = int(gen_kwargs.get("max_new_tokens", 512))
+        fn = gen.generate if self.use_msd else gen.naive_generate
+        r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp,
+               img_grid=grid)
+        self.total_accept_len += getattr(r, "accept_len_sum", 0)
+        self.total_accept_steps += getattr(r, "accept_steps", 0)
+        return self.tokenizer.decode(list(r.tokens),
+                                     skip_special_tokens=True).strip()
+
     def generate_until(self, requests: List[Instance]) -> List[str]:
         outputs = []
         t0 = time.time()
         for req in requests:
             context, gen_kwargs, doc_to_visual, *_ = req.arguments
             visuals = doc_to_visual(req.doc) if doc_to_visual else []
-            with_image = bool(visuals) and self.gen.n_img > 0
-            ids, _ = qwen_chat_ids(self.tokenizer, context, self.gen.n_img,
-                                   with_image)
-            feats = None
-            if with_image:
-                from msd_tpu.utils.mm_utils import process_image
-                px = process_image(visuals[0],
-                                   image_size=self.img_grid[0] * 14)
-                feats = self.encode_image_fn(jnp.asarray(px))
-            sp = self._sp(gen_kwargs)
-            max_new = int(gen_kwargs.get("max_new_tokens", 512))
-            fn = self.gen.generate if self.use_msd else self.gen.naive_generate
-            r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp,
-                   img_grid=self.merged_grid if with_image else None)
-            self.total_accept_len += getattr(r, "accept_len_sum", 0)
-            self.total_accept_steps += getattr(r, "accept_steps", 0)
-            outputs.append(self.tokenizer.decode(
-                list(r.tokens), skip_special_tokens=True).strip())
+            outputs.append(self._generate_plain(context, visuals, gen_kwargs))
         self.total_duration_seconds = time.time() - t0
         return outputs
 
@@ -129,21 +261,6 @@ class Qwen2VLMSD:
         from msd_tpu.utils.mm_utils import process_image
         px = process_image(visuals[0], image_size=self.img_grid[0] * 14)
         return self.encode_image_fn(jnp.asarray(px))
-
-    def _generate_plain(self, context: str, visuals, gen_kwargs: Dict) -> str:
-        with_image = bool(visuals) and self.gen.n_img > 0
-        ids, _ = qwen_chat_ids(self.tokenizer, context, self.gen.n_img,
-                               with_image)
-        feats = self._encode_visual(visuals)
-        sp = self._sp(gen_kwargs)
-        max_new = int(gen_kwargs.get("max_new_tokens", 512))
-        fn = self.gen.generate if self.use_msd else self.gen.naive_generate
-        r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp,
-               img_grid=self.merged_grid if with_image else None)
-        self.total_accept_len += getattr(r, "accept_len_sum", 0)
-        self.total_accept_steps += getattr(r, "accept_steps", 0)
-        return self.tokenizer.decode(list(r.tokens),
-                                     skip_special_tokens=True).strip()
 
     def generate_until_multi_round(self, requests: List[Instance]
                                    ) -> List[List[str]]:
@@ -229,7 +346,16 @@ def _tiny_qwen_adapter(cls, **kw):
         return jnp.asarray(rng.normal(size=(n_img, lc.hidden_size)) * 0.1,
                            jnp.float32)
 
-    return cls(gen, SimpleTokenizer(vocab_size=512), enc, img_grid=grid, **kw)
+    max_frames = int(kw.pop("max_num_frames", 8))
+    n_vid = (max_frames // 2) * n_img
+
+    def enc_video(px):
+        return jnp.asarray(rng.normal(size=(n_vid, lc.hidden_size)) * 0.1,
+                           jnp.float32)
+
+    return cls(gen, SimpleTokenizer(vocab_size=512), enc,
+               encode_video_fn=enc_video, max_num_frames=max_frames,
+               img_grid=grid, **kw)
 
 
 Qwen2VLMSD.from_tiny = classmethod(_tiny_qwen_adapter)

@@ -28,6 +28,7 @@ from msd_tpu.configs import LlamaConfig
 VISION_START_ID = 151652
 VISION_END_ID = 151653
 IMAGE_PAD_ID = 151655
+VIDEO_PAD_ID = 151656
 
 
 @dataclass(frozen=True)
@@ -109,28 +110,35 @@ def params_from_hf_qwen2(state: Dict, cfg: Qwen2VLTextConfig,
 # ---------------------------------------------------------------------------
 
 def mrope_positions(prompt_len: int, img_start: int, n_img: int,
-                    grid_h: int, grid_w: int) -> Tuple[np.ndarray, int]:
-    """3D position ids [3, prompt_len] for a single-image Qwen2-VL prompt
-    (HF get_rope_index, single frame), plus the post-image position delta.
+                    grid_h: int, grid_w: int, grid_t: int = 1
+                    ) -> Tuple[np.ndarray, int]:
+    """3D position ids [3, prompt_len] for a single image/video Qwen2-VL
+    prompt (HF get_rope_index, modeling_qwen2vl_kv.py:1480-1600), plus the
+    post-vision position delta.
 
-    img_start: index of the first <|image_pad|> token; n_img = grid_h*grid_w.
+    img_start: index of the first <|image_pad|>/<|video_pad|> token;
+    n_img = grid_t * grid_h * grid_w (LLM-space merged grids); grid_t > 1 for
+    videos (temporal position advances once per temporal block, the
+    documented [0,0,0,0, 1,1,1,1, 2,2,2,2] pattern).
     """
     pos = np.zeros((3, prompt_len), np.int64)
     for i in range(min(img_start, prompt_len)):
         pos[:, i] = i
     st = img_start
+    hw = grid_h * grid_w
     for k in range(n_img):
         i = img_start + k
         if i >= prompt_len:
             break
-        r, c = k // grid_w, k % grid_w
-        pos[0, i] = st
+        t, rem = divmod(k, hw)
+        r, c = rem // grid_w, rem % grid_w
+        pos[0, i] = st + t
         pos[1, i] = st + r
         pos[2, i] = st + c
-    nxt = st + max(grid_h, grid_w)
+    nxt = st + max(grid_t, grid_h, grid_w)
     for j, i in enumerate(range(img_start + n_img, prompt_len)):
         pos[:, i] = nxt + j
-    delta = (st + max(grid_h, grid_w)) - (img_start + n_img)
+    delta = nxt - (img_start + n_img)
     return pos, int(delta)
 
 

@@ -107,9 +107,33 @@ def window_major_patches(pixels: jnp.ndarray, cfg: Qwen2VisionConfig
     return x.reshape(gh * gw, c * cfg.temporal_patch_size * p * p)
 
 
+def window_major_patches_video(frames: jnp.ndarray, cfg: Qwen2VisionConfig
+                               ) -> jnp.ndarray:
+    """[T, 3, H, W] frames -> [grid_t*gh*gw, C*Tp*P*P] patch rows.
+
+    Temporal patching groups ``temporal_patch_size`` consecutive frames into
+    one patch (grid_t = T / Tp; an odd tail repeats the last frame, matching
+    Qwen2VLImageProcessor); within each temporal block the spatial order is
+    merge-window-major, blocks concatenated in time order."""
+    tp, p, m = cfg.temporal_patch_size, cfg.patch_size, cfg.spatial_merge_size
+    T, c, H, W = frames.shape
+    if T % tp:
+        frames = jnp.concatenate(
+            [frames, jnp.repeat(frames[-1:], tp - T % tp, axis=0)], axis=0)
+        T = frames.shape[0]
+    gt, gh, gw = T // tp, H // p, W // p
+    x = frames.reshape(gt, tp, c, gh // m, m, p, gw // m, m, p)
+    # -> [gt, R, C, r, c, ch, tp, ph, pw] (HF per-patch layout [C, Tp, P, P])
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return x.reshape(gt * gh * gw, c * tp * p * p)
+
+
 def vision_rotary(cfg: Qwen2VisionConfig, gh: int, gw: int,
-                  theta: float = 10000.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin [gh*gw, head_dim] for the window-major patch order."""
+                  theta: float = 10000.0, grid_t: int = 1
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin [grid_t*gh*gw, head_dim] for the window-major patch order
+    (rot_pos_emb repeats the same 2D spatial positions for every temporal
+    block, modeling_qwen2vl_kv.py:997-1025)."""
     m = cfg.spatial_merge_size
     dim4 = cfg.head_dim // 4
     inv = 1.0 / (theta ** (np.arange(0, dim4 * 2, 2, dtype=np.float64) / (dim4 * 2)))
@@ -123,7 +147,9 @@ def vision_rotary(cfg: Qwen2VisionConfig, gh: int, gw: int,
 
     hpos, wpos = window_major(hh), window_major(ww)
     freqs = np.concatenate([np.outer(hpos, inv), np.outer(wpos, inv)], axis=1)
-    emb = np.concatenate([freqs, freqs], axis=1)  # [N, head_dim]
+    emb = np.concatenate([freqs, freqs], axis=1)  # [gh*gw, head_dim]
+    if grid_t > 1:
+        emb = np.tile(emb, (grid_t, 1))
     return jnp.asarray(np.cos(emb), jnp.float32), \
         jnp.asarray(np.sin(emb), jnp.float32)
 
@@ -139,13 +165,40 @@ def qwen_vision_encode(params: Dict, cfg: Qwen2VisionConfig,
     p = cfg.patch_size
     _, H, W = pixels.shape
     gh, gw = H // p, W // p
-    n = gh * gw
+    x = window_major_patches(pixels, cfg) @ params["patch_embed"]
+    return _encode_core(params, cfg, x, 1, gh, gw)
+
+
+def qwen_vision_encode_video(params: Dict, cfg: Qwen2VisionConfig,
+                             frames: jnp.ndarray) -> jnp.ndarray:
+    """[T, 3, H, W] frames -> merged video tokens [grid_t*gh*gw/4, hidden].
+
+    grid_t = ceil(T / temporal_patch_size); attention is block-diagonal over
+    temporal blocks (cu_seqlens = repeat_interleave(gh*gw, grid_t),
+    modeling_qwen2vl_kv.py:1032), so each temporal slice attends within
+    itself — unlike a naive full-attention stack of frames."""
+    tp, p = cfg.temporal_patch_size, cfg.patch_size
+    T, _, H, W = frames.shape
+    gt = (T + tp - 1) // tp
+    gh, gw = H // p, W // p
+    x = window_major_patches_video(frames, cfg) @ params["patch_embed"]
+    return _encode_core(params, cfg, x, gt, gh, gw)
+
+
+def _encode_core(params: Dict, cfg: Qwen2VisionConfig, x: jnp.ndarray,
+                 gt: int, gh: int, gw: int) -> jnp.ndarray:
+    n = gt * gh * gw
     e, nh, d = cfg.embed_dim, cfg.num_heads, cfg.head_dim
 
-    x = window_major_patches(pixels, cfg) @ params["patch_embed"]
-    cos, sin = vision_rotary(cfg, gh, gw)
+    cos, sin = vision_rotary(cfg, gh, gw, grid_t=gt)
     cos = cos[:, None, :]
     sin = sin[:, None, :]
+    if gt > 1:  # per-temporal-block attention
+        blk = jnp.arange(n) // (gh * gw)
+        attn_bias = jnp.where(blk[:, None] == blk[None, :], 0.0,
+                              -1e30).astype(jnp.float32)
+    else:
+        attn_bias = None
 
     def block(x, bp):
         y = layer_norm(x, bp["norm1_w"], bp["norm1_b"], cfg.layer_norm_eps)
@@ -156,6 +209,8 @@ def qwen_vision_encode(params: Dict, cfg: Qwen2VisionConfig,
         k = (kf * cos + _rotate_half(kf) * sin).astype(x.dtype)
         scores = jnp.einsum("qhd,khd->hqk", q, k,
                             preferred_element_type=jnp.float32) * (d ** -0.5)
+        if attn_bias is not None:
+            scores = scores + attn_bias[None]
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         attn = jnp.einsum("hqk,khd->qhd", probs, v,
                           preferred_element_type=jnp.float32).astype(x.dtype)

@@ -164,3 +164,72 @@ def test_qwen_batched_matches_single(qwen_gen):
         single = gen.generate(prompts[b], img_feats=feats_list[b],
                               max_new_tokens=16, seed=0, img_grid=grid)
         np.testing.assert_array_equal(batch[b].tokens, single.tokens)
+
+
+def test_mrope_positions_video():
+    """grid_t > 1: temporal position advances once per temporal block — the
+    documented HF pattern (modeling_qwen2vl_kv.py:1503-1510: video 3x2x2 ->
+    t [0,0,0,0,1,1,1,1,2,2,2,2], text resumes at max position + 1)."""
+    pos, delta = mrope_positions(17, img_start=0, n_img=12, grid_h=2,
+                                 grid_w=2, grid_t=3)
+    assert list(pos[0, :12]) == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2]
+    assert list(pos[1, :12]) == [0, 0, 1, 1] * 3
+    assert list(pos[2, :12]) == [0, 1, 0, 1] * 3
+    # text after the video: st + max(gt, gh, gw) = 3
+    np.testing.assert_array_equal(pos[:, 12], [3, 3, 3])
+    assert delta == 3 - 12
+
+
+def test_qwen_video_msd_lossless():
+    """Inline VIDEO span (grid_t=2 x 2x2): greedy MSD == AR with temporal
+    mrope positions carried through prefill + decode."""
+    from msd_tpu.models.qwen2vl import VIDEO_PAD_ID
+
+    qcfg = Qwen2VLTextConfig.tiny(vocab=512, hidden=64, layers=2, heads=4,
+                                  kv_heads=2, inter=128)
+    lc = qcfg.as_llama()
+    dcfg = DraftConfig(text=lc)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    tp = init_qwen2_params(k1, qcfg)
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+    n_vid = 2 * 2 * 2  # grid_t * gh * gw (merged)
+    gen = MSDGenerator(tp, dp, lc, dcfg, eng, n_img=n_vid, eos_id=2,
+                       image_mode="inline", mrope_section=qcfg.mrope_section)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 500, size=19).astype(np.int32)
+    ids[4:4 + n_vid] = VIDEO_PAD_ID
+    feats = jnp.asarray(rng.normal(size=(n_vid, lc.hidden_size)) * 0.1,
+                        jnp.float32)
+    grid = (2, 2, 2)  # (grid_t, gh, gw)
+    ar = gen.naive_generate(ids, img_feats=feats, max_new_tokens=20,
+                            img_grid=grid)
+    msd = gen.generate(ids, img_feats=feats, max_new_tokens=20, img_grid=grid)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
+    assert msd.accept_steps > 0
+
+
+def test_qwen_adapter_video_request():
+    """The tiny qwen2_vl_msd adapter routes a [T, H, W, 3] video visual
+    through frame sampling + the video engine and returns text."""
+    from msd_tpu.harness.models.qwen2_vl_msd import (Qwen2VLMSD,
+                                                     is_video_visual,
+                                                     load_video_frames,
+                                                     sample_frames)
+
+    # frame sampling semantics (reference qwen2_vl_msd.py:251-257)
+    idx = sample_frames(100, 8)
+    assert len(idx) == 8 and idx[0] == 0 and idx[-1] == 99
+    idx_short = sample_frames(3, 8)
+    assert len(idx_short) == 8 and idx_short[-1] == 2  # duplicates kept
+
+    adapter = Qwen2VLMSD.from_tiny(max_num_frames=8)
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(20, 56, 56, 3), dtype=np.uint8)
+    assert is_video_visual(frames)
+    assert load_video_frames(frames, 8).shape == (8, 56, 56, 3)
+    out = adapter._generate_plain("describe the video", [frames],
+                                  {"max_new_tokens": 8})
+    assert isinstance(out, str)
+    assert adapter.video_gen.n_img == (8 // 2) * 4

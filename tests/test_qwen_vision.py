@@ -83,3 +83,44 @@ def test_vision_rotary_shapes():
     q = cfg.head_dim // 4
     np.testing.assert_allclose(np.asarray(c2[3, :q]),
                                np.asarray(c2[3, q:half]))
+
+
+def test_vision_video_matches_hf():
+    """Multi-frame (grid_t=3) encode vs HF Qwen2VisionTransformer: temporal
+    patching, per-block attention (cu_seqlens), repeated 2D rotary."""
+    import torch
+    cfg = Qwen2VisionConfig.tiny(embed=32, depth=2, heads=4, hidden=48)
+    hf = _hf_vision(cfg, seed=1)
+    state = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_qwen_vision(state, cfg, prefix="")
+
+    from msd_tpu.models.qwen2vl_vision import (qwen_vision_encode_video,
+                                               window_major_patches_video)
+    rng = np.random.default_rng(2)
+    T = 6                              # grid_t = 3 with temporal_patch_size=2
+    H = W = 4 * cfg.patch_size
+    frames = rng.normal(size=(T, 3, H, W)).astype(np.float32)
+
+    patches = np.asarray(window_major_patches_video(jnp.asarray(frames), cfg))
+    gt = T // cfg.temporal_patch_size
+    grid_thw = torch.tensor([[gt, 4, 4]])
+    with torch.no_grad():
+        ref = hf(torch.tensor(patches), grid_thw=grid_thw).numpy()
+
+    ours = np.asarray(qwen_vision_encode_video(params, cfg,
+                                               jnp.asarray(frames)))
+    assert ours.shape == ref.shape == (gt * 4, cfg.hidden_size)
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_vision_video_odd_frames_repeat_last():
+    """An odd frame tail repeats the last frame (Qwen2VLImageProcessor)."""
+    from msd_tpu.models.qwen2vl_vision import window_major_patches_video
+    cfg = Qwen2VisionConfig.tiny()
+    rng = np.random.default_rng(3)
+    H = W = 2 * cfg.patch_size
+    f3 = rng.normal(size=(3, 3, H, W)).astype(np.float32)
+    f4 = np.concatenate([f3, f3[-1:]], axis=0)
+    a = np.asarray(window_major_patches_video(jnp.asarray(f3), cfg))
+    b = np.asarray(window_major_patches_video(jnp.asarray(f4), cfg))
+    np.testing.assert_array_equal(a, b)
