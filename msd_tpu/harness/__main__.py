@@ -60,6 +60,17 @@ def main(argv=None):
                     help="(kept for round-1 compat; off is the default)")
     ap.add_argument("--use_calibration", action="store_true")
     ap.add_argument("--train_ratio", type=float, default=0.2)
+    ap.add_argument("--use_cache", "-c", default=None, metavar="DIR",
+                    help="path to a sqlite db file caching model responses "
+                         "(lmms-eval/__main__.py:170-176); None = no cache")
+    ap.add_argument("--cache_requests", default=None,
+                    choices=["true", "refresh", "delete"],
+                    help="cache the building of dataset requests "
+                         "(lmms-eval/__main__.py:177-183)")
+    ap.add_argument("--config", default=None,
+                    help="YAML file with one run config or a LIST of run "
+                         "configs; each entry overrides the CLI args and "
+                         "runs sequentially (lmms-eval/__main__.py:344-358)")
     ap.add_argument("--output_path", default=None)
     ap.add_argument("--log_samples", action="store_true")
     ap.add_argument("--log_dir", default=None,
@@ -67,6 +78,29 @@ def main(argv=None):
                          "calibration stats, reliability SVG)")
     args = ap.parse_args(argv)
 
+    # --config sweep: expand into one args namespace per run config
+    args_list = []
+    if args.config:
+        if not os.path.exists(args.config):
+            raise ValueError(f"Config file does not exist: {args.config}")
+        import yaml
+        with open(args.config) as f:
+            config_args = yaml.safe_load(f)
+        if not isinstance(config_args, list):
+            config_args = [config_args]
+        for config in config_args:
+            args_copy = argparse.Namespace(**vars(args))
+            for key, value in config.items():
+                setattr(args_copy, key, value)
+            args_list.append(args_copy)
+    else:
+        args_list.append(args)
+
+    payloads = [_run_one(a) for a in args_list]
+    return payloads if args.config else payloads[0]
+
+
+def _run_one(args):
     from msd_tpu.harness.evaluator import simple_evaluate
 
     margs = parse_model_args(args.model_args)
@@ -79,11 +113,14 @@ def main(argv=None):
         limit=args.limit, bottom=args.bottom,
         use_msd=args.use_msd, use_calibration=args.use_calibration,
         train_ratio=args.train_ratio,
-        msd_model_path=args.msd_model_path)
+        msd_model_path=args.msd_model_path,
+        use_cache=args.use_cache, cache_requests=args.cache_requests)
 
     payload = {"results": out["results"]}
     if "msd_stats" in out:
         payload["msd_stats"] = out["msd_stats"]
+    if "synthetic_tasks" in out:
+        payload["synthetic_tasks"] = out["synthetic_tasks"]
     if args.log_samples:
         payload["details"] = {
             t: {"samples": v["samples"]} for t, v in out["details"].items()}
@@ -100,6 +137,7 @@ def main(argv=None):
             if args.log_samples:
                 for t, v in out["details"].items():
                     tracker.save_results_samples(t, v["samples"], args.model)
+    return payload
 
 
 if __name__ == "__main__":

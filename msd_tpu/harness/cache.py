@@ -46,31 +46,50 @@ def request_key(model_tag: str, context: str, gen_kwargs: dict,
 
 
 class CachingLM:
-    """Adapter wrapper: lm must expose generate_until(requests) -> [str]."""
+    """Adapter wrapper: caches generate_until (strings) and loglikelihood
+    ((logprob, is_greedy) tuples); other request types delegate uncached.
+    Tracks cache_hits/cache_misses for observability."""
 
     def __init__(self, lm, cache_path: str, model_tag: str = "model"):
         self.lm = lm
         self.cache = ResponseCache(cache_path)
         self.model_tag = model_tag
+        self.cache_hits = 0
+        self.cache_misses = 0
 
-    def generate_until(self, requests) -> List[str]:
-        outputs: List[Optional[str]] = [None] * len(requests)
+    def _run_cached(self, requests, run_fn, kind: str,
+                    encode, decode) -> List:
+        outputs: List = [None] * len(requests)
         misses = []
         for i, req in enumerate(requests):
-            ctx, gkw = req.arguments[0], req.arguments[1]
-            key = request_key(self.model_tag, ctx, gkw, req.doc_id,
-                              req.task_name)
+            ctx, arg1 = req.arguments[0], req.arguments[1]
+            if not isinstance(arg1, dict):  # loglikelihood: target str/fn
+                arg1 = {"target": arg1 if isinstance(arg1, str) else "<fn>"}
+            key = request_key(self.model_tag + ":" + kind, ctx, arg1,
+                              req.doc_id, req.task_name)
             hit = self.cache.get(key)
             if hit is not None:
-                outputs[i] = hit
+                outputs[i] = decode(hit)
+                self.cache_hits += 1
             else:
                 misses.append((i, key, req))
+                self.cache_misses += 1
         if misses:
-            fresh = self.lm.generate_until([r for _, _, r in misses])
+            fresh = run_fn([r for _, _, r in misses])
             for (i, key, _), resp in zip(misses, fresh):
                 outputs[i] = resp
-                self.cache.put(key, resp)
-        return outputs  # type: ignore[return-value]
+                self.cache.put(key, encode(resp))
+        return outputs
+
+    def generate_until(self, requests) -> List[str]:
+        return self._run_cached(requests, self.lm.generate_until,
+                                "gen", lambda s: s, lambda s: s)
+
+    def loglikelihood(self, requests) -> List[tuple]:
+        return self._run_cached(
+            requests, self.lm.loglikelihood, "ll",
+            lambda t: json.dumps(list(t)),
+            lambda s: tuple(json.loads(s)))
 
     def __getattr__(self, name):
         return getattr(self.lm, name)

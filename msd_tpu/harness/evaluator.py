@@ -23,11 +23,16 @@ from msd_tpu.harness.tasks import register_builtin_tasks
 
 def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
              bottom: Optional[int] = None, rank: int = 0,
-             world_size: int = 1) -> Dict:
+             world_size: int = 1,
+             cache_requests: Optional[str] = None,
+             request_cache_dir: Optional[str] = None) -> Dict:
     results: Dict[str, Dict] = {}
     for tname in task_names:
         task = get_task(tname)
-        docs = task.load_docs(limit=None if bottom else limit)
+        docs = _load_docs_cached(task, tname,
+                                 limit=None if bottom else limit,
+                                 cache_requests=cache_requests,
+                                 cache_dir=request_cache_dir)
         reqs = task.build_requests(docs, rank=rank, world_size=world_size,
                                    limit=limit, bottom=bottom)
         rtype = reqs[0].request_type if reqs else "generate_until"
@@ -71,6 +76,36 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
     return out
 
 
+def _load_docs_cached(task, tname: str, *, limit,
+                      cache_requests: Optional[str],
+                      cache_dir: Optional[str]) -> List[Dict]:
+    """Doc-list (request-building) cache: the reference's ``cache_requests``
+    surface (lmms-eval/__main__.py:177-183, evaluator.py:678-683 — "true"
+    reads+writes, "refresh" rebuilds and overwrites, "delete" drops the
+    cached entry then rebuilds)."""
+    if not cache_requests:
+        return task.load_docs(limit=limit)
+    import pickle
+    d = cache_dir or ".request_cache"
+    import os
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"requests_{tname}_{limit}.pkl")
+    if cache_requests == "delete" and os.path.exists(path):
+        os.remove(path)
+    if cache_requests == "true" and os.path.exists(path):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        task.used_synthetic_docs = payload["synthetic"]
+        return payload["docs"]
+    docs = task.load_docs(limit=limit)
+    if cache_requests in ("true", "refresh"):
+        with open(path, "wb") as f:
+            pickle.dump({"docs": docs,
+                         "synthetic": bool(getattr(
+                             task, "used_synthetic_docs", False))}, f)
+    return docs
+
+
 def _gather_metrics(per_doc: List[Dict], world_size: int) -> List[Dict]:
     if world_size <= 1:
         return per_doc
@@ -92,7 +127,9 @@ def simple_evaluate(*, model, model_args: Optional[Dict] = None,
                     bottom: Optional[int] = None, use_msd: bool = True,
                     use_calibration: bool = False, train_ratio: float = 0.2,
                     msd_model_path: Optional[str] = None,
-                    rank: int = 0, world_size: int = 1) -> Dict:
+                    rank: int = 0, world_size: int = 1,
+                    use_cache: Optional[str] = None,
+                    cache_requests: Optional[str] = None) -> Dict:
     if not TASK_REGISTRY:
         register_builtin_tasks()
     # model classes register themselves at import time
@@ -116,5 +153,13 @@ def simple_evaluate(*, model, model_args: Optional[Dict] = None,
                 "pass a constructed adapter instance instead of a name")
     else:
         lm = model
+    if use_cache:
+        # sqlite response cache around ANY adapter (api/model.py:151-218;
+        # CLI flag --use_cache, lmms-eval/__main__.py:170-176)
+        from msd_tpu.harness.cache import CachingLM
+        tag = model if isinstance(model, str) else type(model).__name__
+        lm = CachingLM(lm, use_cache, model_tag=tag)
     return evaluate(lm, tasks, limit=limit, bottom=bottom, rank=rank,
-                    world_size=world_size)
+                    world_size=world_size, cache_requests=cache_requests,
+                    request_cache_dir=(use_cache + ".requests"
+                                       if use_cache else None))

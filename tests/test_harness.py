@@ -337,3 +337,71 @@ def test_new_round2_tasks_registered():
     register_builtin_tasks()
     for t in ("vqav2", "mme", "seedbench", "mmstar", "realworldqa"):
         assert t in TASK_REGISTRY, t
+
+
+def test_cli_use_cache_roundtrip(tmp_path, capsys):
+    """--use_cache CLI round-trip: the second run serves from sqlite and
+    skips generation (lmms-eval/__main__.py:170-176, api/model.py:151-218)."""
+    import sqlite3
+
+    from msd_tpu.harness.__main__ import main
+
+    db = str(tmp_path / "resp.sqlite")
+    argv = ["--model", "llava_msd_calibrated", "--model_args", "tiny=true",
+            "--tasks", "pope", "--limit", "3", "--use_cache", db]
+    p1 = main(argv)
+    assert sqlite3.connect(db).execute(
+        "SELECT COUNT(*) FROM responses").fetchone()[0] == 3
+
+    # second run: a poisoned adapter would crash if generation were invoked;
+    # instead assert via simple_evaluate with a counting wrapper
+    from msd_tpu.harness.cache import CachingLM
+    from msd_tpu.harness.evaluator import simple_evaluate
+
+    class ExplodingLM:
+        rank, world_size = 0, 1
+
+        def generate_until(self, reqs):
+            raise AssertionError("generation must be served from cache")
+
+    lm = CachingLM(ExplodingLM(), db, model_tag="llava_msd_calibrated")
+    out2 = simple_evaluate(model=lm, tasks=["pope"], limit=3)
+    assert lm.cache_hits == 3 and lm.cache_misses == 0
+    assert out2["results"]["pope"]["accuracy"] == \
+        p1["results"]["pope"]["accuracy"]
+    capsys.readouterr()
+
+
+def test_cli_cache_requests_modes(tmp_path, capsys):
+    """--cache_requests true caches doc building; refresh/delete rebuild."""
+    import os
+
+    from msd_tpu.harness.__main__ import main
+
+    db = str(tmp_path / "resp.sqlite")
+    argv = ["--model", "llava_msd_calibrated", "--model_args", "tiny=true",
+            "--tasks", "pope", "--limit", "2", "--use_cache", db,
+            "--cache_requests", "true"]
+    main(argv)
+    reqdir = db + ".requests"
+    cached = [f for f in os.listdir(reqdir) if f.startswith("requests_pope")]
+    assert cached, "request cache file missing"
+    main(argv)  # second run reads the cached docs without error
+    capsys.readouterr()
+
+
+def test_cli_config_yaml_sweep(tmp_path, capsys):
+    """--config yaml with a LIST of run configs expands into sequential runs
+    (lmms-eval/__main__.py:344-358)."""
+    from msd_tpu.harness.__main__ import main
+
+    cfg = tmp_path / "sweep.yaml"
+    cfg.write_text(
+        "- tasks: pope\n  limit: 2\n"
+        "- tasks: docvqa\n  limit: 3\n")
+    payloads = main(["--model", "llava_msd_calibrated", "--model_args",
+                     "tiny=true", "--tasks", "ignored", "--config", str(cfg)])
+    assert isinstance(payloads, list) and len(payloads) == 2
+    assert "pope" in payloads[0]["results"]
+    assert "docvqa" in payloads[1]["results"]
+    capsys.readouterr()
