@@ -130,12 +130,21 @@ def main():
                          "canonical across program shapes (see "
                          "ops/sampling.canon_logits). 0 = exact fp32 argmax")
     ap.add_argument("--pin-first-token", dest="pin_first_token",
-                    action="store_true", default=True,
+                    action="store_true", default=False,
                     help="compute each prompt's first new token once via the "
-                         "AR prefill program and pin the MSD path to it, so "
-                         "AR-vs-MSD divergence can only start inside the "
-                         "decode loop")
+                         "AR prefill program and pin the MSD path to it "
+                         "(superseded by --share-prefill, which pins the "
+                         "whole prefill including the KV cache)")
     ap.add_argument("--no-pin-first-token", dest="pin_first_token",
+                    action="store_false")
+    ap.add_argument("--share-prefill", dest="share_prefill",
+                    action="store_true", default=True,
+                    help="run ONE compiled prefill executable for both the "
+                         "AR baseline and every MSD run (records + timed): "
+                         "bitwise-identical KV caches, so AR-vs-MSD and "
+                         "record-vs-timed divergence can only come from the "
+                         "decode loops themselves")
+    ap.add_argument("--no-share-prefill", dest="share_prefill",
                     action="store_false")
     ap.add_argument("--head-sharpen", type=float, default=6.0,
                     help="scale the random lm_head by this factor. argmax-"
@@ -295,22 +304,36 @@ def main():
     prompts = [ids] + [mk_prompt() for _ in range(args.distill_prompts - 1)]
 
     # ---- AR baseline ----
+    # share_prefill: the AR loop consumes the SAME compiled prefill program
+    # (and hence bitwise-identical KV) as every MSD run below; the shared
+    # program carries the collect_hiddens=True shape used by record+timed
+    # MSD runs (its cost — one [P, H] buffer write per committed step — is
+    # inside the AR timing too, so it never inflates the speedup)
+    ar_kw = dict(share_prefill=True, collect_hiddens=True) \
+        if args.share_prefill else {}
     t0 = time.time()
-    r = gen.naive_generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+    r = gen.naive_generate(ids, img_feats=feats, max_new_tokens=args.max_new,
+                           **ar_kw)
     log(f"AR compile+first run {time.time()-t0:.1f}s ({len(r.tokens)} tokens)")
     ar_times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        r = gen.naive_generate(ids, img_feats=feats, max_new_tokens=args.max_new)
+        r = gen.naive_generate(ids, img_feats=feats,
+                               max_new_tokens=args.max_new, **ar_kw)
         ar_times.append(time.time() - t0)
     n_ar = len(r.tokens)
     t_ar = min(ar_times) / max(n_ar, 1)
     log(f"AR: {n_ar} tokens, best {min(ar_times):.3f}s -> {t_ar*1e3:.2f} ms/tok "
         f"({1/t_ar:.1f} tok/s)")
 
+    # every MSD run (records, timed, per-prompt alpha) shares ONE program
+    # shape: split prefill+decode, collect_hiddens on
+    msd_kw = dict(collect_hiddens=True, split_programs=True,
+                  fetch_hiddens=False) if args.share_prefill else {}
+
     # ---- first-token pinning (canonical AR-prefill program) ----
     tok0s = [None] * len(prompts)
-    if args.pin_first_token:
+    if args.pin_first_token and not args.share_prefill:
         t0 = time.time()
         tok0s = [gen.first_token(p, img_feats=feats,
                                  max_new_tokens=args.max_new)
@@ -393,6 +416,7 @@ def main():
                         r = gen.generate(p_ids, img_feats=p_feats,
                                          max_new_tokens=args.max_new,
                                          collect_hiddens=True,
+                                         split_programs=args.share_prefill,
                                          first_token=tok0s[pi])
                         cont = r.tokens
                         e0 = len(p_ids) + (max(n_img - 1, 0) if has_img
@@ -407,7 +431,7 @@ def main():
                     else:
                         cont = gen.generate(
                             p_ids, img_feats=p_feats,
-                            max_new_tokens=args.max_new,
+                            max_new_tokens=args.max_new, **msd_kw,
                             first_token=tok0s[pi]).tokens
                         full = np.concatenate([p_ids, cont]).astype(np.int32)
                         mask = np.zeros((len(full),), np.float32)
@@ -494,14 +518,14 @@ def main():
     # ---- MSD ----
     t0 = time.time()
     m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new,
-                     first_token=tok0s[0])
+                     first_token=tok0s[0], **msd_kw)
     log(f"MSD compile+first run {time.time()-t0:.1f}s "
         f"(steps={m.accept_steps}, alpha={m.avg_accept_len:.2f})")
     msd_times = []
     for _ in range(args.repeats):
         t0 = time.time()
         m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new,
-                         first_token=tok0s[0])
+                         first_token=tok0s[0], **msd_kw)
         msd_times.append(time.time() - t0)
     steps = max(m.accept_steps, 1)
     t_step = min(msd_times) / steps
@@ -534,7 +558,7 @@ def main():
             has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
             r_i = gen.generate(p_ids, img_feats=feats if has_img else None,
                                max_new_tokens=args.max_new,
-                               first_token=tok0s[pi])
+                               first_token=tok0s[pi], **msd_kw)
             agg_steps += r_i.accept_steps
             agg_tokens += r_i.accept_len_sum
             per.append(round(r_i.avg_accept_len, 2))
@@ -577,6 +601,7 @@ def main():
             "residual_dtype": args.residual_dtype,
             "greedy_round_bits": args.greedy_round_bits,
             "pin_first_token": args.pin_first_token,
+            "share_prefill": args.share_prefill,
             "measured_speedup": round(speedup_measured, 3),
             "distilled_ok": distilled_ok,
             "decode_on_distilled_trajectory_tokens": on_traj,

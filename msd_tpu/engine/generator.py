@@ -186,7 +186,9 @@ class MSDGenerator:
                  use_calibration: bool = False,
                  collect_calibration: bool = False,
                  collect_hiddens: bool = False,
-                 img_grid=None, first_token: Optional[int] = None) -> GenResult:
+                 img_grid=None, first_token: Optional[int] = None,
+                 split_programs: bool = False,
+                 fetch_hiddens: Optional[bool] = None) -> GenResult:
         """Speculative (MSD) generation; lossless wrt the target model.
 
         use_calibration: calibrated tree rerank (set_calibrator first).
@@ -195,6 +197,13 @@ class MSDGenerator:
         (on-policy distillation data with decode-time numerics).
         first_token: pin the first new token (see first_token()); expand-mode
         single-image/text prompts only.
+        split_programs: run prefill and decode as separate executables (the
+        OOM fallback path). With naive_generate(share_prefill=True) the AR
+        baseline consumes the SAME compiled prefill, so the two paths start
+        from bitwise-identical KV caches.
+        fetch_hiddens: transfer traj_hidden to host (default =
+        collect_hiddens); False keeps the program shape of a collecting run
+        without paying the device->host copy in timed loops.
         """
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
@@ -247,18 +256,26 @@ class MSDGenerator:
         else:
             tok0 = (None if first_token is None
                     else jnp.int32(int(first_token)))
-            try:
-                state = SE.generate_program(st, self.params, padded,
-                                            jnp.int32(len(ids)), img_feats,
-                                            jnp.int32(self._img_pos(ids)),
-                                            key, tok0)
-            except Exception as e:
-                if "RESOURCE_EXHAUSTED" not in str(e):
-                    raise
+            if split_programs:
                 state = SE.prefill(st, self.params, padded,
                                    jnp.int32(len(ids)), img_feats,
                                    jnp.int32(self._img_pos(ids)), key, tok0)
                 state = SE.decode(st, self.params, state)
+            else:
+                try:
+                    state = SE.generate_program(st, self.params, padded,
+                                                jnp.int32(len(ids)),
+                                                img_feats,
+                                                jnp.int32(self._img_pos(ids)),
+                                                key, tok0)
+                except Exception as e:
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    state = SE.prefill(st, self.params, padded,
+                                       jnp.int32(len(ids)), img_feats,
+                                       jnp.int32(self._img_pos(ids)), key,
+                                       tok0)
+                    state = SE.decode(st, self.params, state)
 
         has_img = img_feats is not None
         e0 = len(ids) + (max(self.n_img - 1, 0)
@@ -272,7 +289,8 @@ class MSDGenerator:
             calib_data = {k: np.asarray(v[:n_steps])
                           for k, v in state.calib_log.items()}
         traj_hidden = exp_ids_out = None
-        if collect_hiddens:
+        fetch = collect_hiddens if fetch_hiddens is None else fetch_hiddens
+        if collect_hiddens and fetch:
             traj_hidden = np.asarray(state.traj_hidden[:cur])
             exp_ids_out = np.asarray(state.ids[:cur])
         return GenResult(tokens=out, accept_steps=int(state.steps),
@@ -434,13 +452,37 @@ class MSDGenerator:
                        img_feats: Optional[jnp.ndarray] = None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,
                        sp: Optional[SamplingParams] = None,
-                       img_grid=None) -> GenResult:
-        """Plain AR baseline with the same kernels/KV cache."""
+                       img_grid=None, share_prefill: bool = False,
+                       collect_hiddens: bool = False) -> GenResult:
+        """Plain AR baseline with the same kernels/KV cache.
+
+        share_prefill: start the AR loop from the MSD ``prefill`` program's
+        state (SAME executable as generate(split_programs=True)) so both
+        paths decode over bitwise-identical KV caches; collect_hiddens must
+        then match the MSD side's flag (it is part of the program shape).
+        Expand-mode single-image/text prompts only.
+        """
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
         st = self._statics(max_new, sp)
         key = jax.random.PRNGKey(seed)
+        if share_prefill:
+            if self.image_mode != "expand" or isinstance(img_feats,
+                                                         (list, tuple)):
+                raise ValueError("share_prefill supports expand-mode "
+                                 "single-image/text prompts only")
+            st = self._statics(max_new, sp, collect_hiddens=collect_hiddens)
+            padded = jnp.asarray(self._pad(ids))
+            state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
+                               img_feats, jnp.int32(self._img_pos(ids)), key)
+            ids_buf, cur, n_new = SE.ar_decode_from_state(st, self.params,
+                                                          state)
+            e0 = len(ids) + (max(self.n_img - 1, 0)
+                             if img_feats is not None else 0)
+            out = _trim(np.asarray(ids_buf[e0:int(cur) + 1]), self.eos_id,
+                        max_new)
+            return GenResult(tokens=out)
         if isinstance(img_feats, (list, tuple)):  # multi-image prompt
             fused, exp_ids, _, e0, _ = self._fuse_multi(ids, img_feats)
             carry = SE.ar_prefill_prefused(st, self.params, fused, exp_ids,

@@ -1119,6 +1119,23 @@ def qwen_ar_prefill(st: Statics, params: Dict, ids: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+def ar_decode_from_state(st: Statics, params: Dict, state: EngineState):
+    """AR decode consuming the MSD ``prefill`` program's EngineState.
+
+    Sharing ONE compiled prefill between the AR baseline and the MSD path
+    makes their KV caches (and first token) bitwise identical — the two
+    prefill executables otherwise round the bf16 KV values differently, and
+    attention over hundreds of slightly-different keys yields ~1e-2 logit
+    noise that flips near-tie greedy argmaxes (the residual AR-vs-MSD
+    divergence after logit-grid canonicalization)."""
+    ids_buf = jax.lax.dynamic_update_slice(state.ids, state.bonus[None],
+                                           (state.cur_len,))
+    carry = (ids_buf, state.target_kv, state.cur_len, state.bonus,
+             state.pos_delta, state.key)
+    return ar_decode.__wrapped__(st, params, carry)
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
 def ar_decode(st: Statics, params: Dict, carry):
     """Plain AR decode while_loop with the same kernels as verification."""
     ids_buf, target_kv, E0, tok, pos_delta, key = carry

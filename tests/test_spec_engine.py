@@ -464,3 +464,21 @@ def test_canon_logits_properties():
     ia = int(jnp.argmax(canon_logits(a, 6)))
     ib = int(jnp.argmax(canon_logits(b, 6)))
     assert ia == ib == 2
+
+
+def test_share_prefill_ar_matches_msd():
+    """naive_generate(share_prefill=True) consumes the MSD prefill program's
+    state; output must equal both the plain AR path and greedy MSD."""
+    sp = SamplingParams(greedy_round_bits=6)
+    g = make_gen(sp=sp)
+    rng = np.random.default_rng(5)
+    for _ in range(2):
+        ids = rng.integers(3, 120, size=rng.integers(4, 24)).astype(np.int32)
+        ar_plain = g.naive_generate(ids, max_new_tokens=20)
+        ar_shared = g.naive_generate(ids, max_new_tokens=20,
+                                     share_prefill=True, collect_hiddens=True)
+        msd = g.generate(ids, max_new_tokens=20, collect_hiddens=True,
+                         split_programs=True, fetch_hiddens=False)
+        np.testing.assert_array_equal(ar_shared.tokens, ar_plain.tokens)
+        np.testing.assert_array_equal(msd.tokens, ar_shared.tokens)
+        assert msd.traj_hidden is None  # fetch_hiddens=False skips transfer
