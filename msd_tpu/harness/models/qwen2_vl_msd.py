@@ -230,8 +230,9 @@ class Qwen2VLMSD:
             from msd_tpu.utils.mm_utils import process_image
             px = process_image(vis, image_size=self.img_grid[0] * 14)
             feats = self.encode_image_fn(jnp.asarray(px))
-        return (self.gen, ids, feats,
-                self.merged_grid if with_image else None)
+        # mrope grids only for mrope models (Qwen-VL v1 runs plain 1D rope)
+        use_grid = with_image and self.gen.mrope_section is not None
+        return (self.gen, ids, feats, self.merged_grid if use_grid else None)
 
     def _generate_plain(self, context: str, visuals, gen_kwargs: Dict) -> str:
         gen, ids, feats, grid = self._prep_request(context, visuals)
@@ -288,9 +289,10 @@ class Qwen2VLMSD:
                 cont_ids = cont_ids[1:]
             ids_full = np.concatenate([ids_ctx, cont_ids]).astype(np.int32)
             feats = self._encode_visual(visuals)
+            use_grid = with_image and self.gen.mrope_section is not None
             lp, greedy = self.gen.score(
                 ids_full, cont_start=len(ids_ctx), img_feats=feats,
-                img_grid=self.merged_grid if with_image else None)
+                img_grid=self.merged_grid if use_grid else None)
             res.append((lp, greedy))
         return res
 
@@ -304,14 +306,88 @@ class Qwen2VLMSD:
 
 @register_model("qwen_vl_eagle")
 class QwenVLEagle(Qwen2VLMSD):
-    """Legacy-name adapter (reference models/qwen_vl_eagle.py:29-384, naive
-    generate only at :308). The v1 Qwen-VL resampler tower is superseded by
-    Qwen2-VL; this adapter keeps the harness model name and the legacy
-    behavior (autoregressive generation, MSD off) over the modern stack."""
+    """Qwen-VL (v1) adapter (reference models/qwen_vl_eagle.py:29-384).
+
+    v1 differs from Qwen2-VL in both halves: the visual tower is an
+    OpenCLIP-style ViT + 256-query cross-attention Resampler
+    (models/qwen_vl_v1.py, rebuilt natively), and the LM uses plain 1D
+    rotary positions — no mrope — with the 256 image tokens inline
+    ("<img>...</img>" span). The reference adapter generates
+    autoregressively (:308); MSD stays available behind use_msd=True."""
 
     def __init__(self, *a, **kw):
-        kw["use_msd"] = False
+        kw.setdefault("use_msd", False)
         super().__init__(*a, **kw)
+
+    @classmethod
+    def from_pretrained(cls, pretrained: str, msd_model_path: str,
+                        dtype=None, eng=None, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from msd_tpu.configs import EngineConfig
+        from msd_tpu.engine.generator import MSDGenerator
+        from msd_tpu.models.qwen_vl_v1 import qwen_vl_vision_encode
+        from msd_tpu.utils.weights import load_draft, load_qwen_vl_v1
+
+        dtype = dtype or jnp.bfloat16
+        lm, vision, tcfg, vcfg = load_qwen_vl_v1(pretrained, dtype)
+        lc = tcfg.as_llama()
+        draft, dcfg = load_draft(msd_model_path, lc,
+                                 base_embed=lm["embed_tokens"], dtype=dtype)
+        try:
+            from transformers import AutoTokenizer
+            tokenizer = AutoTokenizer.from_pretrained(
+                pretrained, trust_remote_code=True)
+        except Exception:
+            from msd_tpu.harness.models.llava_msd import SimpleTokenizer
+            tokenizer = SimpleTokenizer(tcfg.vocab_size)
+        # 1D rope: inline image span, mrope_section=None -> pos_delta 0
+        gen = MSDGenerator(lm, draft, lc, dcfg, eng or EngineConfig(),
+                           n_img=vcfg.n_queries,
+                           eos_id=getattr(tokenizer, "im_end_id",
+                                          getattr(tokenizer, "eos_token_id",
+                                                  151643)),
+                           image_mode="inline", mrope_section=None)
+        enc = jax.jit(lambda px: qwen_vl_vision_encode(vision, vcfg, px))
+        return cls(gen, tokenizer, enc,
+                   img_grid=(vcfg.grid, vcfg.grid), **kw)
+
+    @classmethod
+    def from_tiny(cls, **kw):
+        """Tiny v1 stack: REAL (random) resampler tower feeding a 1D-rope
+        inline engine — exercises the full v1 encode path."""
+        import jax
+        import jax.numpy as jnp
+
+        from msd_tpu.configs import DraftConfig, EngineConfig, TreeConfig
+        from msd_tpu.engine.generator import MSDGenerator
+        from msd_tpu.harness.models.llava_msd import SimpleTokenizer
+        from msd_tpu.models import draft as draft_mod
+        from msd_tpu.models import llama as L
+        from msd_tpu.models.qwen_vl_v1 import (QwenVLVisionConfig,
+                                               QwenVLV1TextConfig,
+                                               init_qwen_vl_vision_params,
+                                               qwen_vl_vision_encode)
+
+        qcfg = QwenVLV1TextConfig.tiny(vocab=512, hidden=48, layers=2,
+                                       heads=4, inter=96)
+        vcfg = QwenVLVisionConfig.tiny(width=32, layers=2, heads=4,
+                                       out=qcfg.hidden_size, queries=4,
+                                       image_size=56)
+        lc = qcfg.as_llama()
+        dcfg = DraftConfig(text=lc)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=64,
+                           tree=TreeConfig(top_k=4, max_depth=4, num_nodes=12))
+        vision = init_qwen_vl_vision_params(k3, vcfg)
+        gen = MSDGenerator(L.init_llama_params(k1, lc),
+                           draft_mod.init_draft_params(k2, dcfg), lc, dcfg,
+                           eng, n_img=vcfg.n_queries, eos_id=2,
+                           image_mode="inline", mrope_section=None)
+        enc = jax.jit(lambda px: qwen_vl_vision_encode(vision, vcfg, px))
+        return cls(gen, SimpleTokenizer(vocab_size=512), enc,
+                   img_grid=(vcfg.grid, vcfg.grid), **kw)
 
 
 def _tiny_qwen_adapter(cls, **kw):

@@ -286,3 +286,36 @@ def load_qwen2_vl(path: str, dtype=jnp.bfloat16):
     vision = params_from_hf_qwen_vision(state, vcfg, prefix="visual.",
                                         dtype=dtype)
     return lm, vision, tcfg, vcfg
+
+
+def load_qwen_vl_v1(path: str, dtype=jnp.bfloat16):
+    """Load a local Qwen-VL (v1) checkpoint dir -> (lm_params, vision_params,
+    text_cfg, vision_cfg). Names follow the public Qwen/Qwen-VL remote-code
+    layout (transformer.h.* fused c_attn; transformer.visual.* ViT+Resampler)."""
+    from msd_tpu.models.qwen_vl_v1 import (QwenVLVisionConfig,
+                                           QwenVLV1TextConfig,
+                                           params_from_hf_qwen_v1,
+                                           params_from_hf_qwen_vl_vision)
+
+    state = _load_state(path)
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+    tcfg = QwenVLV1TextConfig(
+        vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"] // 2,  # w1/w2 halves
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+        rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-6),
+        rope_theta=cfg.get("rotary_emb_base", 10000.0))
+    vc = cfg.get("visual", {})
+    vcfg = QwenVLVisionConfig(
+        image_size=vc.get("image_size", 448),
+        patch_size=vc.get("patch_size", 14),
+        width=vc.get("width", 1664), layers=vc.get("layers", 48),
+        heads=vc.get("heads", 16), mlp_size=vc.get("mlp_size", 8192),
+        output_dim=vc.get("output_dim", cfg["hidden_size"]),
+        n_queries=vc.get("n_queries", 256))
+    lm = params_from_hf_qwen_v1(state, tcfg, dtype=dtype)
+    vision = params_from_hf_qwen_vl_vision(state, vcfg, dtype=dtype)
+    return lm, vision, tcfg, vcfg
