@@ -164,6 +164,12 @@ def main():
                          "stabilizes greedy argmax across program shapes")
     ap.add_argument("--tree-nodes", type=int, default=96,
                     help="-1 = autotune (the reference's total_token=-1)")
+    ap.add_argument("--alpha-tune", default="",
+                    help="semicolon-separated medusa width plans (each a "
+                         "comma list, e.g. '10,8,6,4;10,10,10'): after "
+                         "distillation, measure END-TO-END alpha + step "
+                         "time per plan and adopt argmax alpha*t_ar/t_step "
+                         "(engine.autotune.autotune_tree_alpha)")
     ap.add_argument("--tree-depth", type=int, default=8,
                     help="draft expansion depth bound (each depth costs ~1ms "
                          "of sequential draft+head time; worth trimming when "
@@ -515,6 +521,19 @@ def main():
                 "undistilled draft (alpha ~= 1)")
             rebuild(dp_host0, feats_host)
 
+    # ---- optional alpha-aware tree-budget sweep ----
+    alpha_tune_info = None
+    if args.alpha_tune:
+        from msd_tpu.engine.autotune import autotune_tree_alpha, widths_tree
+        cands = [gen.eng.tree] + [
+            widths_tree(tuple(int(x) for x in plan.split(",")), gen.eng.tree)
+            for plan in args.alpha_tune.split(";") if plan]
+        alpha_tune_info = autotune_tree_alpha(
+            gen, cands, ids, img_feats=feats, max_new=args.max_new,
+            t_ar=t_ar, log=log, first_token=tok0s[0], **msd_kw)
+        log(f"alpha-tune picked nodes={alpha_tune_info['picked_nodes']} "
+            f"widths={alpha_tune_info['picked_widths']}")
+
     # ---- MSD ----
     t0 = time.time()
     m = gen.generate(ids, img_feats=feats, max_new_tokens=args.max_new,
@@ -607,6 +626,7 @@ def main():
             "decode_on_distilled_trajectory_tokens": on_traj,
             "distill_steps": args.distill_steps,
             "tree_nodes": gen.eng.tree.num_nodes,
+            "alpha_tune": alpha_tune_info,
             "draft_mode": args.draft_mode,
             "image_tokens": n_img,
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),

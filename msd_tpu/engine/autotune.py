@@ -77,3 +77,60 @@ def autotune_total_token(params: Dict, cfg: LlamaConfig,
         if score < best:
             best, best_n = score, n
     return replace(eng.tree, num_nodes=best_n)
+
+
+def widths_tree(widths: Tuple[int, ...], base: TreeConfig) -> TreeConfig:
+    """TreeConfig for a medusa per-depth width plan."""
+    widths = tuple(int(w) for w in widths)
+    return replace(base, top_k=widths[0], max_depth=len(widths),
+                   num_nodes=1 + sum(widths), medusa_widths=widths)
+
+
+def autotune_tree_alpha(gen, candidates, ids, img_feats=None,
+                        max_new: int = 128, t_ar: float | None = None,
+                        repeats: int = 2, log=None, **gen_kw) -> Dict:
+    """ALPHA-AWARE budget tuning: run the real engine end-to-end per
+    candidate TreeConfig, measure (measured alpha, ms/step), and adopt the
+    tree maximizing the measured speedup alpha * t_ar / t_step (or
+    alpha / t_step when t_ar is unknown).
+
+    Unlike autotune_total_token (the reference's verify-cost-only heuristic,
+    ea_model.py:156-179), this accounts for how much acceptance each budget
+    actually buys with the CURRENT draft — a 96-node tree that pays 4ms/step
+    over 32 nodes without raising alpha loses here. Each candidate costs one
+    decode-program compile; meant for a handful of candidates after draft
+    distillation. ``gen`` is an MSDGenerator (mutated to the winning tree).
+    """
+    import dataclasses
+    import time as _time
+
+    results = []
+    best_score, best_tree = -float("inf"), gen.eng.tree
+    for tree in candidates:
+        gen.eng = dataclasses.replace(gen.eng, tree=tree)
+        r = gen.generate(ids, img_feats=img_feats, max_new_tokens=max_new,
+                         **gen_kw)  # compile + first run
+        times = []
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            r = gen.generate(ids, img_feats=img_feats,
+                             max_new_tokens=max_new, **gen_kw)
+            times.append(_time.perf_counter() - t0)
+        t_step = min(times) / max(r.accept_steps, 1)
+        alpha = r.avg_accept_len
+        score = alpha * (t_ar if t_ar else 1.0) / t_step
+        results.append({"tree_nodes": tree.num_nodes,
+                        "widths": tree.medusa_widths,
+                        "alpha": round(alpha, 3),
+                        "ms_per_step": round(t_step * 1e3, 3),
+                        "score": round(score, 4)})
+        if log:
+            log(f"alpha-tune: nodes={tree.num_nodes} "
+                f"widths={tree.medusa_widths} alpha={alpha:.2f} "
+                f"step={t_step*1e3:.2f}ms "
+                f"{'speedup' if t_ar else 'score'}={score:.3f}")
+        if score > best_score:
+            best_score, best_tree = score, tree
+    gen.eng = dataclasses.replace(gen.eng, tree=best_tree)
+    return {"picked_nodes": best_tree.num_nodes,
+            "picked_widths": best_tree.medusa_widths, "sweep": results}

@@ -482,3 +482,25 @@ def test_share_prefill_ar_matches_msd():
         np.testing.assert_array_equal(ar_shared.tokens, ar_plain.tokens)
         np.testing.assert_array_equal(msd.tokens, ar_shared.tokens)
         assert msd.traj_hidden is None  # fetch_hiddens=False skips transfer
+
+
+def test_autotune_tree_alpha_picks_and_applies():
+    """autotune_tree_alpha measures end-to-end alpha/step per candidate and
+    installs the argmax tree on the generator."""
+    from msd_tpu.configs import TreeConfig
+    from msd_tpu.engine.autotune import autotune_tree_alpha, widths_tree
+
+    g = make_gen()
+    base = g.eng.tree
+    cands = [base, widths_tree((4, 2, 1), base),
+             TreeConfig(top_k=2, max_depth=2, num_nodes=5)]
+    ids = np.arange(3, 12, dtype=np.int32)
+    info = autotune_tree_alpha(g, cands, ids, max_new=12, t_ar=0.01,
+                               repeats=1)
+    assert len(info["sweep"]) == 3
+    assert g.eng.tree.num_nodes == info["picked_nodes"]
+    assert info["picked_nodes"] in [c.num_nodes for c in cands]
+    # the picked tree still decodes losslessly
+    ar = g.naive_generate(ids, max_new_tokens=12)
+    msd = g.generate(ids, max_new_tokens=12)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
