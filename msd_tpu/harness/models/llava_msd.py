@@ -171,6 +171,14 @@ class LlavaMSD:
                                  dtype=dtype)
         if eng is None:
             eng = EngineConfig()
+            # model_args overrides (e.g. max_seq_len=1536 to fit 7B bf16
+            # params + KV on one v5e chip)
+            import dataclasses
+            over = {k: int(kw.pop(k)) for k in ("max_seq_len",
+                                                "max_new_tokens")
+                    if k in kw}
+            if over:
+                eng = dataclasses.replace(eng, **over)
             if dcfg.medusa_heads:
                 # medusa checkpoints: tapered-width static tree spanning the
                 # available heads (wide shallow, narrow deep)
