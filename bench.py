@@ -353,7 +353,7 @@ def main():
     # that actually knows this target's trajectories. (With real checkpoints
     # the published draft heads play this role.)
     distilled_ok = False
-    bench_traj = None
+    rec_trajs = None
     if args.distill_steps > 0:
         import gc
 
@@ -412,7 +412,7 @@ def main():
                 its suffix path reads back at serve time."""
                 from msd_tpu.train.data_gen import record_from_traj
                 t0 = time.time()
-                out, traj = [], None
+                out, trajs = [], []
                 emb_host = np.asarray(tp["embed_tokens"]) \
                     if args.records_source == "engine" else None
                 for pi, p_ids in enumerate(prompts):
@@ -447,11 +447,10 @@ def main():
                             img_feats=p_feats, n_img=n_img if has_img else 0,
                             verify_chunk=gen.eng.tree.num_nodes,
                             cache_len=max_seq + gen.eng.tree.num_nodes))
-                    if pi == 0:
-                        traj = np.asarray(cont)
+                    trajs.append(np.asarray(cont))
                 log(f"distill data: {len(out)} on-policy records "
                     f"({args.records_source}) in {time.time()-t0:.1f}s")
-                return out, traj
+                return out, trajs
 
             def train_phase(recs, steps, lr):
                 """Free the 13.4GB target, train the draft (fp32 master
@@ -496,21 +495,27 @@ def main():
                 return trained
 
             iters = max(args.distill_iters, 1)
-            # Even split, lr decaying 3x per iteration. (Round 2 used a
-            # short low-lr final "polish" to keep the draft near the last
-            # recording; with the canonical greedy argmax + shared prefill
-            # the committed trajectory is draft-independent — r3 runs
-            # follow the recorded path 128/128 — so every iteration can
-            # train at full length for maximum memorization.)
-            steps_it = [args.distill_steps // iters] * iters
-            steps_it[0] += args.distill_steps - sum(steps_it)
-            recs, bench_traj = collect_records()
+            # DECAYING FIXED-POINT schedule: each record->train round halves
+            # the step budget (lr decays 3x per round below). Training is
+            # what shifts the committed trajectory (acceptance-path changes
+            # perturb verify reduction orders at rare near-ties), so
+            # successive rounds must move the draft less and less — the
+            # trajectory converges and the final draft is on-policy for the
+            # timed replay. A full-length second round (r3d) shifted the
+            # trajectory at token 54 and halved alpha; a single short polish
+            # (r2/r3c) left the non-bench prompts under-fit.
+            steps_it = [max(50, args.distill_steps >> (it + 1))
+                        for it in range(iters)]
+            if iters > 1:
+                steps_it[-1] = max(50, steps_it[-2] // 2)
+            steps_it[0] += max(0, args.distill_steps - sum(steps_it))
+            recs, rec_trajs = collect_records()
             for it in range(iters):
                 lr_it = args.distill_lr / (3.0 ** it)
                 trained_host = train_phase(recs, steps_it[it], lr_it)
                 rebuild(trained_host, feats_host)
                 if it < iters - 1:
-                    recs, bench_traj = collect_records()
+                    recs, rec_trajs = collect_records()
             distilled_ok = True
         except Exception as e:  # never lose the bench to a distill failure
             log(f"WARNING: distillation failed ({e!r}); continuing with the "
@@ -575,11 +580,17 @@ def main():
         div = (n_cmp if same else
                int(np.argmax(m_p.tokens[:n_cmp] != r_p.tokens[:n_cmp])))
         div_info.append(div)
-        per_prompt.append({
+        entry = {
             "alpha": round(m_p.avg_accept_len, 2),
             "ar_s": round(min(ar_t), 3), "msd_s": round(min(msd_t), 3),
             "speedup": round(min(ar_t) / max(min(msd_t), 1e-9), 3),
-            "lossless_tokens": div, "n_tokens": n_cmp})
+            "lossless_tokens": div, "n_tokens": n_cmp}
+        if rec_trajs:
+            tr_rec = np.asarray(rec_trajs[pi])
+            k2 = min(len(tr_rec), len(m_p.tokens))
+            entry["on_traj"] = int(np.argmax(np.append(
+                tr_rec[:k2] != m_p.tokens[:k2], True)))
+        per_prompt.append(entry)
     log("per-prompt: " + json.dumps(per_prompt))
     steps = max(m.accept_steps, 1)
     t_step = per_prompt[0]["msd_s"] / steps  # incl. prefill share
@@ -611,13 +622,11 @@ def main():
         f"{len(prompts)} prompts x {args.max_new} tokens -> "
         f"{speedup_wallclock:.3f}x measured speedup")
 
-    on_traj = None
-    if bench_traj is not None:
-        k2 = min(len(bench_traj), len(m.tokens))
-        on_traj = int(np.argmax(np.append(
-            bench_traj[:k2] != m.tokens[:k2], True)))
-        log(f"decode follows the distilled trajectory for {on_traj}/{k2} "
-            "tokens")
+    on_traj = per_prompt[0].get("on_traj")
+    if on_traj is not None:
+        log("decode follows the distilled trajectory for "
+            + ", ".join(f"{p['on_traj']}/{p['n_tokens']}" for p in per_prompt)
+            + " tokens (per prompt)")
     log(f"MSD: {steps} steps (bench prompt), ~{t_step*1e3:.2f} ms/step "
         f"(incl. prefill share), measured alpha={m.avg_accept_len:.3f}")
     log(f"accepted-length histogram (tokens/step incl. bonus): "
