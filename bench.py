@@ -6,19 +6,19 @@ Prints ONE JSON line:
 
 Methodology (BASELINE.md north star: >=2.5x wall-clock over AR LLaVA-1.5-7B
 decode with identical greedy outputs):
-- LLaVA-7B-shaped target + MSD draft head, bf16, random weights, bs=1,
-  576-image-token prompt — the reference's serving configuration, on ONE
-  v5e chip (fits after the q/k/v weight-layout fix).
-- t_ar   = wall-clock per AR decoded token (same kernels as verification).
-- t_step = wall-clock per MSD verify step (draft tree expansion + tree-masked
-  verification + acceptance + KV gather), tree budget 128 nodes (the MXU
-  tile: verification cost is flat in node count up to 128, so the TPU build
-  drafts bigger trees than the reference's ~60).
-- A random draft cannot anticipate a random target (alpha ~= 1), so the
-  end-to-end speedup is reported AT the reference's published acceptance
-  length alpha = 6.69 (ChartQA, LLaVA-7B, temp 0 — BASELINE.md):
-      speedup(alpha) = alpha * t_ar / t_step
-  Measured alpha and raw component times go to stderr for the record.
+- LLaVA-7B-shaped target + MSD medusa draft, bf16, random weights, bs=1,
+  576-image-token prompts — the reference's serving configuration, on ONE
+  v5e chip.
+- The draft is distilled ON CHIP against the target's own greedy
+  trajectories (decaying record->train fixed point; with real checkpoints
+  the published draft heads play this role), then the MEASURED speedup is
+  the end-to-end wall-clock ratio sum(AR)/sum(MSD) over all prompts at a
+  fixed new-token budget — prefill, decode and dispatch on both sides.
+- Greedy determinism: canonical rounded argmax + ONE shared prefill
+  executable for AR and MSD (see DESIGN.md "Greedy determinism"), so
+  greedy MSD == greedy AR is checked per prompt on hardware.
+- The reference's published alpha (6.69, ChartQA LLaVA-7B temp 0) gives a
+  secondary at-reference-acceptance figure: alpha_ref * t_ar / t_step.
 """
 
 import argparse
@@ -81,11 +81,11 @@ def main():
     # (default ON so the driver-captured run records a MEASURED alpha)
     ap.add_argument("--distill-steps", type=int, default=1200)
     ap.add_argument("--distill-iters", type=int, default=2,
-                    help="record->train iterations. Iteration 2+ re-records "
-                         "the trajectories with the TRAINED draft, so the "
-                         "timed run's tree shapes (hence its near-tie verify "
-                         "numerics) match the recording run and the decode "
-                         "stays on-trajectory end to end")
+                    help="record->train rounds with halving step budgets and "
+                         "3x lr decay per round (a decaying fixed point: "
+                         "training shifts the committed trajectory at rare "
+                         "near-ties, so later rounds must move the draft "
+                         "less and less)")
     ap.add_argument("--distill-prompts", type=int, default=4)
     ap.add_argument("--draft-mode", default="medusa",
                     choices=["eagle", "medusa"],
