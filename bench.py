@@ -79,8 +79,8 @@ def main():
     # on-chip on-policy distillation of the random draft against the random
     # target's own generations, to measure a real end-to-end alpha > 1
     # (default ON so the driver-captured run records a MEASURED alpha)
-    ap.add_argument("--distill-steps", type=int, default=1200)
-    ap.add_argument("--distill-iters", type=int, default=2,
+    ap.add_argument("--distill-steps", type=int, default=1700)
+    ap.add_argument("--distill-iters", type=int, default=5,
                     help="record->train rounds with halving step budgets and "
                          "3x lr decay per round (a decaying fixed point: "
                          "training shifts the committed trajectory at rare "
@@ -93,7 +93,8 @@ def main():
                          "draft hidden (no recursion; one stacked lm_head "
                          "read per expansion) — see DraftConfig.medusa_heads")
     ap.add_argument("--distill-medusa-w", type=float, default=1.0)
-    ap.add_argument("--medusa-widths", default="",
+    ap.add_argument("--medusa-widths",
+                    default="10,8,6,5,4,3,2,2,2,1,1,1,1,1",
                     help="comma list of per-depth candidate widths for the "
                          "medusa tree (e.g. '10,8,6,4,3,2,2,2,1,1,1,1,1,1'); "
                          "overrides --tree-depth/--tree-topk/--tree-nodes")
