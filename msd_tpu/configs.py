@@ -213,6 +213,13 @@ class EngineConfig:
     prompt_pad_multiple: int = 128  # prefill length bucketing to limit recompiles
     tree: TreeConfig = dataclasses.field(default_factory=TreeConfig)
     param_dtype: str = "bfloat16"
+    # Window-canonical tree attention (ops/attention.windowed_attention):
+    # each verify node reduces its last max_path_len logical positions via
+    # fixed depth-indexed window slots, making the committed greedy
+    # trajectory bitwise invariant to the draft (and hence to step
+    # boundaries) — a null-draft run IS canonical greedy AR. Costs one
+    # [N, P, Hkv, D] K/V gather per layer per step (~2-3% at 7B).
+    canonical_attn: bool = True
     # greedy when temperature == 0.0
     temperature: float = 0.0
     top_p: float = 1.0

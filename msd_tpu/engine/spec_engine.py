@@ -561,10 +561,32 @@ def _verify(st: Statics, params: Dict, target_kv: Dict, E: jnp.ndarray,
     tp = params["target"]
     emb = tp["embed_tokens"][jnp.maximum(tr.tokens, 0)]
     pos = (E + pos_delta + tr.positions).astype(jnp.int32)
-    bias = tree_bias(tr.mask, E, st.s_target)
+    win = None
+    if st.eng.canonical_attn:
+        # Window-canonical verification: node i's last W logical positions
+        # (committed-prefix tail for l < E, tree ancestors/self for l >= E)
+        # reduce via fixed depth-indexed window slots, so its logits are a
+        # pure function of (token, logical prefix) — bitwise invariant to
+        # the draft/tree layout (ops/attention.windowed_attention).
+        W = st.tree.max_path_len
+        depth = tr.positions.astype(jnp.int32)                  # [N]
+        win_start = E + depth - (W - 1)                         # [N]
+        l = win_start[:, None] + jnp.arange(W)[None, :]         # [N, W]
+        rel = l - E                                             # anc depth
+        anc = jnp.take_along_axis(tr.retrieve,
+                                  jnp.clip(rel, 0, W - 1), axis=1)
+        row = jnp.where(rel >= 0, E + jnp.maximum(anc, 0), l)
+        win_idx = jnp.clip(row, 0, st.s_target - 1)
+        win_bias = jnp.where(l >= 0, 0.0, NEG_INF).astype(jnp.float32)
+        cols = jnp.arange(st.s_target)[None, :]
+        bias = jnp.where(cols < win_start[:, None], 0.0,
+                         NEG_INF).astype(jnp.float32)
+        win = (win_idx, win_bias, win_start)
+    else:
+        bias = tree_bias(tr.mask, E, st.s_target)
     hidden, target_kv = L.llama_forward(tp, st.tcfg, emb, pos, target_kv, E,
                                         bias, cos_t, sin_t,
-                                        kv_len=E + st.tree.num_nodes)
+                                        kv_len=E + st.tree.num_nodes, win=win)
     logits = L.lm_head(tp, hidden)  # [N, V] fp32
 
     if st.sp.greedy:

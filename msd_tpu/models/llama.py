@@ -176,12 +176,21 @@ def _layer_post_attn(lp: Params, cfg: LlamaConfig, resid: jnp.ndarray,
     return resid + ((gate * up) @ _w(lp, "down_proj")).astype(resid.dtype)
 
 
-def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len):
+def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len, win=None):
     """Attention backend dispatch (cfg.attn_impl).
 
     "auto" selects per allocated cache length (static at trace time): the
     pallas kernel's win is dead-block DMA skipping, which only outweighs its
-    grid overhead once the cache is long (>= cfg.pallas_min_s)."""
+    grid overhead once the cache is long (>= cfg.pallas_min_s).
+
+    win: optional (win_idx, win_bias, win_start) — routes to the
+    window-canonical kernel (ops/attention.windowed_attention) used by tree
+    verification for bitwise draft-invariant greedy trajectories; the pallas
+    backend is bypassed for those rows (the canonical association structure
+    IS the point)."""
+    if win is not None:
+        from msd_tpu.ops.attention import windowed_attention
+        return windowed_attention(q, kv_k, kv_v, bias, *win)
     want_pallas = cfg.attn_impl == "pallas" or (
         cfg.attn_impl == "auto" and kv_k.shape[0] >= cfg.pallas_min_s
         and jax.default_backend() == "tpu")
@@ -212,7 +221,7 @@ def _layer_forward(lp: Params, cfg: LlamaConfig, x: jnp.ndarray,
 def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
                   positions: jnp.ndarray, kv: Params, write_pos: jnp.ndarray,
                   bias: jnp.ndarray, cos_t: jnp.ndarray, sin_t: jnp.ndarray,
-                  kv_len=None) -> Tuple[jnp.ndarray, Params]:
+                  kv_len=None, win=None) -> Tuple[jnp.ndarray, Params]:
     """Run all decoder layers via lax.scan over the stacked layer params.
 
     embeds: [T, H] (already fused multimodal embeddings); positions: [T] int32;
@@ -239,7 +248,7 @@ def llama_forward(params: Params, cfg: LlamaConfig, embeds: jnp.ndarray,
             kv_v_all, v[None], (li, write_pos, 0, 0))
         kv_k = jax.lax.dynamic_index_in_dim(kv_k_all, li, 0, keepdims=False)
         kv_v = jax.lax.dynamic_index_in_dim(kv_v_all, li, 0, keepdims=False)
-        attn = _attend(cfg, q, kv_k, kv_v, bias, kv_len)
+        attn = _attend(cfg, q, kv_k, kv_v, bias, kv_len, win)
         x = _layer_post_attn(lp, cfg, resid, attn)
         return (x, kv_k_all, kv_v_all), None
 
