@@ -67,44 +67,42 @@ def windowed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     win_idx: [T, W] int32 cache row per window slot (clipped in-range).
     win_bias: [T, W] additive (NEG_INF for slots below position 0 / dead).
     win_start: [T] int32 — column where window slot 0 logically sits
-    (= E + depth_i - W + 1; may be negative).
+    (= E + depth_i - W + 1; may be negative). Unused by the reduction (the
+    caller's bias already encodes it); kept for diagnostics/API stability.
+
+    The two-part softmax is canonical without any scatter/gather assembly:
+    the running max is associativity-exact, exp of the NEG_INF mask
+    underflows to an exact zero (adding it never perturbs a float), and the
+    denominator's fixed cache-sum + window-sum split is itself a pure
+    function of the logical prefix — so every term depends only on
+    (tokens, logical positions).
     """
+    del win_start
     t, hq, d = q.shape
     s, hkv, _ = k.shape
-    w = win_idx.shape[1]
     group = hq // hkv
     scale = 1.0 / (d ** 0.5)
     qg = q.reshape(t, hkv, group, d)
 
+    # cache part: columns strictly below the window (bias masks the rest)
     sc_c = jnp.einsum("thgd,shd->hgts", qg, k,
                       preferred_element_type=jnp.float32) * scale
     sc_c = sc_c + bias.astype(jnp.float32)[None, None, :, :]
 
+    # window part: the last W logical positions at fixed depth-indexed slots
     kw = jnp.take(k, win_idx, axis=0)            # [T, W, Hkv, D]
     vw = jnp.take(v, win_idx, axis=0)
     sc_w = jnp.einsum("thgd,twhd->hgtw", qg, kw,
                       preferred_element_type=jnp.float32) * scale
     sc_w = sc_w + win_bias.astype(jnp.float32)[None, None, :, :]
 
-    # assemble: column c of row i shows the window score at slot
-    # c - win_start[i] when that slot exists, else the (masked) cache score
-    cols = jnp.arange(s)[None, :]                # [1, S]
-    slot = cols - win_start[:, None]             # [T, S]
-    in_win = (slot >= 0) & (slot < w)
-    slot_c = jnp.clip(slot, 0, w - 1)
-    scw_full = jnp.take_along_axis(
-        sc_w, jnp.broadcast_to(slot_c, (hkv, group, t, s)), axis=-1)
-    scores = jnp.where(in_win[None, None, :, :], scw_full, sc_c)
-
-    probs = jax.nn.softmax(scores, axis=-1)      # [Hkv, G, T, S] fp32
-    # cache part: columns strictly below the window (exact-zero elsewhere)
-    p_c = jnp.where((slot < 0)[None, None, :, :], probs, 0.0)
-    # window part: gather probs back at the window's canonical columns
-    cols_w = win_start[:, None] + jnp.arange(w)[None, :]       # [T, W]
-    p_w = jnp.take_along_axis(
-        probs, jnp.broadcast_to(jnp.clip(cols_w, 0, s - 1),
-                                (hkv, group, t, w)), axis=-1)
-    p_w = jnp.where((cols_w >= 0)[None, None, :, :], p_w, 0.0)
+    m = jnp.maximum(jnp.max(sc_c, axis=-1), jnp.max(sc_w, axis=-1))
+    m = jax.lax.stop_gradient(jnp.maximum(m, NEG_INF))[..., None]
+    e_c = jnp.exp(sc_c - m)                      # exact 0 at masked columns
+    e_w = jnp.exp(sc_w - m)
+    denom = jnp.sum(e_c, axis=-1) + jnp.sum(e_w, axis=-1)
+    p_c = e_c / denom[..., None]
+    p_w = e_w / denom[..., None]
 
     out = jnp.einsum("hgts,shd->thgd", p_c.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
