@@ -17,3 +17,21 @@ import jax  # noqa: E402  (env vars above must be set before this import)
 # the real TPU chip.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs():
+    """Release each module's compiled executables when it finishes.
+
+    The suite compiles hundreds of large while-loop programs; with all of
+    them held live, XLA-CPU's compiler segfaults non-deterministically
+    ~140 tests in (observed at 44% and 88% on different runs). Per-module
+    eviction keeps within-module caching (the expensive repeated programs
+    are intra-module) while bounding process-lifetime compiler state."""
+    yield
+    jax.clear_caches()
+    gc.collect()
