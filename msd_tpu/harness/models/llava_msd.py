@@ -161,8 +161,13 @@ class LlavaMSD:
 
         try:
             from transformers import AutoTokenizer
+
+            # local_files_only: a checkpoint dir without tokenizer files must
+            # fall through to SimpleTokenizer, not hang on a hub lookup (this
+            # environment has no egress)
             tokenizer = AutoTokenizer.from_pretrained(pretrained,
-                                                      use_fast=True)
+                                                      use_fast=True,
+                                                      local_files_only=True)
         except Exception:
             tokenizer = SimpleTokenizer()
         params, lcfg = load_llava(pretrained, dtype)

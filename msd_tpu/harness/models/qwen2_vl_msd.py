@@ -133,7 +133,7 @@ class Qwen2VLMSD:
                                  base_embed=lm["embed_tokens"], dtype=dtype)
         try:
             from transformers import AutoTokenizer
-            tokenizer = AutoTokenizer.from_pretrained(pretrained)
+            tokenizer = AutoTokenizer.from_pretrained(pretrained, local_files_only=True)
         except Exception:
             from msd_tpu.harness.models.llava_msd import SimpleTokenizer
             tokenizer = SimpleTokenizer(tcfg.vocab_size)
@@ -338,7 +338,8 @@ class QwenVLEagle(Qwen2VLMSD):
         try:
             from transformers import AutoTokenizer
             tokenizer = AutoTokenizer.from_pretrained(
-                pretrained, trust_remote_code=True)
+                pretrained, trust_remote_code=True,
+                local_files_only=True)
         except Exception:
             from msd_tpu.harness.models.llava_msd import SimpleTokenizer
             tokenizer = SimpleTokenizer(tcfg.vocab_size)

@@ -102,7 +102,8 @@ def main(argv=None):
         params, lcfg = load_llava(args.basepath, jnp.bfloat16)
         try:
             from transformers import AutoTokenizer
-            tokenizer = AutoTokenizer.from_pretrained(args.basepath)
+            tokenizer = AutoTokenizer.from_pretrained(args.basepath,
+                                                          local_files_only=True)
         except Exception:
             from msd_tpu.harness.models.llava_msd import SimpleTokenizer
             tokenizer = SimpleTokenizer(vocab_size=lcfg.text.vocab_size)
@@ -189,7 +190,8 @@ def main(argv=None):
 
         params, lcfg = load_llava(args.basepath, jnp.bfloat16)
         try:
-            tokenizer = AutoTokenizer.from_pretrained(args.basepath)
+            tokenizer = AutoTokenizer.from_pretrained(args.basepath,
+                                                          local_files_only=True)
             if tokenizer.vocab_size > lcfg.text.vocab_size:
                 raise ValueError("tokenizer/model vocab mismatch")
         except Exception:  # checkpoint dir without usable tokenizer files

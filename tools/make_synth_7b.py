@@ -43,10 +43,16 @@ def gen_llava_7b(out, seed=0):
     VH, VINTER, VLAYERS, VP, VIMG = 1024, 4096, 24, 14, 336
     rng = np.random.default_rng(seed)
 
+    # bf16 on disk, not fp16: this VM (and some TPU hosts) convert fp16 in
+    # software (~17 MB/s in numpy) — a 13.5 GB fp16 checkpoint takes ~20 min
+    # to load while bf16 shards load at memcpy speed. Real HF checkpoints
+    # are fp16; that path is covered by the tiny-checkpoint unit tests.
+    import ml_dtypes
+
     def r(*shape, scale=None):
         s = scale if scale is not None else (shape[-1] ** -0.5)
         return (rng.standard_normal(shape, dtype=np.float32) * s
-                ).astype(np.float16)
+                ).astype(ml_dtypes.bfloat16)
 
     def tensors():
         yield "model.embed_tokens.weight", r(V, H)
