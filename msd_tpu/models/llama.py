@@ -329,24 +329,35 @@ def params_from_hf(state: Dict[str, "jnp.ndarray"], cfg: LlamaConfig,
 
     HF Linear stores [out, in]; we keep [in, out] so activations hit the MXU as
     plain ``x @ W`` without runtime transposes.
+
+    Per-weight strategy (7B load was 23 min the naive way, ~1 min this way):
+    stack all L layers into one contiguous numpy array in the SOURCE dtype
+    (pure memcpy slice-assigns), convert/upload with a single ``jnp.asarray``
+    per weight, and do any [out, in] -> [in, out] transpose on device —
+    avoiding hundreds of small strided host conversions and per-tensor
+    device buffers.
     """
     import numpy as np
 
     def get(name):
         return np.asarray(state[name])
 
-    layers = []
-    for i in range(cfg.num_hidden_layers):
-        lp = {}
-        for ours, (theirs, transpose) in _HF_LAYER_MAP.items():
-            w = get(f"{prefix}layers.{i}.{theirs}")
-            lp[ours] = jnp.asarray(w.T if transpose else w, dtype)
-        layers.append(lp)
+    L = cfg.num_hidden_layers
+    stacked = {}
+    for ours, (theirs, transpose) in _HF_LAYER_MAP.items():
+        first = get(f"{prefix}layers.0.{theirs}")
+        buf = np.empty((L,) + first.shape, first.dtype)
+        buf[0] = first
+        for i in range(1, L):
+            buf[i] = get(f"{prefix}layers.{i}.{theirs}")
+        j = jnp.asarray(buf, dtype)
+        del buf
+        stacked[ours] = jnp.swapaxes(j, 1, 2) if transpose else j
 
     head_key = "lm_head.weight"
     return {
         "embed_tokens": jnp.asarray(get(f"{prefix}embed_tokens.weight"), dtype),
-        "layers": _stack_layers(layers),
+        "layers": stacked,
         "norm": jnp.asarray(get(f"{prefix}norm.weight"), dtype),
-        "lm_head": jnp.asarray(get(head_key).T, dtype),
+        "lm_head": jnp.swapaxes(jnp.asarray(get(head_key), dtype), 0, 1),
     }
