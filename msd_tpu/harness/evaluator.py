@@ -111,8 +111,12 @@ def _gather_metrics(per_doc: List[Dict], world_size: int) -> List[Dict]:
         return per_doc
     from jax.experimental import multihost_utils
     import numpy as np
-    keys = sorted({k for d in per_doc for k in d})
-    arr = np.asarray([[d.get(k, np.nan) for k in keys] for d in per_doc])
+    # only numeric metric values survive a multi-host gather; string payloads
+    # (e.g. corpus-caption preds/refs) are host-local and dropped here
+    keys = sorted({k for d in per_doc for k, v in d.items()
+                   if isinstance(v, (int, float))})
+    arr = np.asarray([[d.get(k, np.nan) for k in keys] for d in per_doc],
+                     dtype=np.float64)
     gathered = multihost_utils.process_allgather(arr)
     gathered = gathered.reshape(-1, len(keys))
     out = []

@@ -491,6 +491,104 @@ def _mme_acc_plus(rows):
 
 
 
+def _mmmu_visual(d):
+    """MMMU stores up to 7 interleaved images as image_1..image_7
+    (tasks/mmmu/utils.py:63-70); plain 'image' is the fallback."""
+    imgs = [d[k] for k in (f"image_{i}" for i in range(1, 8))
+            if d.get(k) is not None]
+    return imgs or ([d["image"]] if d.get("image") is not None else [])
+
+
+def _synth_mmmu_docs(n: int) -> List[Dict]:
+    docs = []
+    for i in range(n):
+        if i % 2 == 0:
+            docs.append({
+                "id": f"validation_Art_{i}",
+                "question": f"<image 1> Which option equals {i % 4}?",
+                "question_type": "multiple-choice",
+                "options": str([str(j) for j in range(4)]),
+                "answer": chr(ord("A") + i % 4),
+                "image_1": _synth_image(i)})
+        else:
+            docs.append({
+                "id": f"validation_Math_{i}",
+                "question": f"<image 1> What is {i} plus one?",
+                "question_type": "open",
+                "answer": str(i + 1),
+                "image_1": _synth_image(i)})
+    return docs
+
+
+def make_mmmu(dataset_path=None) -> TaskConfig:
+    """MMMU val (tasks/mmmu/mmmu_val.yaml + utils.py): question + lettered
+    options + MC/open instruction; official parse/eval scoring rebuilt in
+    task_utils/mmmu.py, per-subdomain accuracies as extra aggregates."""
+    from msd_tpu.harness.task_utils import mmmu as U
+    return TaskConfig(
+        name="mmmu_val",
+        doc_to_text=U.construct_prompt,
+        doc_to_visual=_mmmu_visual,
+        process_results=U.process_results,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16, "temperature": 0.0},
+        metric_names=("mmmu_acc",),
+        aggregate_extra=U.aggregate_subdomains,
+        synthetic_docs=_synth_mmmu_docs)
+
+
+def make_vizwiz(dataset_path=None) -> TaskConfig:
+    """VizWiz-VQA val (tasks/vizwiz_vqa/utils.py:19-47): EvalAI-normalized
+    leave-one-out VQAv2 accuracy over 10 annotator answers; the prompt
+    allows 'Unanswerable' (_default_template_vqa_yaml post_prompt)."""
+    return TaskConfig(
+        name="vizwiz_vqa_val",
+        doc_to_text=lambda d: (
+            f"{d['question']}\nWhen the provided information is "
+            "insufficient, respond with 'Unanswerable'.\nAnswer the "
+            "question using a single word or phrase."),
+        doc_to_visual=_visual,
+        process_results=lambda d, r: {
+            "exact_match": M.vqa_accuracy(
+                r[0], d.get("answers", [d.get("answer", "")]))},
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16, "temperature": 0.0},
+        metric_names=("exact_match",),
+        synthetic_docs=_synth_vqa_docs)
+
+
+def _synth_caption_docs(n: int) -> List[Dict]:
+    return [{
+        "question_id": f"COCO_val2017_{i:012d}.jpg",
+        "answer": [f"a photo of object {i}", f"an image of object {i}"],
+        "image": _synth_image(i)} for i in range(n)]
+
+
+def make_coco_cap(dataset_path=None) -> TaskConfig:
+    """COCO-2017 captioning (tasks/coco_cap/utils.py): corpus BLEU-1..4 /
+    ROUGE-L / CIDEr over all docs via aggregate_extra (the per-doc rows
+    carry host-local pred/ref strings; see task_utils/captioning.py for the
+    documented tokenizer/METEOR deviations)."""
+    from msd_tpu.harness.task_utils import captioning as C
+
+    def _res(d, r):
+        refs = d.get("answer") or d.get("answers") or []
+        if isinstance(refs, str):
+            refs = [refs]
+        return {"_pred": r[0], "_refs": [str(a) for a in refs]}
+    return TaskConfig(
+        name="coco2017_cap_val",
+        doc_to_text=lambda d: ("Provide a one-sentence caption for the "
+                               "provided image."),
+        doc_to_visual=_visual,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 64, "temperature": 0.0},
+        metric_names=(),
+        aggregate_extra=C.caption_scores,
+        synthetic_docs=_synth_caption_docs)
+
+
 def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     root = dataset_root or os.environ.get("MSD_TPU_DATASETS", "")
 
@@ -520,6 +618,9 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_task("mmstar", make_mc_task("mmstar", p("MMStar")))
     register_task("realworldqa", make_mc_task("realworldqa",
                                               p("RealWorldQA")))
+    register_task("mmmu_val", make_mmmu(p("MMMU")))
+    register_task("vizwiz_vqa_val", make_vizwiz(p("VizWiz-VQA")))
+    register_task("coco2017_cap_val", make_coco_cap(p("COCO-Caption2017")))
     # user YAML tasks (the lmms-eval tasks/*.yaml layer): every *.yaml under
     # $MSD_TPU_TASKS (or <dataset_root>/tasks) registers one task
     yaml_dir = os.environ.get("MSD_TPU_TASKS",
