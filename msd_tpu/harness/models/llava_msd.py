@@ -146,7 +146,8 @@ class LlavaMSD:
         gen = MSDGenerator(L.init_llama_params(keys[0], tcfg),
                            draft_mod.init_draft_params(keys[1], dcfg),
                            tcfg, dcfg, eng, n_img=vcfg.num_patches, eos_id=2)
-        enc = jax.jit(lambda px: encode_image(lp, lcfg, px))
+        enc_c = jax.jit(lambda p, px: encode_image(p, lcfg, px))
+        enc = lambda px: enc_c(lp, px)
         kw.setdefault("image_size", 28)
         return cls(gen, SimpleTokenizer(vocab_size=512), enc, **kw)
 
@@ -201,7 +202,10 @@ class LlavaMSD:
                            eos_id=tokenizer.eos_token_id)
         llava_params = {"vision": params["vision"],
                         "projector": params["projector"]}
-        enc = jax.jit(lambda px: encode_image(llava_params, lcfg, px))
+        # weights are jit ARGUMENTS: a closed-over tower would be inlined
+        # into the HLO as constants (blows the remote-compile body limit)
+        enc_c = jax.jit(lambda p, px: encode_image(p, lcfg, px))
+        enc = lambda px: enc_c(llava_params, px)
         vc = classify_vocab(tokenizer, lcfg.text.vocab_size)
         return cls(gen, tokenizer, enc, vocab_class=vc, **kw)
 

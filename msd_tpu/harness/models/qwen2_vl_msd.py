@@ -145,8 +145,11 @@ class Qwen2VLMSD:
                            image_mode="inline",
                            mrope_section=tcfg.mrope_section)
         from msd_tpu.models.qwen2vl_vision import qwen_vision_encode_video
-        enc = jax.jit(lambda px: qwen_vision_encode(vision, vcfg, px))
-        enc_v = jax.jit(lambda px: qwen_vision_encode_video(vision, vcfg, px))
+        # tower weights as jit arguments, not closure constants (HLO size)
+        enc_c = jax.jit(lambda p, px: qwen_vision_encode(p, vcfg, px))
+        enc_vc = jax.jit(lambda p, px: qwen_vision_encode_video(p, vcfg, px))
+        enc = lambda px: enc_c(vision, px)
+        enc_v = lambda px: enc_vc(vision, px)
         return cls(gen, tokenizer, enc, encode_video_fn=enc_v,
                    img_grid=grid, **kw)
 
@@ -350,7 +353,8 @@ class QwenVLEagle(Qwen2VLMSD):
                                           getattr(tokenizer, "eos_token_id",
                                                   151643)),
                            image_mode="inline", mrope_section=None)
-        enc = jax.jit(lambda px: qwen_vl_vision_encode(vision, vcfg, px))
+        enc_c = jax.jit(lambda p, px: qwen_vl_vision_encode(p, vcfg, px))
+        enc = lambda px: enc_c(vision, px)
         return cls(gen, tokenizer, enc,
                    img_grid=(vcfg.grid, vcfg.grid), **kw)
 
@@ -386,7 +390,8 @@ class QwenVLEagle(Qwen2VLMSD):
                            draft_mod.init_draft_params(k2, dcfg), lc, dcfg,
                            eng, n_img=vcfg.n_queries, eos_id=2,
                            image_mode="inline", mrope_section=None)
-        enc = jax.jit(lambda px: qwen_vl_vision_encode(vision, vcfg, px))
+        enc_c = jax.jit(lambda p, px: qwen_vl_vision_encode(p, vcfg, px))
+        enc = lambda px: enc_c(vision, px)
         return cls(gen, SimpleTokenizer(vocab_size=512), enc,
                    img_grid=(vcfg.grid, vcfg.grid), **kw)
 

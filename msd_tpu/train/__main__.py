@@ -112,8 +112,9 @@ def main(argv=None):
         n_img = 0 if args.no_image else lcfg.num_image_tokens
         tower = None
         if n_img:
-            tower = jax.jit(lambda px: clip_encode(params["vision"],
-                                                   lcfg.vision, px))
+            tower_c = jax.jit(lambda p, px: clip_encode(p, lcfg.vision,
+                                                        px))
+            tower = lambda px: tower_c(params["vision"], px)
         recs = []
         for r in raw:
             conv = r.get("conversations", [])
@@ -207,10 +208,13 @@ def main(argv=None):
                       conv[i + 1]["value"])
                      for i in range(0, len(conv) - 1, 2)]
             samples.append({"turns": turns, "image": r.get("image")})
-        enc = (None if args.no_image else
-               jax.jit(lambda px: encode_image(
-                   {"vision": params["vision"],
-                    "projector": params["projector"]}, lcfg, px)))
+        if args.no_image:
+            enc = None
+        else:
+            enc_c = jax.jit(lambda p, px: encode_image(p, lcfg, px))
+            lp = {"vision": params["vision"],
+                  "projector": params["projector"]}
+            enc = lambda px: enc_c(lp, px)
         n = generate_dataset(params["target"], lcfg.text, tokenizer, samples,
                              args.outdir, encode_image_fn=enc,
                              n_img=0 if args.no_image else lcfg.num_image_tokens,
