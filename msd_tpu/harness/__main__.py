@@ -41,13 +41,20 @@ def parse_model_args(s: str):
     return out
 
 
+def _parse_limit(v: str):
+    f = float(v)
+    return int(f) if f >= 1 or f <= 0 else f
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("msd_tpu.harness")
     ap.add_argument("--model", default="llava_msd_calibrated")
     ap.add_argument("--model_args", default="",
                     help="k=v,... incl. pretrained=<ckpt dir>")
     ap.add_argument("--tasks", required=True, help="comma-separated")
-    ap.add_argument("--limit", type=int, default=None)
+    # int = doc count; float in (0,1) = fraction of the task's docs
+    # (lmms-eval/__main__.py:150-153)
+    ap.add_argument("--limit", type=_parse_limit, default=None)
     ap.add_argument("--bottom", type=int, default=None,
                     help="evaluate only the LAST N docs")
     ap.add_argument("--msd_model_path", default=None)

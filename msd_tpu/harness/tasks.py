@@ -50,13 +50,16 @@ class TaskConfig:
     aggregate_extra: Optional[Callable[[List[Dict]], Dict[str, float]]] = None
 
     # ------------------------------------------------------------------
-    def load_docs(self, limit: Optional[int] = None) -> List[Dict]:
+    def load_docs(self, limit=None) -> List[Dict]:
         docs = None
         self.used_synthetic_docs = False
         if self.dataset_path:
             docs = _load_local(self.dataset_path, self.split)
         if docs is None and self.synthetic_docs is not None:
-            docs = self.synthetic_docs(limit or 64)
+            # a fractional limit has no total to take a fraction of here;
+            # synthesize a fixed pool and apply it below
+            n = limit if isinstance(limit, int) and limit else 64
+            docs = self.synthetic_docs(n)
             # LOUD marker: results computed on synthetic fallback docs must
             # never be mistaken for a real benchmark run
             self.used_synthetic_docs = True
@@ -70,7 +73,11 @@ class TaskConfig:
                 f"task {self.name}: no dataset at {self.dataset_path!r} and "
                 "no synthetic fallback")
         if limit:
-            docs = docs[:limit]
+            # float < 1 = fraction of the total docs, like the reference's
+            # --limit (lmms-eval/__main__.py:150-153, evaluator.py)
+            if isinstance(limit, float) and 0 < limit < 1:
+                limit = max(1, int(len(docs) * limit))
+            docs = docs[:int(limit)]
         return docs
 
     def doc_iterator(self, docs: List[Dict], rank: int = 0,
@@ -81,7 +88,9 @@ class TaskConfig:
         if bottom:
             docs = docs[-bottom:]
         elif limit:
-            docs = docs[:limit]
+            if isinstance(limit, float) and 0 < limit < 1:
+                limit = max(1, int(len(docs) * limit))
+            docs = docs[:int(limit)]
         for i, doc in enumerate(docs):
             if i % world_size == rank:
                 yield i, doc

@@ -148,3 +148,15 @@ def test_evaluate_new_tasks_end_to_end(tiny_lm):
     assert "coco_Bleu_4" in res["coco2017_cap_val"]
     # synthetic fallbacks must be loudly marked
     assert set(out["synthetic_tasks"]) >= {"mmmu_val", "coco2017_cap_val"}
+
+
+def test_fractional_limit():
+    """float --limit in (0,1) = fraction of docs (lmms-eval __main__:150)."""
+    from msd_tpu.harness.__main__ import _parse_limit
+    from msd_tpu.harness.tasks import make_vizwiz
+    assert _parse_limit("8") == 8 and isinstance(_parse_limit("8"), int)
+    assert _parse_limit("0.25") == 0.25
+    task = make_vizwiz(None)
+    full = task.load_docs(limit=None)
+    frac = task.load_docs(limit=0.25)
+    assert len(frac) == max(1, int(len(full) * 0.25))
