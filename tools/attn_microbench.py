@@ -10,10 +10,15 @@ Prints one line per (S, T, impl) with per-call microseconds, then a
 recommendation.
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# self-locating import: setting PYTHONPATH=/root/repo breaks the axon TPU
+# plugin's backend registration, so the repo root goes on sys.path here
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
