@@ -33,12 +33,13 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     # attention backend: "xla" (masked einsum), "pallas" (length-aware
     # flash kernel — skips dead KV-cache blocks; requires cache len % 128 == 0
-    # and head_dim == 128; TPU only), or "auto" (pallas for allocated cache
-    # lengths >= pallas_min_s, where skipping dead blocks beats the XLA
-    # kernel's full-cache read; xla below it — the grid/DMA overhead
-    # dominates at short caches)
+    # and head_dim == 128; TPU only), or "auto" (pallas for small query
+    # batches — its VPU multiply-reduce path wins every measured cache
+    # length >= pallas_min_s for <=4 grouped query rows; XLA ties or wins at
+    # larger T. v5e sweep: tools/attn_microbench.py ->
+    # artifacts/attn_sweep_r3.log)
     attn_impl: str = "xla"
-    pallas_min_s: int = 2048
+    pallas_min_s: int = 1024
     # residual-stream dtype ("float32" to carry the residual in fp32 while
     # every matmul stays in the param dtype). Stabilizes greedy argmax under
     # bf16: rounding drift otherwise accumulates across all layers and flips

@@ -191,13 +191,21 @@ def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len, win=None):
     if win is not None:
         from msd_tpu.ops.attention import windowed_attention
         return windowed_attention(q, kv_k, kv_v, bias, *win)
+    # "auto" is measurement-backed (tools/attn_microbench.py, v5e, r3 sweep
+    # in artifacts/attn_sweep_r3.log): the kernel's VPU path wins every
+    # tested cache length for <=4 grouped query rows (40 vs 52us at S=1152
+    # ... 170 vs 282us at S=8192, live=0.6S); at larger T the XLA kernel
+    # ties or wins, and tree-verify rows use windowed_attention anyway.
+    from msd_tpu.ops.pallas.decode_attention import VPU_MAX_GT
+    gt = q.shape[0] * (cfg.num_attention_heads // cfg.num_key_value_heads)
     want_pallas = cfg.attn_impl == "pallas" or (
-        cfg.attn_impl == "auto" and kv_k.shape[0] >= cfg.pallas_min_s
+        cfg.attn_impl == "auto" and gt <= VPU_MAX_GT
+        and kv_k.shape[0] >= cfg.pallas_min_s
         and jax.default_backend() == "tpu")
     if want_pallas and kv_len is not None \
             and kv_k.shape[0] % 128 == 0 and cfg.head_dim == 128:
         from msd_tpu.ops.pallas.decode_attention import decode_attention
-        return decode_attention(q, kv_k, kv_v, bias, kv_len, block_s=128)
+        return decode_attention(q, kv_k, kv_v, bias, kv_len)
     return masked_attention(q, kv_k, kv_v, bias)
 
 

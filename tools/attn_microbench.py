@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--live-frac", type=float, default=0.6)
-    ap.add_argument("--iters", type=int, default=50)
+    # one dispatch over the axon tunnel costs ~25ms; iters must amortize
+    # that below the kernel times being measured (2000 -> ~12us/call)
+    ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--lengths", default="1152,2048,4096,8192")
     args = ap.parse_args()
 
@@ -49,24 +51,31 @@ def main():
             bias = jnp.broadcast_to(bias, (T, S))
 
             # loop inside jit: per-dispatch overhead (~25ms via the tunnel)
-            # would otherwise swamp sub-ms kernels
+            # would otherwise swamp sub-ms kernels. The carry must feed an
+            # *input* of the op (q) or XLA constant-folds the whole scan
+            # (observed: 1us/call phantom timings via `bias + x*0.0`), and
+            # it must depend on EVERY output element or XLA slice-propagates
+            # and skips most rows/heads (observed: T=128 == T=1 xla time).
             def loop(fn):
                 def body(x, _):
-                    o = fn(q, k, v, bias + x * 0.0)
-                    return jnp.float32(o[0, 0, 0]), None
+                    o = fn(q + x, k, v, bias)
+                    s = o.astype(jnp.float32).mean() * 1e-8
+                    return s.astype(jnp.bfloat16), None
                 return jax.jit(lambda: jax.lax.scan(
-                    body, jnp.float32(0.0), None, length=args.iters)[0])
+                    body, jnp.bfloat16(0.0), None, length=args.iters)[0])
 
             for name, fn in (
                     ("xla", lambda q, k, v, b: masked_attention(q, k, v, b)),
                     ("pallas", lambda q, k, v, b: decode_attention(
-                        q, k, v, b, jnp.int32(live), block_s=128))):
+                        q, k, v, b, jnp.int32(live)))):
                 f = loop(fn)
-                f()  # compile
-                jax.block_until_ready(f())
-                t0 = time.time()
-                jax.block_until_ready(f())
-                us = (time.time() - t0) / args.iters * 1e6
+                jax.block_until_ready(f())  # compile + warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    jax.block_until_ready(f())
+                    best = min(best, time.time() - t0)
+                us = best / args.iters * 1e6
                 results[(S, T, name)] = us
                 print(f"S={S:5d} live={live:5d} T={T:3d} {name:6s} "
                       f"{us:9.1f} us/call", flush=True)
