@@ -83,7 +83,77 @@ def main(argv=None):
     ap.add_argument("--log_dir", default=None,
                     help="adapter run-output dir (acceptance JSON, "
                          "calibration stats, reliability SVG)")
+    # ----- reference long-tail flags (lmms-eval/__main__.py:85-300) -----
+    ap.add_argument("--num_fewshot", type=int, default=None,
+                    help="number of deterministic fewshot examples "
+                         "prepended to each prompt (:98-102)")
+    ap.add_argument("--batch_size", "-b", default=1,
+                    help="MSD decoding is single-sequence; like the "
+                         "reference llava_msd adapter, only 1 is accepted "
+                         "(:121-127; llava_msd.py batch_size_per_gpu==1)")
+    ap.add_argument("--max_batch_size", type=int, default=None)
+    ap.add_argument("--device", default=None,
+                    help="jax platform for this run, e.g. 'cpu' or 'tpu' "
+                         "(:137-141)")
+    ap.add_argument("--gen_kwargs", default="",
+                    help="k=v,... generation overrides applied to every "
+                         "task, e.g. max_new_tokens=64,temperature=0 "
+                         "(:245-249)")
+    ap.add_argument("--system_instruction", default=None,
+                    help="system text prepended to every prompt (:215-219)")
+    ap.add_argument("--apply_chat_template", nargs="?", const=True,
+                    default=False,
+                    help="accepted for parity (:221-225): prompts always "
+                         "run through the adapter's conversation template "
+                         "(vicuna_v1/qwen), the rebuild's chat template")
+    ap.add_argument("--fewshot_as_multiturn", action="store_true",
+                    help="render fewshot examples as chat turns (:227-231); "
+                         "requires --apply_chat_template and fewshot > 0")
+    ap.add_argument("--check_integrity", action="store_true",
+                    help="self-test each task before running (:185-188)")
+    ap.add_argument("--write_out", "-w", action="store_true",
+                    help="print the first built prompt per task (:190-195)")
+    ap.add_argument("--predict_only", "-x", action="store_true",
+                    help="log responses, skip metrics (:272-278; implies "
+                         "--log_samples)")
+    ap.add_argument("--show_config", action="store_true",
+                    help="print the resolved run config (:233-237)")
+    ap.add_argument("--include_path", default=None,
+                    help="comma-separated dirs of task YAMLs to register "
+                         "in addition to the builtins (:239-243)")
+    ap.add_argument("--verbosity", "-v", default=None,
+                    help="logging level: DEBUG|INFO|WARNING|ERROR "
+                         "(:250-254)")
+    ap.add_argument("--seed", default="0,1234,1234",
+                    help="comma list: python,numpy,fewshot seeds; a single "
+                         "int sets all (:280-293)")
+    ap.add_argument("--timezone", default="Asia/Singapore",
+                    help="timezone for output timestamps (:261-264)")
+    ap.add_argument("--wandb_args", default="",
+                    help="k=v,... passed to wandb.init; empty = no wandb "
+                         "(:256-259)")
+    ap.add_argument("--wandb_log_samples", action="store_true",
+                    help="also log per-sample tables to wandb (:203-207)")
+    ap.add_argument("--hf_hub_log_args", default="",
+                    help="accepted for parity (:266-270); this environment "
+                         "has no network egress, so hub pushes are skipped "
+                         "with a warning")
+    ap.add_argument("--trust_remote_code", action="store_true",
+                    help="sets HF_DATASETS_TRUST_REMOTE_CODE (:295-300)")
     args = ap.parse_args(argv)
+
+    # reference validations (lmms-eval/__main__.py:425-437)
+    if args.fewshot_as_multiturn and not args.apply_chat_template:
+        ap.error("When `fewshot_as_multiturn` is selected, "
+                 "`apply_chat_template` must be set.")
+    if args.fewshot_as_multiturn and not (args.num_fewshot or 0) > 0:
+        ap.error("If fewshot_as_multiturn is set, num_fewshot must be "
+                 "greater than 0.")
+    if str(args.batch_size) not in ("1", "auto"):
+        ap.error("MSD decoding is single-sequence (bs=1), like the "
+                 "reference's llava_msd adapters.")
+    if args.predict_only:
+        args.log_samples = True
 
     # --config sweep: expand into one args namespace per run config
     args_list = []
@@ -107,9 +177,52 @@ def main(argv=None):
     return payloads if args.config else payloads[0]
 
 
+def _apply_run_env(args):
+    """Process-level knobs: device, seeds, verbosity, extra task dirs."""
+    import logging
+    import random
+
+    import numpy as np
+
+    if getattr(args, "verbosity", None):
+        logging.basicConfig(
+            level=getattr(logging, args.verbosity.upper(), logging.INFO))
+    if getattr(args, "device", None):
+        try:
+            import jax
+            jax.config.update("jax_platforms", args.device)
+        except Exception as e:  # backend already initialized
+            logging.warning("--device %s ignored: %s", args.device, e)
+    seeds = [s for s in str(getattr(args, "seed", "") or "").split(",") if s]
+    if seeds:
+        if len(seeds) == 1:
+            seeds = seeds * 3
+        random.seed(int(seeds[0]))
+        np.random.seed(int(seeds[1]) % (2 ** 32))
+    if getattr(args, "trust_remote_code", False):
+        os.environ["HF_DATASETS_TRUST_REMOTE_CODE"] = "1"
+    if getattr(args, "hf_hub_log_args", ""):
+        import sys
+        print("WARNING: --hf_hub_log_args accepted but hub pushes are "
+              "skipped (no network egress in this environment)",
+              file=sys.stderr)
+    if getattr(args, "include_path", None):
+        from msd_tpu.harness.tasks import register_builtin_tasks
+        from msd_tpu.harness.yaml_task import register_yaml_dir
+        register_builtin_tasks()
+        for d in args.include_path.split(","):
+            if d:
+                register_yaml_dir(d)
+
+
 def _run_one(args):
     from msd_tpu.harness.evaluator import simple_evaluate
 
+    _apply_run_env(args)
+    if args.show_config:
+        import sys
+        print(json.dumps({k: v for k, v in vars(args).items()},
+                         indent=2, default=str), file=sys.stderr)
     margs = parse_model_args(args.model_args)
     if args.log_dir:
         margs.setdefault("log_dir", args.log_dir)
@@ -121,7 +234,12 @@ def _run_one(args):
         use_msd=args.use_msd, use_calibration=args.use_calibration,
         train_ratio=args.train_ratio,
         msd_model_path=args.msd_model_path,
-        use_cache=args.use_cache, cache_requests=args.cache_requests)
+        use_cache=args.use_cache, cache_requests=args.cache_requests,
+        num_fewshot=args.num_fewshot or 0,
+        system_instruction=args.system_instruction,
+        gen_kwargs=parse_model_args(args.gen_kwargs) or None,
+        predict_only=args.predict_only, write_out=args.write_out,
+        do_check_integrity=args.check_integrity)
 
     payload = {"results": out["results"]}
     if "msd_stats" in out:
@@ -139,11 +257,20 @@ def _run_one(args):
                 f.write(text)
         else:
             from msd_tpu.harness.loggers import EvaluationTracker
-            tracker = EvaluationTracker(args.output_path)
+            tracker = EvaluationTracker(args.output_path,
+                                        timezone=args.timezone)
             tracker.save_results_aggregated(payload, args.model)
             if args.log_samples:
                 for t, v in out["details"].items():
                     tracker.save_results_samples(t, v["samples"], args.model)
+    if args.wandb_args:
+        from msd_tpu.harness.loggers import WandbLogger
+        wb = WandbLogger(**parse_model_args(args.wandb_args))
+        wb.log_results(payload["results"])
+        if args.wandb_log_samples:
+            for t, v in out["details"].items():
+                wb.log_samples(t, v["samples"])
+        wb.finish()
     return payload
 
 

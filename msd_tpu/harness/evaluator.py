@@ -25,7 +25,12 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
              bottom: Optional[int] = None, rank: int = 0,
              world_size: int = 1,
              cache_requests: Optional[str] = None,
-             request_cache_dir: Optional[str] = None) -> Dict:
+             request_cache_dir: Optional[str] = None,
+             num_fewshot: int = 0,
+             system_instruction: Optional[str] = None,
+             gen_kwargs: Optional[Dict] = None,
+             predict_only: bool = False,
+             write_out: bool = False) -> Dict:
     results: Dict[str, Dict] = {}
     for tname in task_names:
         task = get_task(tname)
@@ -34,7 +39,16 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
                                  cache_requests=cache_requests,
                                  cache_dir=request_cache_dir)
         reqs = task.build_requests(docs, rank=rank, world_size=world_size,
-                                   limit=limit, bottom=bottom)
+                                   limit=limit, bottom=bottom,
+                                   num_fewshot=num_fewshot,
+                                   system_instruction=system_instruction,
+                                   gen_kwargs_override=gen_kwargs)
+        if write_out and reqs:
+            # print the first built prompt per task for inspection
+            # (lmms-eval/__main__.py:190-195 / utils.py run_task_tests analog)
+            import sys
+            print(f"[write_out] task={tname} doc_id={reqs[0].doc_id} "
+                  f"prompt:\n{reqs[0].arguments[0]}", file=sys.stderr)
         rtype = reqs[0].request_type if reqs else "generate_until"
         t0 = time.time()
         resps = getattr(lm, rtype)(reqs)
@@ -48,10 +62,18 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
                 by_doc[r.doc_id] = {"doc": r.doc, "resps": []}
                 doc_order.append(r.doc_id)
             by_doc[r.doc_id]["resps"].append(resp)
-        per_doc = [task.process_results(by_doc[d]["doc"], by_doc[d]["resps"])
-                   for d in doc_order]
-        per_doc = _gather_metrics(per_doc, world_size)
-        agg = task.aggregate(per_doc)
+        if predict_only:
+            # log responses, skip metrics entirely
+            # (lmms-eval/__main__.py:272-278: predict_only implies
+            # log_samples and no metric computation)
+            per_doc = [{} for _ in doc_order]
+            agg = {}
+        else:
+            per_doc = [task.process_results(by_doc[d]["doc"],
+                                            by_doc[d]["resps"])
+                       for d in doc_order]
+            per_doc = _gather_metrics(per_doc, world_size)
+            agg = task.aggregate(per_doc)
         results[tname] = {
             "metrics": agg,
             "n_docs": len(per_doc),
@@ -126,6 +148,28 @@ def _gather_metrics(per_doc: List[Dict], world_size: int) -> List[Dict]:
     return out
 
 
+def check_integrity(task_names: List[str]) -> None:
+    """Self-test each task before the run (the reference's --check_integrity
+    -> run_task_tests, lmms-eval/__main__.py:185-188): docs load, the first
+    doc renders through doc_to_text/doc_to_visual, and process_results
+    accepts a dummy response."""
+    for tname in task_names:
+        task = get_task(tname)
+        docs = task.load_docs(limit=1)
+        if not docs:
+            raise AssertionError(f"task {tname}: no docs")
+        ctx = task.doc_to_text(docs[0])
+        if not isinstance(ctx, str) or not ctx:
+            raise AssertionError(f"task {tname}: doc_to_text returned "
+                                 f"{ctx!r}")
+        task.doc_to_visual(docs[0])
+        if task.output_type == "generate_until":
+            r = task.process_results(docs[0], ["dummy response"])
+            if not isinstance(r, dict):
+                raise AssertionError(
+                    f"task {tname}: process_results returned {type(r)}")
+
+
 def simple_evaluate(*, model, model_args: Optional[Dict] = None,
                     tasks: List[str], limit: Optional[int] = None,
                     bottom: Optional[int] = None, use_msd: bool = True,
@@ -133,9 +177,17 @@ def simple_evaluate(*, model, model_args: Optional[Dict] = None,
                     msd_model_path: Optional[str] = None,
                     rank: int = 0, world_size: int = 1,
                     use_cache: Optional[str] = None,
-                    cache_requests: Optional[str] = None) -> Dict:
+                    cache_requests: Optional[str] = None,
+                    num_fewshot: int = 0,
+                    system_instruction: Optional[str] = None,
+                    gen_kwargs: Optional[Dict] = None,
+                    predict_only: bool = False,
+                    write_out: bool = False,
+                    do_check_integrity: bool = False) -> Dict:
     if not TASK_REGISTRY:
         register_builtin_tasks()
+    if do_check_integrity:
+        check_integrity(tasks)
     # model classes register themselves at import time
     import msd_tpu.harness.models.llava_msd  # noqa: F401
     import msd_tpu.harness.models.qwen2_vl_msd  # noqa: F401
@@ -166,4 +218,8 @@ def simple_evaluate(*, model, model_args: Optional[Dict] = None,
     return evaluate(lm, tasks, limit=limit, bottom=bottom, rank=rank,
                     world_size=world_size, cache_requests=cache_requests,
                     request_cache_dir=(use_cache + ".requests"
-                                       if use_cache else None))
+                                       if use_cache else None),
+                    num_fewshot=num_fewshot,
+                    system_instruction=system_instruction,
+                    gen_kwargs=gen_kwargs, predict_only=predict_only,
+                    write_out=write_out)

@@ -14,9 +14,17 @@ from typing import Dict, Optional
 
 
 class EvaluationTracker:
-    def __init__(self, output_path: str = "logs"):
+    def __init__(self, output_path: str = "logs",
+                 timezone: Optional[str] = None):
         self.output_path = output_path
-        self.date_id = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        now = datetime.datetime.now()
+        if timezone:
+            try:
+                from zoneinfo import ZoneInfo
+                now = datetime.datetime.now(ZoneInfo(timezone))
+            except Exception:
+                pass  # unknown tz: keep local time
+        self.date_id = now.strftime("%Y%m%d_%H%M%S")
 
     def _dir(self, model_name: str) -> str:
         d = os.path.join(self.output_path,
@@ -61,6 +69,32 @@ class WandbLogger:
     def log(self, metrics: Dict, step: Optional[int] = None):
         if self.run is not None:
             self.run.log(metrics, step=step)
+
+    def log_results(self, results: Dict):
+        """Flatten {task: {metric: value}} into task/metric keys (the
+        reference wandb_logger.py log_eval_result analog)."""
+        flat = {}
+        for task, metrics in (results or {}).items():
+            if isinstance(metrics, dict):
+                for k, v in metrics.items():
+                    if isinstance(v, (int, float)):
+                        flat[f"{task}/{k}"] = v
+        self.log(flat)
+
+    def log_samples(self, task_name: str, samples):
+        """Per-sample table (wandb_logger.py log_eval_samples analog)."""
+        if self.run is None:
+            return
+        try:
+            import wandb
+            cols = ["doc_id", "response", "scores"]
+            table = wandb.Table(columns=cols)
+            for s in samples:
+                table.add_data(s.get("doc_id"), str(s.get("response")),
+                               json.dumps(s.get("scores"), default=str))
+            self.run.log({f"{task_name}_samples": table})
+        except Exception:
+            pass
 
     def finish(self):
         if self.run is not None:

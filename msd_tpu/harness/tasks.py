@@ -95,13 +95,47 @@ class TaskConfig:
             if i % world_size == rank:
                 yield i, doc
 
+    def fewshot_context(self, docs: List[Dict], doc_id: int,
+                        num_fewshot: int) -> str:
+        """Deterministic k-shot prefix (api/task.py fewshot_context /
+        samplers.py FirstNSampler): the first k OTHER docs of the split,
+        rendered as 'prompt target' pairs. Text-only — fewshot visuals are
+        not spliced (matches the reference VLM tasks, which run 0-shot; the
+        flag surface still behaves for text-style tasks)."""
+        parts = []
+        for i, d in enumerate(docs):
+            if len(parts) >= num_fewshot:
+                break
+            if i == doc_id:
+                continue
+            tgt = None
+            if self.doc_to_target is not None:
+                t = self.doc_to_target
+                tgt = t(d) if callable(t) else str(t)
+            if tgt is None:
+                tgt = d.get("answer", "")
+                if isinstance(tgt, (list, tuple)):
+                    tgt = tgt[0] if tgt else ""
+            parts.append(f"{self.doc_to_text(d)} {tgt}".strip())
+        return "\n\n".join(parts) + ("\n\n" if parts else "")
+
     def build_requests(self, docs: List[Dict], rank: int = 0,
                        world_size: int = 1, limit: Optional[int] = None,
-                       bottom: Optional[int] = None) -> List[Instance]:
+                       bottom: Optional[int] = None,
+                       num_fewshot: int = 0,
+                       system_instruction: Optional[str] = None,
+                       gen_kwargs_override: Optional[Dict] = None
+                       ) -> List[Instance]:
         reqs = []
+        if gen_kwargs_override:
+            self.gen_kwargs = {**self.gen_kwargs, **gen_kwargs_override}
         for doc_id, doc in self.doc_iterator(docs, rank, world_size, limit,
                                              bottom):
             ctx = self.doc_to_text(doc)
+            if num_fewshot:
+                ctx = self.fewshot_context(docs, doc_id, num_fewshot) + ctx
+            if system_instruction:
+                ctx = f"{system_instruction}\n\n{ctx}"
             if self.output_type == "loglikelihood":
                 if self.doc_to_choice is not None:
                     targets = list(self.doc_to_choice(doc))

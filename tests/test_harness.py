@@ -405,3 +405,93 @@ def test_cli_config_yaml_sweep(tmp_path, capsys):
     assert "pope" in payloads[0]["results"]
     assert "docvqa" in payloads[1]["results"]
     capsys.readouterr()
+
+
+def test_cli_longtail_flags(tmp_path, capsys):
+    """--num_fewshot/--system_instruction/--gen_kwargs/--predict_only/
+    --write_out/--check_integrity/--show_config/--seed behave
+    (lmms-eval/__main__.py:85-300)."""
+    from msd_tpu.harness.__main__ import main
+
+    payload = main([
+        "--model", "llava_msd_calibrated", "--model_args", "tiny=true",
+        "--tasks", "pope", "--limit", "3", "--num_fewshot", "2",
+        "--system_instruction", "Answer briefly.",
+        "--gen_kwargs", "max_new_tokens=8", "--write_out",
+        "--check_integrity", "--show_config", "--seed", "7",
+        "--predict_only"])
+    # predict_only: no metrics, samples present (implies log_samples)
+    assert payload["results"]["pope"] == {}
+    assert len(payload["details"]["pope"]["samples"]) == 3
+    err = capsys.readouterr().err
+    # write_out printed the composed prompt: system first, fewshot target
+    # pairs before the question
+    assert "[write_out] task=pope" in err
+    assert err.index("Answer briefly.") < err.index("region")
+    # show_config dumped the resolved args
+    assert '"num_fewshot": 2' in err
+
+
+def test_fewshot_context_composition():
+    """fewshot_context: first-k OTHER docs as 'prompt target' pairs."""
+    from msd_tpu.harness.registry import TASK_REGISTRY, get_task
+    from msd_tpu.harness.tasks import register_builtin_tasks
+
+    if not TASK_REGISTRY:
+        register_builtin_tasks()
+    task = get_task("pope")
+    docs = task.load_docs(limit=4)
+    ctx = task.fewshot_context(docs, 1, 2)
+    assert ctx.endswith("\n\n")
+    # doc 1 (the target doc) is excluded; docs 0 and 2 serve as shots
+    assert task.doc_to_text(docs[1]) not in ctx
+    assert task.doc_to_text(docs[0]).split("\n")[0] in ctx
+    # each shot carries its gold answer inline
+    assert docs[0]["answer"] in ctx
+
+
+def test_cli_gen_kwargs_override_applies():
+    """--gen_kwargs overrides every task's generation parameters."""
+    from msd_tpu.harness.registry import TASK_REGISTRY, get_task
+    from msd_tpu.harness.tasks import register_builtin_tasks
+
+    if not TASK_REGISTRY:
+        register_builtin_tasks()
+    task = get_task("docvqa")
+    docs = task.load_docs(limit=2)
+    reqs = task.build_requests(docs, gen_kwargs_override={
+        "max_new_tokens": 5, "temperature": 0.7})
+    assert all(r.arguments[1]["max_new_tokens"] == 5 for r in reqs)
+    assert all(r.arguments[1]["temperature"] == 0.7 for r in reqs)
+
+
+def test_cli_validation_errors():
+    """Reference validations: fewshot_as_multiturn and batch_size guards."""
+    import pytest
+
+    from msd_tpu.harness.__main__ import main
+
+    base = ["--model", "llava_msd_calibrated", "--model_args", "tiny=true",
+            "--tasks", "pope", "--limit", "1"]
+    with pytest.raises(SystemExit):
+        main(base + ["--fewshot_as_multiturn"])  # needs apply_chat_template
+    with pytest.raises(SystemExit):
+        main(base + ["--batch_size", "4"])  # MSD decode is bs=1
+
+
+def test_check_integrity_catches_broken_task():
+    """check_integrity raises on a task whose doc_to_text breaks."""
+    import pytest
+
+    from msd_tpu.harness.evaluator import check_integrity
+    from msd_tpu.harness.registry import register_task
+    from msd_tpu.harness.tasks import TaskConfig
+
+    register_task("broken_task_ci", TaskConfig(
+        name="broken_task_ci",
+        doc_to_text=lambda d: None,  # invalid
+        doc_to_visual=lambda d: [],
+        process_results=lambda d, r: {"accuracy": 0.0},
+        synthetic_docs=lambda n: [{"question": "q", "answer": "a"}] * n))
+    with pytest.raises(AssertionError):
+        check_integrity(["broken_task_ci"])
