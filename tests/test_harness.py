@@ -495,3 +495,26 @@ def test_check_integrity_catches_broken_task():
         synthetic_docs=lambda n: [{"question": "q", "answer": "a"}] * n))
     with pytest.raises(AssertionError):
         check_integrity(["broken_task_ci"])
+
+
+def test_serve_chat_cli(capsys):
+    """msd_tpu.serve.cli chat_once: multi-turn conversation through the
+    engine, streamed output == returned reply (llava/serve/cli.py analog)."""
+    import io
+
+    from msd_tpu.harness.models.llava_msd import LlavaMSD
+    from msd_tpu.serve.cli import chat_once
+    from msd_tpu.utils.conversation import vicuna_v1
+
+    adapter = LlavaMSD.from_tiny(use_msd=True)
+    sp = adapter._sp({"temperature": 0.0})
+    conv = vicuna_v1()
+    buf = io.StringIO()
+    r1 = chat_once(adapter, conv, "hello there", None, sp, 16, out=buf)
+    assert isinstance(r1, str)
+    assert buf.getvalue().strip() == r1
+    # the reply is recorded in the conversation for the next turn
+    assert conv.messages[-1] == (conv.roles[1], r1)
+    r2 = chat_once(adapter, conv, "and again", None, sp, 16)
+    assert conv.get_prompt().count(conv.roles[0]) == 2
+    assert isinstance(r2, str)
