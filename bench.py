@@ -69,7 +69,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=["7b", "13b", "tiny"])
     ap.add_argument("--prompt-tokens", type=int, default=64)
-    ap.add_argument("--max-new", type=int, default=128)
+    # 256-token horizons amortize prefill and let the distilled draft show
+    # its full on-trajectory acceptance (r3m capture: 5.14x, alpha 9.56,
+    # canonical-lossless 2048/2048; artifacts/bench_8x256_r3m.log, ~41 min
+    # end-to-end on a cold chip)
+    ap.add_argument("--max-new", type=int, default=256)
     ap.add_argument("--max-seq", type=int, default=0, help="0 = auto")
     ap.add_argument("--image", dest="image", action="store_true",
                     default=True, help="576-image-token prompt (default)")
@@ -86,7 +90,7 @@ def main():
                          "training shifts the committed trajectory at rare "
                          "near-ties, so later rounds must move the draft "
                          "less and less)")
-    ap.add_argument("--distill-prompts", type=int, default=4)
+    ap.add_argument("--distill-prompts", type=int, default=8)
     ap.add_argument("--draft-mode", default="medusa",
                     choices=["eagle", "medusa"],
                     help="medusa: per-depth resblock heads over the depth-1 "
