@@ -172,6 +172,17 @@ class LlavaMSD:
         except Exception:
             tokenizer = SimpleTokenizer()
         params, lcfg = load_llava(pretrained, dtype)
+        if "attn_impl" in kw or "pallas_min_s" in kw:
+            # attention backend override (model_args attn_impl=auto):
+            # "auto" engages the pallas length-aware kernel for small-T
+            # decode at long 128-aligned caches (artifacts/attn_sweep_r3.log)
+            import dataclasses
+            ov = {k: kw.pop(k) for k in ("attn_impl", "pallas_min_s")
+                  if k in kw}
+            if "pallas_min_s" in ov:
+                ov["pallas_min_s"] = int(ov["pallas_min_s"])
+            lcfg = dataclasses.replace(
+                lcfg, text=dataclasses.replace(lcfg.text, **ov))
         draft, dcfg = load_draft(msd_model_path, lcfg.text,
                                  base_embed=params["target"]["embed_tokens"],
                                  dtype=dtype)

@@ -297,12 +297,24 @@ def main(argv=None):
     ap.add_argument("--msd_model_path", required=True)
     ap.add_argument("--port", type=int, default=8399)
     ap.add_argument("--no-msd", dest="use_msd", action="store_false")
+    ap.add_argument("--max-seq-len", type=int, default=None,
+                    help="allocated KV length (128-aligned values enable "
+                         "the pallas decode-attention fast path)")
+    ap.add_argument("--attn-impl", default=None,
+                    choices=["xla", "pallas", "auto"],
+                    help="decode attention backend; 'auto' engages the "
+                         "length-aware pallas kernel at long caches")
     args = ap.parse_args(argv)
 
     from msd_tpu.harness.models.llava_msd import LlavaMSD
 
+    kw = {}
+    if args.max_seq_len:
+        kw["max_seq_len"] = args.max_seq_len
+    if args.attn_impl:
+        kw["attn_impl"] = args.attn_impl
     adapter = LlavaMSD.from_pretrained(args.pretrained, args.msd_model_path,
-                                       use_msd=args.use_msd)
+                                       use_msd=args.use_msd, **kw)
     httpd = serve_forever(adapter, args.port)
     print(f"serving on :{args.port}")
     httpd.serve_forever()

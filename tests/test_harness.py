@@ -518,3 +518,23 @@ def test_serve_chat_cli(capsys):
     r2 = chat_once(adapter, conv, "and again", None, sp, 16)
     assert conv.get_prompt().count(conv.roles[0]) == 2
     assert isinstance(r2, str)
+
+
+def test_from_pretrained_attn_impl_override(tmp_path):
+    """model_args attn_impl=auto / pallas_min_s reach the target config
+    (the serve --attn-impl passthrough for long-context serving)."""
+    import numpy as np
+
+    from msd_tpu.harness.models.llava_msd import LlavaMSD
+    from tests.test_weights_roundtrip import (make_draft_checkpoint,
+                                              make_llava_checkpoint)
+
+    rng = np.random.default_rng(0)
+    ck = tmp_path / "llava"
+    dk = tmp_path / "draft"
+    make_llava_checkpoint(str(ck), rng)
+    make_draft_checkpoint(str(dk), rng)
+    adapter = LlavaMSD.from_pretrained(str(ck), str(dk), attn_impl="auto",
+                                       pallas_min_s=512)
+    assert adapter.gen.tcfg.attn_impl == "auto"
+    assert adapter.gen.tcfg.pallas_min_s == 512
