@@ -284,20 +284,32 @@ def main():
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     t0 = time.time()
-    tp = L.init_llama_params_stacked(k1, tcfg, dtype)
-    if args.head_sharpen != 1.0:
-        tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
-    dp = draft_mod.init_draft_params(k2, dcfg, dtype)
-    if dcfg.medusa_heads:
-        dp["medusa"] = draft_mod.init_medusa_params(
-            jax.random.PRNGKey(7), dcfg, dtype)
+    # quantized runs must NOT materialize the bf16 params on the chip first
+    # (13B bf16 = 26GB > HBM; the alloc failure surfaces lazily at the first
+    # decode sync) — init + quantize on the host backend, ship only the
+    # quantized buffers
+    import contextlib
+    init_ctx = (jax.default_device(jax.devices("cpu")[0])
+                if args.quant != "none" else contextlib.nullcontext())
+    with init_ctx:
+        tp = L.init_llama_params_stacked(k1, tcfg, dtype)
+        if args.head_sharpen != 1.0:
+            tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
+        dp = draft_mod.init_draft_params(k2, dcfg, dtype)
+        if dcfg.medusa_heads:
+            dp["medusa"] = draft_mod.init_medusa_params(
+                jax.random.PRNGKey(7), dcfg, dtype)
+        if args.quant != "none":
+            tp = L.quantize_llama_params(tp, bits=8 if args.quant == "int8"
+                                         else 4)
+            log(f"target quantized to {args.quant} weight-only (host-side)")
+    if args.quant != "none":
+        dev = jax.devices()[0]
+        tp = jax.device_put(tp, dev)
+        dp = jax.device_put(dp, dev)
     # the MSD draft checkpoints freeze the base model's embedding
     # (load_emb=True, main_deepspeed.py:145-163) — share the device buffer
     dp["embed_tokens"] = tp["embed_tokens"]
-    if args.quant != "none":
-        tp = L.quantize_llama_params(tp, bits=8 if args.quant == "int8"
-                                     else 4)
-        log(f"target quantized to {args.quant} weight-only")
     jax.block_until_ready(tp["lm_head"])
     log(f"params initialized in {time.time()-t0:.1f}s")
 
