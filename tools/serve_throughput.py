@@ -1,0 +1,126 @@
+"""Serving-throughput microbench: batched MSD decode on the real chip.
+
+Single-request MSD optimizes LATENCY (the reference's serving mode, bs=1).
+On TPU the decode step is weight-read-bound, so batching B requests through
+the vmapped fused program (generator.generate_batch — the same program the
+HTTP server's micro-batcher uses) amortizes the 13.5GB weight stream across
+B sequences: aggregate tokens/s grows until activations/KV dominate.
+
+Measures, for each batch size: wall-clock, committed tokens, aggregate
+tokens/s, and per-request latency vs bs=1. One JSON line at the end.
+
+Usage:
+  python tools/serve_throughput.py [--model 7b] [--batch-sizes 1,2,4,8]
+      [--max-new 64] [--prompt-tokens 64] [--distill-steps 0]
+
+With random weights alpha~1 (no distilled draft), so tokens/s reflects the
+machine cost per step, not speculation gains; pass --distill-steps to train
+first for realistic alphas (slower).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an explicit
+# cpu request via jax.config before backend init (CLAUDE.md gotcha)
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="7b", choices=["7b", "tiny"])
+    ap.add_argument("--batch-sizes", default="1,2,4,8")
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--prompt-tokens", type=int, default=64)
+    ap.add_argument("--image", action="store_true", default=True)
+    ap.add_argument("--no-image", dest="image", action="store_false")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from msd_tpu.configs import (IMAGE_TOKEN_INDEX, DraftConfig, EngineConfig,
+                                 LlamaConfig, TreeConfig)
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+
+    if args.model == "7b":
+        tcfg = LlamaConfig.llava_7b()
+        dtype = jnp.bfloat16
+    else:
+        tcfg = LlamaConfig.tiny(vocab_size=512, hidden_size=64, layers=2,
+                                heads=4, intermediate_size=128, max_pos=2048)
+        dtype = jnp.float32
+    dcfg = DraftConfig(text=tcfg, medusa_heads=7)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = L.init_llama_params_stacked(k1, tcfg, dtype)
+    dp = draft_mod.init_draft_params(k2, dcfg, dtype)
+    dp["medusa"] = draft_mod.init_medusa_params(jax.random.PRNGKey(7), dcfg,
+                                                dtype)
+    dp["embed_tokens"] = tp["embed_tokens"]
+
+    n_img = 576 if args.image else 0
+    max_seq = args.prompt_tokens + n_img + args.max_new + 64
+    widths = (8, 6, 4, 3, 2, 2, 1, 1)
+    eng = EngineConfig(
+        max_seq_len=max_seq, prompt_pad_multiple=64,
+        max_new_tokens=args.max_new, canonical_attn=True,
+        tree=TreeConfig(top_k=widths[0], max_depth=len(widths),
+                        num_nodes=1 + sum(widths), medusa_widths=widths))
+    gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, eos_id=-1, n_img=n_img)
+
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(n_img, tcfg.hidden_size)) * 0.02,
+                        dtype) if n_img else None
+
+    def mk_prompt(i):
+        q = rng.integers(3, tcfg.vocab_size - 2,
+                         size=args.prompt_tokens).astype(np.int32)
+        if n_img:
+            q[1] = IMAGE_TOKEN_INDEX
+        return q
+
+    rows = []
+    base_lat = None
+    for bs in [int(x) for x in args.batch_sizes.split(",")]:
+        prompts = [mk_prompt(i) for i in range(bs)]
+        fl = [feats] * bs if feats is not None else None
+        t0 = time.time()
+        rs = gen.generate_batch(prompts, fl, max_new_tokens=args.max_new)
+        compile_s = time.time() - t0
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.time()
+            rs = gen.generate_batch(prompts, fl, max_new_tokens=args.max_new)
+            best = min(best, time.time() - t0)
+        toks = sum(len(r.tokens) for r in rs)
+        tps = toks / best
+        if base_lat is None:
+            base_lat = best
+        rows.append({"batch": bs, "wall_s": round(best, 3),
+                     "tokens": toks, "tokens_per_s": round(tps, 1),
+                     "latency_vs_bs1": round(best / base_lat, 2),
+                     "compile_s": round(compile_s, 1)})
+        print(f"bs={bs:2d}  {best*1e3:8.1f} ms  {toks:4d} tok  "
+              f"{tps:8.1f} tok/s  latency x{best/base_lat:.2f}  "
+              f"(compile {compile_s:.0f}s)", flush=True)
+
+    print(json.dumps({"metric": "serve_throughput_batched_msd",
+                      "model": args.model, "max_new": args.max_new,
+                      "image_tokens": n_img, "rows": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
