@@ -208,6 +208,12 @@ def main():
                     choices=["none", "int8", "int4"],
                     help="weight-only quantized target (int8 halves, int4 "
                          "quarters decode weight reads)")
+    ap.add_argument("--quant-cache", default="",
+                    help="pickle path caching the host-quantized target "
+                         "tree (host-side jax-cpu init+quantize of 13B "
+                         "takes ~45 min on a 1-core host; reload ~1 min). "
+                         "The cache embeds --head-sharpen; delete it if "
+                         "that changes")
     ap.add_argument("--dtype", default=None, choices=["bfloat16", "float32"],
                     help="override the model dtype (default: bf16; tiny "
                          "defaults to fp32)")
@@ -289,23 +295,45 @@ def main():
     # decode sync) — init + quantize on the host backend, ship only the
     # quantized buffers
     import contextlib
+    tp_host_q = None  # host copy of the quantized target (train/rebuild)
     init_ctx = (jax.default_device(jax.devices("cpu")[0])
                 if args.quant != "none" else contextlib.nullcontext())
     with init_ctx:
-        tp = L.init_llama_params_stacked(k1, tcfg, dtype)
-        if args.head_sharpen != 1.0:
-            tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
+        cache_hit = (args.quant != "none" and args.quant_cache
+                     and os.path.exists(args.quant_cache))
+        if cache_hit:
+            # host-side jax-cpu PRNG + quantize of a 13B tree takes ~45 min
+            # on this 1-core host; the pickle reload takes ~1 min
+            import pickle
+            with open(args.quant_cache, "rb") as f:
+                tp = pickle.load(f)
+            log(f"quantized target loaded from {args.quant_cache}")
+        else:
+            tp = L.init_llama_params_stacked(k1, tcfg, dtype)
+            if args.head_sharpen != 1.0:
+                tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
+            if args.quant != "none":
+                tp = L.quantize_llama_params(
+                    tp, bits=8 if args.quant == "int8" else 4)
+                log(f"target quantized to {args.quant} weight-only "
+                    "(host-side)")
         dp = draft_mod.init_draft_params(k2, dcfg, dtype)
         if dcfg.medusa_heads:
             dp["medusa"] = draft_mod.init_medusa_params(
                 jax.random.PRNGKey(7), dcfg, dtype)
-        if args.quant != "none":
-            tp = L.quantize_llama_params(tp, bits=8 if args.quant == "int8"
-                                         else 4)
-            log(f"target quantized to {args.quant} weight-only (host-side)")
     if args.quant != "none":
+        # REAL host copies (np.asarray of a cpu-backed jax array is a
+        # zero-copy view that the hard-release's a.delete() would free
+        # under us); rebuild() re-ships these instead of re-materializing
+        # 26GB of bf16 on the chip
+        tp_host_q = jax.tree.map(lambda a: np.array(a, copy=True), tp)
+        if args.quant_cache and not cache_hit:
+            import pickle
+            with open(args.quant_cache, "wb") as f:
+                pickle.dump(tp_host_q, f, protocol=5)
+            log(f"quantized target cached to {args.quant_cache}")
         dev = jax.devices()[0]
-        tp = jax.device_put(tp, dev)
+        tp = jax.device_put(tp_host_q, dev)
         dp = jax.device_put(dp, dev)
     # the MSD draft checkpoints freeze the base model's embedding
     # (load_emb=True, main_deepspeed.py:145-163) — share the device buffer
@@ -413,13 +441,15 @@ def main():
                 a.delete()
             gc.collect()
             log("device memory hard-released")
-            k1, _ = jax.random.split(jax.random.PRNGKey(0))
-            tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
-            if args.head_sharpen != 1.0:
-                tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
             if args.quant != "none":
-                tp = L.quantize_llama_params(
-                    tp, bits=8 if args.quant == "int8" else 4)
+                # re-ship the host quantized copy; re-initializing would
+                # materialize the full bf16 tree on the chip (26GB at 13B)
+                tp = jax.device_put(tp_host_q, jax.devices()[0])
+            else:
+                k1, _ = jax.random.split(jax.random.PRNGKey(0))
+                tp = L.init_llama_params_stacked(k1, tcfg, dtype)  # same key -> same weights
+                if args.head_sharpen != 1.0:
+                    tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
             dp = jax.tree.map(lambda a: jnp.asarray(a, dtype), draft_host)
             dp["embed_tokens"] = tp["embed_tokens"]
             if feats_host is not None:
@@ -507,9 +537,30 @@ def main():
                     from msd_tpu.ops.quant import dequantize
                     head_w = dequantize(head_w, tp["lm_head_qs"], dtype)
                 gen.params = None
-                dp32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), dp)
-                del tp, dp
-                gc.collect()
+                if args.quant != "none":
+                    # the quantized target (13.2GB at 13B int8) + fp32 draft
+                    # master weights + adam moments exceed HBM together:
+                    # snapshot the draft and the dequantized head to host,
+                    # hard-release EVERYTHING, and train with the target
+                    # fully off-device (rebuild() re-ships it afterwards)
+                    head_w_host = np.asarray(head_w)
+                    dp_host = jax.tree.map(np.asarray, dp)
+                    del tp, dp, head_w
+                    from msd_tpu.train.trainer import _PREPAD_CACHE
+                    _PREPAD_CACHE.clear()
+                    gc.collect()
+                    for a in list(jax.live_arrays()):
+                        a.delete()
+                    gc.collect()
+                    log("device memory hard-released (pre-train)")
+                    head_w = jnp.asarray(head_w_host)
+                    dp32 = jax.tree.map(
+                        lambda a: jnp.asarray(a, jnp.float32), dp_host)
+                else:
+                    dp32 = jax.tree.map(
+                        lambda a: jnp.asarray(a, jnp.float32), dp)
+                    del tp, dp
+                    gc.collect()
                 tc = TrainerConfig(
                     train=TrainConfig(lr=lr, warmup_steps=20,
                                       total_steps=max(steps, 21),
