@@ -325,8 +325,10 @@ def main():
         # REAL host copies (np.asarray of a cpu-backed jax array is a
         # zero-copy view that the hard-release's a.delete() would free
         # under us); rebuild() re-ships these instead of re-materializing
-        # 26GB of bf16 on the chip
-        tp_host_q = jax.tree.map(lambda a: np.array(a, copy=True), tp)
+        # 26GB of bf16 on the chip. A cache hit is already plain numpy —
+        # copying would double peak host RAM (13.2GB at 13B int8)
+        tp_host_q = (tp if cache_hit else
+                     jax.tree.map(lambda a: np.array(a, copy=True), tp))
         if args.quant_cache and not cache_hit:
             import pickle
             with open(args.quant_cache, "wb") as f:

@@ -46,10 +46,15 @@ class MSDGenerator:
                  n_img: int = 0, eos_id: int = 2,
                  sp: SamplingParams = SamplingParams(),
                  image_mode: str = "expand", mrope_section=None,
-                 attn_feature_mode: str = "reference"):
+                 attn_feature_mode: str = "reference",
+                 inline_pad_ids=None):
         self.tcfg, self.dcfg, self.eng = tcfg, dcfg, eng
         self.n_img, self.eos_id = n_img, eos_id
         self.image_mode, self.mrope_section = image_mode, mrope_section
+        # inline-mode image-span marker ids; Qwen2-VL pads by default, a
+        # Qwen-VL v1 adapter passes its own <imgpad> id
+        self.inline_pad_ids = (tuple(inline_pad_ids) if inline_pad_ids
+                               else None)
         self.attn_feature_mode = attn_feature_mode
         max_pos = eng.max_seq_len + eng.tree.num_nodes + 64
         cos_t, sin_t = L.make_rope(tcfg, max_pos)
@@ -110,8 +115,11 @@ class MSDGenerator:
     def _img_pos(self, ids: np.ndarray) -> int:
         if self.image_mode == "inline":
             from msd_tpu.models.qwen2vl import IMAGE_PAD_ID, VIDEO_PAD_ID
-            pos = np.nonzero((ids == IMAGE_PAD_ID) |
-                             (ids == VIDEO_PAD_ID))[0]
+            pads = self.inline_pad_ids or (IMAGE_PAD_ID, VIDEO_PAD_ID)
+            hit = np.zeros(ids.shape, bool)
+            for p in pads:
+                hit |= ids == p
+            pos = np.nonzero(hit)[0]
             return int(pos[0]) if len(pos) else len(ids)
         pos = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
         return int(pos[0]) if len(pos) else len(ids)
@@ -213,6 +221,14 @@ class MSDGenerator:
         st = self._statics(max_new, sp, use_calibration, collect_calibration,
                            collect_hiddens)
         key = jax.random.PRNGKey(seed)
+        if first_token is not None and (
+                self.image_mode == "inline"
+                or isinstance(img_feats, (list, tuple))):
+            # only the expand-mode single-image programs accept a pinned
+            # first token; dropping it silently would void the AR-vs-MSD
+            # first-token alignment the caller asked for
+            raise ValueError("first_token is not supported for inline-mode "
+                             "or multi-image prompts")
         if isinstance(img_feats, (list, tuple)):  # multi-image prompt
             fused, exp_ids_in, img_rows, e0, img_pos = self._fuse_multi(
                 ids, img_feats)

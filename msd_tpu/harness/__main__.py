@@ -142,18 +142,20 @@ def main(argv=None):
                     help="sets HF_DATASETS_TRUST_REMOTE_CODE (:295-300)")
     args = ap.parse_args(argv)
 
-    # reference validations (lmms-eval/__main__.py:425-437)
-    if args.fewshot_as_multiturn and not args.apply_chat_template:
-        ap.error("When `fewshot_as_multiturn` is selected, "
-                 "`apply_chat_template` must be set.")
-    if args.fewshot_as_multiturn and not (args.num_fewshot or 0) > 0:
-        ap.error("If fewshot_as_multiturn is set, num_fewshot must be "
-                 "greater than 0.")
-    if str(args.batch_size) not in ("1", "auto"):
-        ap.error("MSD decoding is single-sequence (bs=1), like the "
-                 "reference's llava_msd adapters.")
-    if args.predict_only:
-        args.log_samples = True
+    def validate(a):
+        # reference validations (lmms-eval/__main__.py:425-437); applied
+        # per run config so --config entries cannot bypass them
+        if a.fewshot_as_multiturn and not a.apply_chat_template:
+            ap.error("When `fewshot_as_multiturn` is selected, "
+                     "`apply_chat_template` must be set.")
+        if a.fewshot_as_multiturn and not (a.num_fewshot or 0) > 0:
+            ap.error("If fewshot_as_multiturn is set, num_fewshot must be "
+                     "greater than 0.")
+        if str(a.batch_size) not in ("1", "auto"):
+            ap.error("MSD decoding is single-sequence (bs=1), like the "
+                     "reference's llava_msd adapters.")
+        if a.predict_only:
+            a.log_samples = True
 
     # --config sweep: expand into one args namespace per run config
     args_list = []
@@ -172,6 +174,8 @@ def main(argv=None):
             args_list.append(args_copy)
     else:
         args_list.append(args)
+    for a in args_list:
+        validate(a)
 
     payloads = [_run_one(a) for a in args_list]
     return payloads if args.config else payloads[0]

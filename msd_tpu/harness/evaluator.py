@@ -38,8 +38,10 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
                                  limit=None if bottom else limit,
                                  cache_requests=cache_requests,
                                  cache_dir=request_cache_dir)
+        # load_docs already applied `limit` (unless bottom) — re-applying a
+        # FRACTIONAL limit in doc_iterator would square it (f -> f^2 docs)
         reqs = task.build_requests(docs, rank=rank, world_size=world_size,
-                                   limit=limit, bottom=bottom,
+                                   limit=None, bottom=bottom,
                                    num_fewshot=num_fewshot,
                                    system_instruction=system_instruction,
                                    gen_kwargs_override=gen_kwargs)

@@ -27,19 +27,23 @@ VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 
 
 def qwen_chat_ids(tokenizer, question: str, n_img: int, with_image: bool,
-                  pad_id: int = IMAGE_PAD_ID
+                  pad_id: int = IMAGE_PAD_ID,
+                  start_id: int = VISION_START_ID,
+                  end_id: int = VISION_END_ID
                   ) -> Tuple[np.ndarray, Optional[int]]:
     """Token ids for '<|im_start|>user ... <|im_end|><|im_start|>assistant'
-    with an inline image/video span; returns (ids, img_start or None)."""
+    with an inline image/video span; returns (ids, img_start or None).
+    Marker ids default to Qwen2-VL's; Qwen-VL v1 passes its own
+    <img>/<imgpad>/</img> ids (reference qwen_vl_eagle.py:68 prompt)."""
     pre = tokenizer.encode("<|im_start|>user\n")
     post = tokenizer.encode(f"{question}<|im_end|>\n<|im_start|>assistant\n")
     ids: List[int] = list(pre)
     img_start = None
     if with_image:
-        ids.append(VISION_START_ID)
+        ids.append(start_id)
         img_start = len(ids)
         ids.extend([pad_id] * n_img)
-        ids.append(VISION_END_ID)
+        ids.append(end_id)
     ids.extend(post)
     return np.asarray(ids, np.int32), img_start
 
@@ -115,6 +119,12 @@ def load_video_frames(visual, max_num_frames: int) -> np.ndarray:
 @register_model("qwen2_vl_msd", "qwen2_vl")
 class Qwen2VLMSD:
     """Qwen2-VL MSD adapter with the native vision tower."""
+
+    # inline image-span marker ids; QwenVLEagle overrides with the v1
+    # tokenizer's <img>/<imgpad>/</img> ids
+    vision_start_id = VISION_START_ID
+    vision_end_id = VISION_END_ID
+    image_pad_id = IMAGE_PAD_ID
 
     @classmethod
     def from_pretrained(cls, pretrained: str, msd_model_path: str,
@@ -192,7 +202,8 @@ class Qwen2VLMSD:
             self._vgen = MSDGenerator(
                 g.params["target"], g.params["draft"], g.tcfg, g.dcfg, eng,
                 n_img=n_vid, eos_id=g.eos_id, image_mode="inline",
-                mrope_section=g.mrope_section, sp=g.sp)
+                mrope_section=g.mrope_section, sp=g.sp,
+                inline_pad_ids=g.inline_pad_ids)
         return self._vgen
 
     def _sp(self, gen_kwargs: Dict) -> SamplingParams:
@@ -223,11 +234,15 @@ class Qwen2VLMSD:
             gen = self.video_gen
             feats, grid = self._encode_video(vis)
             ids, _ = qwen_chat_ids(self.tokenizer, context, gen.n_img, True,
-                                   pad_id=VIDEO_PAD_ID)
+                                   pad_id=VIDEO_PAD_ID,
+                                   start_id=self.vision_start_id,
+                                   end_id=self.vision_end_id)
             return gen, ids, feats, grid
         with_image = vis is not None and self.gen.n_img > 0
         ids, _ = qwen_chat_ids(self.tokenizer, context, self.gen.n_img,
-                               with_image)
+                               with_image, pad_id=self.image_pad_id,
+                               start_id=self.vision_start_id,
+                               end_id=self.vision_end_id)
         feats = None
         if with_image:
             from msd_tpu.utils.mm_utils import process_image
@@ -346,17 +361,35 @@ class QwenVLEagle(Qwen2VLMSD):
         except Exception:
             from msd_tpu.harness.models.llava_msd import SimpleTokenizer
             tokenizer = SimpleTokenizer(tcfg.vocab_size)
+        # v1's image span is <img> <imgpad>*256 </img> — resolve the ids
+        # from the v1 tokenizer (Qwen2-VL's 15165x ids are untrained
+        # <|extra_*|> tokens in the v1 vocab; reference qwen_vl_eagle.py:68
+        # formats "<img>{}</img>" and lets the tokenizer resolve them)
+        def _one(s: str, default: int) -> int:
+            try:
+                e = tokenizer.encode(s)
+                return int(e[0]) if len(e) == 1 else default
+            except Exception:
+                return default
+        start_id = _one("<img>", VISION_START_ID)
+        pad_id = _one("<imgpad>", IMAGE_PAD_ID)
+        end_id = _one("</img>", VISION_END_ID)
         # 1D rope: inline image span, mrope_section=None -> pos_delta 0
         gen = MSDGenerator(lm, draft, lc, dcfg, eng or EngineConfig(),
                            n_img=vcfg.n_queries,
                            eos_id=getattr(tokenizer, "im_end_id",
                                           getattr(tokenizer, "eos_token_id",
                                                   151643)),
-                           image_mode="inline", mrope_section=None)
+                           image_mode="inline", mrope_section=None,
+                           inline_pad_ids=(pad_id,))
         enc_c = jax.jit(lambda p, px: qwen_vl_vision_encode(p, vcfg, px))
         enc = lambda px: enc_c(vision, px)
-        return cls(gen, tokenizer, enc,
-                   img_grid=(vcfg.grid, vcfg.grid), **kw)
+        adapter = cls(gen, tokenizer, enc,
+                      img_grid=(vcfg.grid, vcfg.grid), **kw)
+        adapter.vision_start_id = start_id
+        adapter.image_pad_id = pad_id
+        adapter.vision_end_id = end_id
+        return adapter
 
     @classmethod
     def from_tiny(cls, **kw):

@@ -57,8 +57,9 @@ def score_answer(question: str, answer, extraction) -> bool:
     a, e = str(answer).strip(), str(extraction).strip()
     if len(a) == 1 and a.isalpha() and e:
         # option-letter answers: accept "(B)", "B.", "B) ..." forms by
-        # extracting the letter before comparing
-        m = re.search(r"\(?([A-Ha-h])\)?[.):\s]?", e)
+        # extracting the LEADING letter (anchored + delimited — an
+        # unanchored scan matched the 'h' in "The ...")
+        m = re.match(r"\(?([A-Ha-h])\)?(?:[.):\s]|$)", e)
         return bool(m) and m.group(1).upper() == a.upper()
     try:
         return abs(float(e) - float(a)) < 1e-6

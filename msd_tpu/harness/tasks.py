@@ -127,8 +127,11 @@ class TaskConfig:
                        gen_kwargs_override: Optional[Dict] = None
                        ) -> List[Instance]:
         reqs = []
-        if gen_kwargs_override:
-            self.gen_kwargs = {**self.gen_kwargs, **gen_kwargs_override}
+        # merge per-call: writing the override back to self would leak it
+        # into later runs of a --config sweep (TaskConfig lives in the
+        # process-global registry)
+        gen_kwargs = ({**self.gen_kwargs, **gen_kwargs_override}
+                      if gen_kwargs_override else self.gen_kwargs)
         for doc_id, doc in self.doc_iterator(docs, rank, world_size, limit,
                                              bottom):
             ctx = self.doc_to_text(doc)
@@ -151,14 +154,14 @@ class TaskConfig:
             elif self.output_type == "generate_until_multi_round":
                 reqs.append(Instance(
                     request_type="generate_until_multi_round", doc=doc,
-                    arguments=(ctx, dict(self.gen_kwargs),
+                    arguments=(ctx, dict(gen_kwargs),
                                self.doc_to_visual, self.doc_to_text,
                                doc_id, self.name, self.split),
                     idx=0, task_name=self.name, doc_id=doc_id))
             else:
                 reqs.append(Instance(
                     request_type="generate_until", doc=doc,
-                    arguments=(ctx, dict(self.gen_kwargs),
+                    arguments=(ctx, dict(gen_kwargs),
                                self.doc_to_visual, doc_id, self.name,
                                self.split),
                     idx=len(reqs), task_name=self.name, doc_id=doc_id))

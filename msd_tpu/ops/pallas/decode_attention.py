@@ -19,8 +19,9 @@ kv_cache.py:52-66). This kernel restores cost ∝ live length on TPU:
   engine's additive bias blocks — the same masks (causal / tree / length)
   drive visibility, so greedy AR == MSD parity is preserved by construction.
 - block_s auto-sizes to the VMEM budget (~16MB/core): the largest of
-  512/256/128/64 that divides S and keeps double-buffered K/V + accumulators
-  under ~10MB.
+  512/256/128 that divides S and keeps the measured scoped working set under
+  ~14MB (blocks below 128 are illegal: the bias block's lane dim must be
+  128-aligned). No fit -> fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -113,8 +114,9 @@ def _kernel(kvlen_ref, q_ref, k_ref, v_ref, b_ref, o_ref,
         o_ref[:] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
-def _pick_block_s(s: int, hkv: int, gt: int, d: int) -> int:
-    """Largest block dividing S whose working set fits scoped VMEM (16MB).
+def _pick_block_s(s: int, hkv: int, gt: int, d: int):
+    """Largest block dividing S whose working set fits scoped VMEM (16MB);
+    None when nothing fits (caller falls back to XLA).
 
     Mosaic's measured scoped allocation runs ~3x the naive double-buffered
     K/V estimate (buffering + matmul/transpose stack temporaries), so the

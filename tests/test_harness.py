@@ -538,3 +538,55 @@ def test_from_pretrained_attn_impl_override(tmp_path):
                                        pallas_min_s=512)
     assert adapter.gen.tcfg.attn_impl == "auto"
     assert adapter.gen.tcfg.pallas_min_s == 512
+
+
+def test_fractional_limit_applied_once():
+    """--limit 0.5 over a 64-doc pool must evaluate 32 docs, not 0.5^2*64=16
+    (load_docs truncates; the evaluator must not let doc_iterator re-apply
+    a fractional limit to the already-truncated list)."""
+    from msd_tpu.harness.evaluator import evaluate
+    from msd_tpu.harness.models.llava_msd import LlavaMSD
+    from msd_tpu.harness.registry import get_task
+    from msd_tpu.harness.tasks import register_builtin_tasks
+
+    register_builtin_tasks()
+    task = get_task("pope")
+    pool = len(task.load_docs(limit=None))
+    lm = LlavaMSD.from_tiny(use_msd=False)
+    res = evaluate(lm, ["pope"], limit=0.5)
+    assert res["details"]["pope"]["n_docs"] == max(1, int(pool * 0.5))
+
+
+def test_gen_kwargs_override_does_not_leak():
+    """build_requests(gen_kwargs_override=...) merges per call; the
+    registry-global TaskConfig must keep its defaults for later runs of a
+    --config sweep."""
+    from msd_tpu.harness.registry import get_task
+    from msd_tpu.harness.tasks import register_builtin_tasks
+
+    register_builtin_tasks()
+    task = get_task("pope")
+    before = dict(task.gen_kwargs)
+    docs = task.load_docs(limit=4)
+    reqs = task.build_requests(docs,
+                               gen_kwargs_override={"max_new_tokens": 4})
+    assert reqs[0].arguments[1]["max_new_tokens"] == 4
+    assert task.gen_kwargs == before
+    reqs2 = task.build_requests(docs)
+    assert reqs2[0].arguments[1]["max_new_tokens"] == \
+        before["max_new_tokens"]
+
+
+def test_mathverse_letter_scoring_anchored():
+    """Option-letter scoring accepts '(B)', 'B.', 'B) ...' and rejects a
+    letter buried mid-word ('The answer is B' must not match gold 'H' via
+    the 'h' in 'The')."""
+    from msd_tpu.harness.task_utils.mathverse import score_answer
+
+    assert score_answer("q", "B", "(B)")
+    assert score_answer("q", "B", "B.")
+    assert score_answer("q", "b", "B) because")
+    assert score_answer("q", "B", "B")
+    assert not score_answer("q", "H", "The answer is B")
+    assert not score_answer("q", "H", "Hello")
+    assert not score_answer("q", "B", "A")
