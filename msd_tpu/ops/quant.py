@@ -16,6 +16,7 @@ sign-extension, portable to every backend (no reliance on XLA S4 support).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,5 +63,16 @@ def dequantize(w_q: jnp.ndarray, scale: jnp.ndarray,
 
 def dequantize_int4(w_q: jnp.ndarray, scale: jnp.ndarray,
                     dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Packed int4 -> dtype; unpack + scale fuse into the consumer matmul."""
+    """Packed int4 -> dtype, re-unpacked at every use.
+
+    The unpack chain (shift/stack/reshape) does not fuse into the consumer
+    dot, so XLA materializes it — and loop-invariant code motion then
+    hoists it OUT of the decode while-loop, materializing the full bf16
+    weight stacks as persistent temp (8.8GB at 13B: the whole point of
+    int4 storage lost, and an instant OOM next to the 6.6GB packed args).
+    The optimization barrier pins the unpack inside the loop body: int4
+    decode re-pays a cheap VPU unpack per step and keeps HBM traffic at
+    the packed byte count.
+    """
+    w_q = jax.lax.optimization_barrier(w_q)
     return (unpack_int4(w_q).astype(jnp.float32) * scale).astype(dtype)
