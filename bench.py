@@ -16,7 +16,10 @@ decode with identical greedy outputs):
   fixed new-token budget — prefill, decode and dispatch on both sides.
 - Greedy determinism: canonical rounded argmax + ONE shared prefill
   executable for AR and MSD (see DESIGN.md "Greedy determinism"), so
-  greedy MSD == greedy AR is checked per prompt on hardware.
+  greedy MSD == greedy AR is checked per prompt on hardware. The shared
+  prefill means the AR side's prefill also runs the draft's 1-layer
+  prefill forward (~2ms of a ~5s AR prompt at 7B/256 tokens, <0.1% of
+  sum(AR)) — the price of starting both paths from bitwise-identical KV.
 - The reference's published alpha (6.69, ChartQA LLaVA-7B temp 0) gives a
   secondary at-reference-acceptance figure: alpha_ref * t_ar / t_step.
 """
@@ -459,10 +462,15 @@ def main():
             gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, n_img=n_img,
                                eos_id=-1, sp=bench_sp)
 
-        # pre-distill host snapshots (the failure path restores from these)
+        # pre-distill host snapshots (the failure path restores from these);
+        # the embedding is frozen across rounds, so copy it to host ONCE
+        # (collect_records used to pay a ~0.5GB device->host transfer per
+        # record round)
         dp_host0 = jax.tree.map(np.asarray, {
             k: v for k, v in dp.items() if k != "embed_tokens"})
         feats_host = np.asarray(feats) if feats is not None else None
+        emb_host0 = (np.asarray(tp["embed_tokens"])
+                     if args.records_source == "engine" else None)
         try:
             from msd_tpu.train.data_gen import make_record_from_ids
             from msd_tpu.train.draft_train import TrainConfig
@@ -487,8 +495,7 @@ def main():
                 from msd_tpu.train.data_gen import record_from_traj
                 t0 = time.time()
                 out, trajs = [], []
-                emb_host = np.asarray(tp["embed_tokens"]) \
-                    if args.records_source == "engine" else None
+                emb_host = emb_host0
                 for pi, p_ids in enumerate(prompts):
                     has_img = bool((p_ids == IMAGE_TOKEN_INDEX).any())
                     p_feats = feats if has_img else None

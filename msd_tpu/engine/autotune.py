@@ -106,6 +106,22 @@ def autotune_tree_alpha(gen, candidates, ids, img_feats=None,
 
     results = []
     best_score, best_tree = -float("inf"), gen.eng.tree
+    # medusa can only draft 1 + medusa_heads depths (fixed at engine
+    # construction): a deeper sweep plan would run TRUNCATED while being
+    # reported (and paying verify rows) for its full widths — trim it to
+    # the drafting capacity instead
+    max_d = 1 + getattr(gen.dcfg, "medusa_heads", 0)
+    if getattr(gen.dcfg, "medusa_heads", 0):
+        trimmed = []
+        for tree in candidates:
+            w = tree.medusa_widths
+            if w is not None and len(w) > max_d:
+                if log:
+                    log(f"alpha-tune: plan {w} exceeds the engine's "
+                        f"{max_d} draftable depths — trimming")
+                tree = widths_tree(w[:max_d], tree)
+            trimmed.append(tree)
+        candidates = trimmed
     for tree in candidates:
         gen.eng = dataclasses.replace(gen.eng, tree=tree)
         r = gen.generate(ids, img_feats=img_feats, max_new_tokens=max_new,

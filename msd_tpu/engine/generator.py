@@ -245,7 +245,9 @@ class MSDGenerator:
                 calib_data = {k: np.asarray(v[:n_steps])
                               for k, v in state.calib_log.items()}
             traj_hidden = exp_ids_out = None
-            if collect_hiddens:  # the prefused path carries st's flags too
+            fetch = collect_hiddens if fetch_hiddens is None else \
+                fetch_hiddens
+            if collect_hiddens and fetch:  # prefused path carries st's flags
                 traj_hidden = np.asarray(state.traj_hidden[:cur])
                 exp_ids_out = np.asarray(state.ids[:cur])
             return GenResult(tokens=out, accept_steps=int(state.steps),
@@ -481,7 +483,6 @@ class MSDGenerator:
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
-        st = self._statics(max_new, sp)
         key = jax.random.PRNGKey(seed)
         if share_prefill:
             if self.image_mode != "expand" or isinstance(img_feats,
@@ -499,6 +500,7 @@ class MSDGenerator:
             out = _trim(np.asarray(ids_buf[e0:int(cur) + 1]), self.eos_id,
                         max_new)
             return GenResult(tokens=out)
+        st = self._statics(max_new, sp)
         if isinstance(img_feats, (list, tuple)):  # multi-image prompt
             fused, exp_ids, _, e0, _ = self._fuse_multi(ids, img_feats)
             carry = SE.ar_prefill_prefused(st, self.params, fused, exp_ids,

@@ -168,7 +168,11 @@ def _rerank(st: Statics, params: Dict, logits: jnp.ndarray,
 
     R, K = cand_ids.shape
     ct = params["calib"]
-    margin_row = cand_probs[:, 0] - cand_probs[:, 1]            # [R]
+    # K can be 1 for width-1 medusa plans: the top1-top2 margin degrades
+    # to the top1 prob (no runner-up), matching cnets.py's single-candidate
+    # fallback semantics — indexing [:, 1] would be a static OOB at trace
+    margin_row = (cand_probs[:, 0] - cand_probs[:, 1] if K > 1
+                  else cand_probs[:, 0])                        # [R]
     depth_row = jnp.broadcast_to(jnp.asarray(depth, jnp.int32), (R,))
     if attn_feat.shape[0] < K:  # medusa width can exceed the OPT-Tree top_k
         attn_feat = jnp.pad(attn_feat, (0, K - attn_feat.shape[0]))

@@ -69,10 +69,13 @@ def sincos_2d(embed_dim: int, grid: int) -> np.ndarray:
 
     gh = np.arange(grid, dtype=np.float64)
     gw = np.arange(grid, dtype=np.float64)
-    ww, hh = np.meshgrid(gw, gh)  # order matches get_2d_sincos_pos_embed
-    emb_h = _1d(embed_dim // 2, hh)
+    ww, hh = np.meshgrid(gw, gh)
+    # MAE's get_2d_sincos_pos_embed quirk: grid = meshgrid(grid_w, grid_h)
+    # makes grid[0] the W-mesh, so its "emb_h" FIRST HALF actually encodes
+    # the w coordinate — the table is [w-half, h-half]
     emb_w = _1d(embed_dim // 2, ww)
-    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    emb_h = _1d(embed_dim // 2, hh)
+    return np.concatenate([emb_w, emb_h], axis=1).astype(np.float32)
 
 
 def _torch_bicubic_matrix(src: int, tgt: int) -> np.ndarray:

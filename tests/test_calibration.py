@@ -335,3 +335,52 @@ def test_calibration_logger_sessions_from_engine_rows():
     assert set(stats["by_depth"]) <= {1, 2, 3}
     assert stats["cross_modal_quantiles"]
     assert "avg_accepted_length" in stats
+
+
+def test_calibrated_rerank_width1_medusa():
+    """use_calibration over a width-1 medusa plan: _rerank sees K=1
+    candidate columns and must not index cand_probs[:, 1] (static OOB at
+    trace time); greedy stays lossless."""
+    import jax
+
+    from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, \
+        TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=4,
+                           intermediate_size=64, max_pos=512)
+    dcfg = DraftConfig(text=cfg, medusa_heads=3)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    tp = L.init_llama_params(k1, cfg)
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    dp["medusa"] = draft_mod.init_medusa_params(k3, dcfg)
+    dp["embed_tokens"] = tp["embed_tokens"]
+    eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                       tree=TreeConfig(top_k=1, max_depth=4, num_nodes=4,
+                                       medusa_widths=(1, 1, 1)))
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+    ids = np.arange(3, 12, dtype=np.int32)
+
+    r = gen.generate(ids, max_new_tokens=16, collect_calibration=True)
+    cd = r.calib_data
+    valid = cd["valid"].astype(bool)
+    feats = {
+        "token_category": np.asarray(["content"] * int(valid.sum())),
+        "avg_visual_attention_intensity": cd["attn"][valid],
+        "tree_depth": cd["depth"][valid].astype(float),
+        "draft_margin": cd["margin"][valid],
+        "draft_confidence": cd["draft_conf"][valid],
+    }
+    soft = soft_labels_from(cd["base_conf"][valid],
+                            np.maximum(cd["draft_conf"][valid], 1e-6))
+    cal = GroupedIsotonicCalibrator(min_samples_per_group=2,
+                                    max_grouping_level=1, target="soft")
+    cal.fit(feats, soft, cd["base_top1"][valid].astype(float))
+    gen.set_calibrator(CalibTables.from_host(
+        cal.export_tables(), synthetic_vocab_table(128), base_alpha=1.0))
+
+    ar = gen.naive_generate(ids, max_new_tokens=16)
+    msd = gen.generate(ids, max_new_tokens=16, use_calibration=True)
+    np.testing.assert_array_equal(msd.tokens, ar.tokens)
