@@ -193,6 +193,14 @@ class TreeConfig:
     # their top-1 to extend the accepted path). len() must be <= max_depth
     # and 1 + len() - 1 heads must exist.
     medusa_widths: Optional[tuple] = None
+    # medusa mode only: explicit sparse cartesian-product tree — a tuple of
+    # per-depth-rank paths like the reference's mc_sim_7b_63 (choices.py:1-3),
+    # e.g. ((0,), (1,), (0, 0), (1, 0), ...). Medusa heads are position-based
+    # (head d is unconditioned on the depth-d token), so the same candidate
+    # set extends ANY branch: node (r1..rd) carries head d's rank-rd token.
+    # Overrides medusa_widths; prefix-closure is applied automatically;
+    # num_nodes must cover 1 + len(closure).
+    medusa_choices: Optional[tuple] = None
 
     @property
     def num_draft(self) -> int:

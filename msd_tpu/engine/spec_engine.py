@@ -288,39 +288,60 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     never eats its own prediction error, and every depth's logits come from
     one stacked lm_head matmul (one weight read instead of max_depth).
 
-    The tree layout is STATIC: depth d's widths[d-1] candidates occupy a
-    fixed contiguous slot range, each depth branching off the previous
-    depth's rank-0 node (backbone chain). Static slots matter beyond speed:
-    a node's verify value depends only on the committed prefix, the (fixed)
-    backbone ancestor slots and its own rope position — sibling rows are
-    exact zero-contributions under the mask — so committed rows are
-    numerically canonical functions of the trajectory, and near-tie argmax
-    flips between runs with slightly different draft params (which plagued
-    the weight-sorted finalize_tree layout) largely disappear.
+    The tree layout is STATIC: every node occupies a fixed slot, so a node's
+    verify value depends only on the committed prefix, its (fixed) ancestor
+    slots and its own rope position — sibling rows are exact
+    zero-contributions under the mask — and near-tie argmax flips between
+    runs with slightly different draft params (which plagued the
+    weight-sorted finalize_tree layout) largely disappear.
 
-    TreeConfig.medusa_widths tapers the per-depth width (wide shallow,
-    narrow deep): deep heads only need their top-1 to extend the accepted
-    chain, so the same node budget buys much deeper trees."""
+    Two layouts:
+    - TreeConfig.medusa_widths (default): depth d's widths[d-1] candidates
+      branch off the previous depth's rank-0 node (backbone chain). Tapered
+      widths (wide shallow, narrow deep) buy much deeper trees for the same
+      node budget.
+    - TreeConfig.medusa_choices: an explicit sparse cartesian-product tree —
+      a tuple of per-depth-rank paths like the reference's mc_sim_7b_63
+      (choices.py:1-3), e.g. ((0,), (1,), (0, 0), (1, 0), (0, 0, 0), ...).
+      Because medusa heads are POSITION-based (head d predicts slot E+d+1
+      from the same hidden, unconditioned on the depth-d token), the same
+      per-depth candidate set extends ANY branch: node (r1..rd) carries
+      idx[d-1, rd]. A backbone tree ends the step whenever verification
+      accepts an off-backbone candidate; cross-product paths keep extending
+      rank-1/2 branches, raising alpha for a few extra nodes."""
     import numpy as _np
 
     t = st.tree
     K, D = t.top_k, t.max_depth
-    widths = list(t.medusa_widths) if t.medusa_widths is not None \
-        else [K] * D
-    widths = widths[:min(D, 1 + st.dcfg.medusa_heads)]
     N = t.num_nodes
-    # fit the width plan into the node budget, shallow depths first
-    budget, fitted = N - 1, []
-    for wd in widths:
-        take = min(wd, budget)
-        if take <= 0:
-            break
-        fitted.append(take)
-        budget -= take
-    widths = fitted
-    d_use = len(widths)
-    n_used = 1 + sum(widths)
-    W = max(widths)
+    d_cap = min(D, 1 + st.dcfg.medusa_heads)
+    if t.medusa_choices is not None:
+        closed = set()
+        for p in t.medusa_choices:
+            p = tuple(int(r) for r in p)[:d_cap]
+            for i in range(1, len(p) + 1):
+                closed.add(p[:i])
+        # prefix-closed, depth-major slot order; prefixes sort first, so a
+        # budget cut keeps the closure
+        paths = sorted(closed, key=lambda p: (len(p), p))[:N - 1]
+    else:
+        widths = list(t.medusa_widths) if t.medusa_widths is not None \
+            else [K] * D
+        widths = widths[:d_cap]
+        # fit the width plan into the node budget, shallow depths first
+        budget, fitted = N - 1, []
+        for wd in widths:
+            take = min(wd, budget)
+            if take <= 0:
+                break
+            fitted.append(take)
+            budget -= take
+        paths = [(0,) * (d - 1) + (r,)
+                 for d in range(1, len(fitted) + 1)
+                 for r in range(fitted[d - 1])]
+    d_use = max((len(p) for p in paths), default=0)
+    W = 1 + max((p[-1] for p in paths), default=0)
+    slot_of = {p: i + 1 for i, p in enumerate(paths)}
     dp = params["draft"]
     head = params["target"]["lm_head"]
 
@@ -338,7 +359,6 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
         idx, w = idx_r, w_r
 
     # ---- static structure (trace-time numpy constants) ----
-    lo_of = _np.cumsum([1] + widths)[:-1]          # slot base per depth
     depth_np = _np.zeros((N,), _np.int32)
     par_np = _np.zeros((N,), _np.int32)
     valid_np = _np.zeros((N,), bool)
@@ -348,41 +368,43 @@ def _draft_expand_medusa(st: Statics, params: Dict, draft_kv: Dict,
     P = t.max_path_len
     ret_np = _np.full((N, P), -1, _np.int32)
     ret_np[0, 0] = 0
-    for d in range(1, d_use + 1):
-        lo, wd = int(lo_of[d - 1]), widths[d - 1]
-        depth_np[lo:lo + wd] = d
-        par_np[lo:lo + wd] = 0 if d == 1 else int(lo_of[d - 2])
-        valid_np[lo:lo + wd] = True
-        ret_np[lo:lo + wd, 0] = 0
-        for a in range(1, d):
-            mask_np[lo:lo + wd, int(lo_of[a - 1])] = True
-            ret_np[lo:lo + wd, a] = int(lo_of[a - 1])
-        ret_np[lo:lo + wd, d] = _np.arange(lo, lo + wd)
+    by_depth = {}      # d -> (slots, last ranks, parent slots) numpy arrays
+    for p, s in slot_of.items():
+        d = len(p)
+        depth_np[s] = d
+        par_np[s] = slot_of[p[:-1]] if d > 1 else 0
+        valid_np[s] = True
+        ret_np[s, 0] = 0
+        for a in range(1, d + 1):
+            mask_np[s, slot_of[p[:a]]] = True
+            ret_np[s, a] = slot_of[p[:a]]
+        by_depth.setdefault(d, []).append((s, p[-1], par_np[s]))
+    by_depth = {d: tuple(_np.asarray(c) for c in zip(*sorted(v)))
+                for d, v in by_depth.items()}
 
     # ---- dynamic: tokens + weights ----
     tokens = jnp.full((N,), -1, jnp.int32)
     tokens = tokens.at[0].set(root_token.astype(jnp.int32))
     node_w = jnp.zeros((N,), jnp.float32).at[0].set(1.0)
     conf = jnp.zeros((N,), jnp.float32)
-    chain = jnp.float32(1.0)
     for d in range(1, d_use + 1):
-        lo, wd = int(lo_of[d - 1]), widths[d - 1]
-        tokens = tokens.at[lo:lo + wd].set(idx[d - 1, :wd].astype(jnp.int32))
-        node_w = node_w.at[lo:lo + wd].set(chain * w[d - 1, :wd])
+        sl, rk, pa = by_depth[d]
+        tokens = tokens.at[sl].set(idx[d - 1, rk].astype(jnp.int32))
+        node_w = node_w.at[sl].set(node_w[pa] * w[d - 1, rk])
         if st.collect_calibration:
-            conf = conf.at[lo:lo + wd].set(w[d - 1, :wd])
-        chain = chain * w[d - 1, 0]
+            conf = conf.at[sl].set(w[d - 1, rk])
 
     extras = {}
     if st.collect_calibration:
         margin = margin_pre
         attn_v = jnp.zeros((N,), jnp.float32)
         marg_v = jnp.zeros((N,), jnp.float32)
+        af_n = attn_feat.shape[0]
         for d in range(1, d_use + 1):
-            lo, wd = int(lo_of[d - 1]), widths[d - 1]
-            attn_v = attn_v.at[lo:lo + wd].set(attn_feat[:wd])
-            marg_v = marg_v.at[lo:lo + wd].set(
-                jnp.broadcast_to(margin[d - 1], (wd,)))
+            sl, rk, _pa = by_depth[d]
+            attn_v = attn_v.at[sl].set(attn_feat[_np.minimum(rk, af_n - 1)])
+            marg_v = marg_v.at[sl].set(
+                jnp.broadcast_to(margin[d - 1], (len(sl),)))
         extras = {"local_conf": conf, "attn": attn_v, "margin": marg_v}
 
     tr = Tree(tokens=tokens,

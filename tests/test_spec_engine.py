@@ -426,6 +426,88 @@ def test_medusa_tapered_widths():
     np.testing.assert_array_equal(ar, r.tokens)
 
 
+def test_medusa_choices_tree():
+    """medusa_choices: sparse cartesian-product static trees (reference
+    choices.py mc_sim_7b_63 analog for position-based medusa heads).
+
+    (a) a choices tree encoding exactly the backbone-widths layout commits
+        the same greedy tokens with the same per-step acceptance as the
+        equivalent medusa_widths config; (b) a true cross-product tree
+        (branches under rank-1/2 depth-1 candidates) stays lossless and
+        never accepts fewer tokens per step than its backbone subset;
+        (c) prefix closure is applied for paths given without prefixes."""
+    import dataclasses
+
+    import jax
+
+    from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, \
+        TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+
+    cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=64, layers=2, heads=4,
+                           intermediate_size=128, max_pos=512)
+    widths = (4, 2, 1, 1)
+    dcfg = DraftConfig(text=cfg, medusa_heads=len(widths) - 1)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    tp = L.init_llama_params(k1, cfg)
+    tp["lm_head"] = tp["lm_head"] * 3.0
+    dp = draft_mod.init_draft_params(k2, dcfg)
+    dp["medusa"] = draft_mod.init_medusa_params(k3, dcfg)
+    dp["embed_tokens"] = tp["embed_tokens"]
+    rng = np.random.default_rng(0)
+    ids = rng.integers(3, 250, size=9).astype(np.int32)
+
+    def run(tree):
+        eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32, tree=tree)
+        gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+        return gen.generate(ids, max_new_tokens=40)
+
+    # (a) backbone encoded as choices == medusa_widths, bitwise
+    base = TreeConfig(top_k=4, max_depth=len(widths), num_nodes=16,
+                      medusa_widths=widths)
+    backbone = tuple((0,) * (d - 1) + (r,)
+                     for d in range(1, len(widths) + 1)
+                     for r in range(widths[d - 1]))
+    rw = run(base)
+    rc = run(dataclasses.replace(base, medusa_widths=None,
+                                 medusa_choices=backbone))
+    np.testing.assert_array_equal(rw.tokens, rc.tokens)
+    assert rw.accept_steps == rc.accept_steps
+    assert rw.accept_len_sum == rc.accept_len_sum
+
+    ar = MSDGenerator(tp, dp, cfg, dcfg,
+                      EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                                   tree=base),
+                      eos_id=-1).naive_generate(ids, max_new_tokens=40).tokens
+
+    # (b) cross-product tree: backbone + full depth-2 fan under ranks 1-3 +
+    # rank-1 continuation chains — lossless; the FIRST step (identical
+    # prefill state, superset of backbone paths) accepts >= the backbone's
+    cross = backbone + ((1, 0), (2, 0), (3, 0), (0, 1), (1, 1),
+                        (1, 0, 0), (1, 0, 0, 0))
+    cross_tree = dataclasses.replace(base, num_nodes=24, medusa_widths=None,
+                                     medusa_choices=cross)
+    rx = run(cross_tree)
+    np.testing.assert_array_equal(ar, rx.tokens)
+
+    def first_step_accept(tree):
+        eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32, tree=tree)
+        gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+        r1 = gen.generate(ids, max_new_tokens=1)
+        assert r1.accept_steps == 1
+        return r1.accept_len_sum
+
+    assert first_step_accept(cross_tree) >= first_step_accept(base)
+
+    # (c) closure: leaves-only spec runs (prefixes inserted automatically)
+    leaves = ((3, 0), (0, 1), (1, 0, 0, 0), (0, 0, 0, 0))
+    rl = run(dataclasses.replace(base, num_nodes=16, medusa_widths=None,
+                                 medusa_choices=leaves))
+    np.testing.assert_array_equal(ar, rl.tokens)
+
+
 def test_greedy_round_bits_lossless_and_pinned_first_token():
     """Canonical greedy argmax (greedy_round_bits > 0): MSD == AR with the
     rounding applied identically on both paths, and first_token() pinning
