@@ -469,13 +469,16 @@ def make_yesno_task(name: str, dataset_path=None) -> TaskConfig:
         } for i in range(n)])
 
 
-def make_vqav2(dataset_path=None) -> TaskConfig:
-    """VQAv2: consensus accuracy over 10 annotator answers
-    (lmms-eval tasks/vqav2/utils.py semantics via metrics.vqa_accuracy)."""
+def make_vqa_consensus(name: str, dataset_path=None,
+                       post_prompt=("\nAnswer the question using a single "
+                                    "word or phrase.")) -> TaskConfig:
+    """Consensus accuracy over 10 annotator answers (lmms-eval
+    tasks/vqav2/utils.py + tasks/ok_vqa semantics via
+    metrics.vqa_accuracy). ok_vqa adds the 'Unanswerable' hint to the
+    prompt (ok_vqa_val2014_lite.yaml:25)."""
     return TaskConfig(
-        name="vqav2",
-        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question using "
-                               "a single word or phrase."),
+        name=name,
+        doc_to_text=lambda d: f"{d['question']}{post_prompt}",
         doc_to_visual=_visual,
         process_results=lambda d, r: {"vqa_accuracy": M.vqa_accuracy(
             r[0], d.get("answers", [d.get("answer", "")] * 10))},
@@ -610,22 +613,28 @@ def _synth_caption_docs(n: int) -> List[Dict]:
         "image": _synth_image(i)} for i in range(n)]
 
 
-def make_coco_cap(dataset_path=None) -> TaskConfig:
-    """COCO-2017 captioning (tasks/coco_cap/utils.py): corpus BLEU-1..4 /
-    ROUGE-L / CIDEr over all docs via aggregate_extra (the per-doc rows
-    carry host-local pred/ref strings; see task_utils/captioning.py for the
-    documented tokenizer/METEOR deviations)."""
+def make_caption_task(name: str, dataset_path=None,
+                      prompt=("Provide a one-sentence caption for the "
+                              "provided image.")) -> TaskConfig:
+    """Image captioning (tasks/coco_cap|textcaps|nocaps|flickr30k/utils.py):
+    corpus BLEU-1..4 / ROUGE-L / CIDEr over all docs via aggregate_extra
+    (the per-doc rows carry host-local pred/ref strings; see
+    task_utils/captioning.py for the documented tokenizer/METEOR
+    deviations). The reference ref-caption field differs per dataset —
+    coco 'answer', textcaps 'caption_str' (textcaps/utils.py:34), nocaps
+    'annotations_captions' (nocaps/utils.py:37), flickr30k 'caption'
+    (flickr30k/utils.py:38) — all are checked."""
     from msd_tpu.harness.task_utils import captioning as C
 
     def _res(d, r):
-        refs = d.get("answer") or d.get("answers") or []
+        refs = (d.get("answer") or d.get("answers") or d.get("caption_str")
+                or d.get("annotations_captions") or d.get("caption") or [])
         if isinstance(refs, str):
             refs = [refs]
         return {"_pred": r[0], "_refs": [str(a) for a in refs]}
     return TaskConfig(
-        name="coco2017_cap_val",
-        doc_to_text=lambda d: ("Provide a one-sentence caption for the "
-                               "provided image."),
+        name=name,
+        doc_to_text=lambda d: prompt,
         doc_to_visual=_visual,
         process_results=_res,
         dataset_path=dataset_path,
@@ -633,6 +642,104 @@ def make_coco_cap(dataset_path=None) -> TaskConfig:
         metric_names=(),
         aggregate_extra=C.caption_scores,
         synthetic_docs=_synth_caption_docs)
+
+
+def make_hallusion_bench(dataset_path=None) -> TaskConfig:
+    """HallusionBench yes/no probes with the reference's offline 'intern'
+    scoring (hallusion_bench/evaluate_hb.py:91-117): aAcc per question,
+    qAcc = min over the question group (category, subcategory, set_id,
+    question_id), fAcc = min over the figure group (category, subcategory,
+    set_id, figure_id). gt_answer is '1' (yes) / '0' (no); a prediction
+    counts as yes iff it contains 'yes'. Group keys are crc32 floats so
+    rows survive the numeric multi-host gather (same trick as MME)."""
+    import zlib
+
+    def _gkey(d, last):
+        raw = "_".join([str(d.get("category", "")),
+                        str(d.get("subcategory", "")),
+                        str(d.get("set_id", "")), str(d.get(last, ""))])
+        return float(zlib.crc32(raw.encode()))
+
+    def _res(d, r):
+        pred_yes = "yes" in r[0].lower()
+        gt = str(d.get("gt_answer", d.get("answer", ""))).strip()
+        gt_yes = gt == "1" or gt.lower().startswith("y")
+        return {"aAcc": 1.0 if pred_yes == gt_yes else 0.0,
+                "_qkey": _gkey(d, "question_id"),
+                "_fkey": _gkey(d, "figure_id")}
+
+    def _group_min(rows, key):
+        groups: Dict[float, float] = {}
+        for r in rows:
+            k = r.get(key)
+            if k is None:
+                continue
+            groups[k] = min(groups.get(k, 1.0), r["aAcc"])
+        return sum(groups.values()) / max(1, len(groups))
+
+    return TaskConfig(
+        name="hallusion_bench",
+        doc_to_text=lambda d: (
+            "For the following question, provide a detailed explanation of "
+            "your reasoning leading to the answer." + d["question"]),
+        doc_to_visual=_visual,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 128, "temperature": 0.0},
+        metric_names=("aAcc",),
+        aggregate_extra=lambda rows: {
+            "qAcc": _group_min(rows, "_qkey"),
+            "fAcc": _group_min(rows, "_fkey")},
+        synthetic_docs=lambda n: [{
+            "question": f"Is shape {i % 3} present in the image?",
+            "gt_answer": "1" if i % 2 == 0 else "0",
+            "category": "VD", "subcategory": "illusion",
+            "set_id": str(i // 4), "figure_id": str(i // 2),
+            "question_id": str(i),
+            "image": _synth_image(i)} for i in range(n)])
+
+
+def make_videomme(dataset_path=None, max_frames: int = 8) -> TaskConfig:
+    """Video-MME: multiple-choice over VIDEO input (tasks/videomme/
+    utils.py:150-156 prompt format — option_prompt + lettered options +
+    'The best answer is:'). doc_to_visual returns a [T, H, W, 3] frames
+    array (or a video path from the dataset), which a video-capable
+    adapter (qwen2_vl_msd) samples and runs through the temporal tower."""
+    def _text(d):
+        option_prompt = ("Select the best answer to the following "
+                         "multiple-choice question based on the video. "
+                         "Respond with only the letter (A, B, C, or D) of "
+                         "the correct option.")
+        opts = "\n".join(str(o) for o in d.get("options", []))
+        return (f"{option_prompt}\n{d['question']}\n{opts}\n"
+                "The best answer is:")
+
+    def _vis(d):
+        if "videoID" in d and d.get("video_root"):
+            return [os.path.join(d["video_root"], d["videoID"] + ".mp4")]
+        return [d["video"]]
+
+    def _synth_video(i):
+        rng = np.random.default_rng(i)
+        return rng.integers(0, 255, size=(6, 56, 56, 3), dtype=np.uint8)
+
+    return TaskConfig(
+        name="videomme",
+        doc_to_text=_text,
+        doc_to_visual=_vis,
+        process_results=lambda d, r: {
+            "accuracy": M.mc_accuracy(
+                r[0], _mc_letter(d["answer"],
+                                 len(d.get("options") or [])))},
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 8, "temperature": 0.0},
+        metric_names=("accuracy",),
+        synthetic_docs=lambda n: [{
+            "question": f"Which option is number {i % 4}?",
+            "options": [f"{c}. option {j}" for j, c in enumerate("ABCD")],
+            "answer": "ABCD"[i % 4],
+            "video": _synth_video(i),
+        } for i in range(n)])
 
 
 def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
@@ -656,17 +763,39 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_task("scienceqa_img", make_mc_task("scienceqa_img",
                                                 p("ScienceQA")))
     register_task("mmbench_en", make_mc_task("mmbench_en", p("MMBench")))
+    register_task("mmbench_cn", make_mc_task("mmbench_cn", p("MMBench-CN")))
+    register_task("seedbench_2", make_mc_task("seedbench_2",
+                                              p("SEED-Bench-2")))
     register_task("ocrbench", make_freeform_task("ocrbench", p("OCRBench")))
     register_task("ai2d_ppl", make_mc_ppl_task("ai2d_ppl", p("AI2D")))
-    register_task("vqav2", make_vqav2(p("VQAv2")))
+    register_task("vqav2", make_vqa_consensus("vqav2", p("VQAv2")))
+    register_task("ok_vqa", make_vqa_consensus(
+        "ok_vqa", p("OK-VQA"),
+        post_prompt=("\nWhen the provided information is insufficient, "
+                     "respond with 'Unanswerable'.\nAnswer the question "
+                     "using a single word or phrase.")))
+    register_task("stvqa", make_anls_task("stvqa", p("ST-VQA")))
     register_task("mme", make_mme(p("MME")))
+    register_task("hallusion_bench", make_hallusion_bench(
+        p("HallusionBench")))
+    register_task("videomme", make_videomme(p("Video-MME")))
     register_task("seedbench", make_mc_task("seedbench", p("SEED-Bench")))
     register_task("mmstar", make_mc_task("mmstar", p("MMStar")))
     register_task("realworldqa", make_mc_task("realworldqa",
                                               p("RealWorldQA")))
     register_task("mmmu_val", make_mmmu(p("MMMU")))
     register_task("vizwiz_vqa_val", make_vizwiz(p("VizWiz-VQA")))
-    register_task("coco2017_cap_val", make_coco_cap(p("COCO-Caption2017")))
+    register_task("coco2017_cap_val",
+                  make_caption_task("coco2017_cap_val",
+                                    p("COCO-Caption2017")))
+    register_task("textcaps_val", make_caption_task("textcaps_val",
+                                                    p("TextCaps")))
+    register_task("nocaps_val", make_caption_task("nocaps_val", p("NoCaps")))
+    register_task("flickr30k_test", make_caption_task(
+        "flickr30k_test", p("Flickr30k"),
+        prompt=("Provide a one-sentence caption for the provided image. "
+                "For the following question, provide a detailed explanation "
+                "of your reasoning leading to the answer.")))
     # user YAML tasks (the lmms-eval tasks/*.yaml layer): every *.yaml under
     # $MSD_TPU_TASKS (or <dataset_root>/tasks) registers one task
     yaml_dir = os.environ.get("MSD_TPU_TASKS",

@@ -590,3 +590,82 @@ def test_mathverse_letter_scoring_anchored():
     assert not score_answer("q", "H", "The answer is B")
     assert not score_answer("q", "H", "Hello")
     assert not score_answer("q", "B", "A")
+
+
+def test_new_round3_tasks_registered_and_run():
+    """Round-3 long-tail tasks: registration + synthetic-doc request build
+    (ok_vqa/stvqa/hallusion_bench/mmbench_cn/seedbench_2 + the caption
+    family textcaps/nocaps/flickr30k)."""
+    from msd_tpu.harness.registry import get_task, TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for name in ("ok_vqa", "stvqa", "hallusion_bench", "mmbench_cn",
+                 "seedbench_2", "textcaps_val", "nocaps_val",
+                 "flickr30k_test"):
+        assert name in TASK_REGISTRY, name
+        task = get_task(name)
+        docs = task.load_docs(limit=4)
+        assert len(docs) == 4
+        reqs = task.build_requests(docs)
+        assert len(reqs) == 4
+    # ok_vqa prompt carries the Unanswerable hint (ok_vqa_val2014_lite.yaml)
+    okvqa = get_task("ok_vqa")
+    d = okvqa.load_docs(limit=1)[0]
+    assert "Unanswerable" in okvqa.doc_to_text(d)
+
+
+def test_hallusion_bench_group_metrics():
+    """qAcc/fAcc are min-over-group (evaluate_hb.py:91-117): one wrong
+    answer zeroes its question group and its figure group."""
+    from msd_tpu.harness.registry import get_task
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    task = get_task("hallusion_bench")
+    docs = task.load_docs(limit=4)  # figure groups {0: d0,d1}, {1: d2,d3}
+    rows = []
+    for i, d in enumerate(docs):
+        gt_yes = d["gt_answer"] == "1"
+        # answer d0 wrong, the rest right
+        pred = ("No." if gt_yes else "Yes.") if i == 0 else (
+            "Yes." if gt_yes else "No.")
+        rows.append(task.process_results(d, [pred]))
+    assert [r["aAcc"] for r in rows] == [0.0, 1.0, 1.0, 1.0]
+    extra = task.aggregate_extra(rows)
+    # 4 distinct question_ids -> qAcc = 3/4; figure_id groups {0,1},{2,3}
+    # -> figure 0 has the wrong answer -> fAcc = 1/2
+    assert extra["qAcc"] == 0.75
+    assert extra["fAcc"] == 0.5
+
+
+def test_caption_ref_key_fallbacks():
+    """The caption factory reads whichever ref field the dataset uses:
+    textcaps 'caption_str', nocaps 'annotations_captions', flickr30k
+    'caption' (each reference utils.py reads its own)."""
+    from msd_tpu.harness.tasks import make_caption_task
+    t = make_caption_task("cap")
+    for key in ("caption_str", "annotations_captions", "caption", "answer"):
+        res = t.process_results({key: ["a red square", "red square"]},
+                                ["a red square"])
+        assert res["_refs"] == ["a red square", "red square"]
+        assert res["_pred"] == "a red square"
+
+
+def test_videomme_end_to_end_with_video_adapter():
+    """videomme task docs carry video frames; evaluate() routes them through
+    the tiny qwen2_vl_msd adapter's video branch (frame sampling + temporal
+    tower) and scores MC accuracy."""
+    from msd_tpu.harness.evaluator import evaluate
+    from msd_tpu.harness.models.qwen2_vl_msd import Qwen2VLMSD
+    from msd_tpu.harness.registry import get_task
+    from msd_tpu.harness.tasks import register_builtin_tasks
+
+    register_builtin_tasks()
+    task = get_task("videomme")
+    d = task.load_docs(limit=2)[0]
+    assert task.doc_to_visual(d)[0].ndim == 4  # [T, H, W, 3]
+    assert "The best answer is:" in task.doc_to_text(d)
+    adapter = Qwen2VLMSD.from_tiny(max_num_frames=4)
+    out = evaluate(adapter, ["videomme"], limit=2)
+    res = out["results"]["videomme"]
+    assert "accuracy" in res
+    assert 0.0 <= res["accuracy"] <= 1.0

@@ -131,31 +131,35 @@ def main():
     s0 = state
 
     # 1) draft suffix forward (P rows through the 1-layer draft)
+    # NOTE every loop takes (params, cos_t, sin_t) as jit ARGUMENTS —
+    # closed-over device arrays become XLA constants, and a 13.5GB
+    # constant stalls the remote compile (same pitfall as commit e2424d1)
     @jax.jit
-    def suffix_loop(s):
+    def suffix_loop(pr, ct, sn, s):
         def body(c, _):
             dkv, lh, af = c
             sh = ob((s.suffix_hidden, lh))[0]
             lh2, dkv2, _dl, af2 = SE._draft_suffix_forward(
-                st, params, dkv, s.draft_len, s.suffix_tokens, sh,
-                s.suffix_len, lh, cos_t, sin_t, s.img_pos, af, s.pos_delta)
+                st, pr, dkv, s.draft_len, s.suffix_tokens, sh,
+                s.suffix_len, lh, ct, sn, s.img_pos, af, s.pos_delta)
             return (dkv2, lh2, af2), None
         c0 = (s.draft_kv, s.last_draft_hidden, s.attn_feat)
         return jax.lax.scan(body, c0, None, length=IT)[0][1]
 
-    _, res["suffix_fwd"] = timed("draft suffix forward", suffix_loop, s0)
+    _, res["suffix_fwd"] = timed("draft suffix forward", suffix_loop,
+                                 params, cos_t, sin_t, s0)
 
     # 2) medusa expansion (heads + stacked lm_head + top_k + tree build)
     @jax.jit
-    def expand_loop(s):
+    def expand_loop(pr, s):
         def body(c, _):
             lh = ob((s.last_draft_hidden, c))[0]
-            tr, _ = SE._draft_expand_medusa(st, params, s.draft_kv, lh,
+            tr, _ = SE._draft_expand_medusa(st, pr, s.draft_kv, lh,
                                             s.bonus, s.attn_feat)
             return leaf_sum((tr.tokens, tr.node_weight)), None
         return jax.lax.scan(body, jnp.float32(0.0), None, length=IT)[0]
 
-    _, res["expand"] = timed("medusa expansion", expand_loop, s0)
+    _, res["expand"] = timed("medusa expansion", expand_loop, params, s0)
 
     # a fixed tree for the verify/commit stages
     tr0 = SE._draft_expand_medusa(st, params, s0.draft_kv,
@@ -166,14 +170,14 @@ def main():
     # 3) verify forward + lm_head + greedy eval (canonical window attention)
     def make_verify_loop(stx):
         @jax.jit
-        def verify_loop(s, tr):
+        def verify_loop(pr, ct, sn, s, tr):
             def body(c, _):
                 tkv, acc = c
                 toks = ob((tr.tokens, acc))[0]
                 trx = tr._replace(tokens=toks)
                 hidden, tkv2, best, acc_len, next_tok, _k, logits = \
-                    SE._verify(stx, params, tkv, s.cur_len, trx, s.key,
-                               cos_t, sin_t, s.pos_delta, s.ids)
+                    SE._verify(stx, pr, tkv, s.cur_len, trx, s.key,
+                               ct, sn, s.pos_delta, s.ids)
                 acc2 = (jnp.sum(logits) + jnp.sum(hidden.astype(jnp.float32))
                         + jnp.float32(best + acc_len + next_tok))
                 return (tkv2, acc2), None
@@ -182,27 +186,30 @@ def main():
         return verify_loop
 
     _, res["verify_canon"] = timed("verify fwd+head+eval (canonical)",
-                                   make_verify_loop(st), s0, tr0)
+                                   make_verify_loop(st), params, cos_t,
+                                   sin_t, s0, tr0)
     _, res["verify_plain"] = timed("verify fwd+head+eval (plain bias)",
-                                   make_verify_loop(st_nocanon), s0, tr0)
+                                   make_verify_loop(st_nocanon), params,
+                                   cos_t, sin_t, s0, tr0)
 
     # 4) lm_head alone on N rows
     hid0 = jax.block_until_ready(
         jax.jit(lambda s: s.suffix_hidden[:1].repeat(nodes, 0))(s0))
 
     @jax.jit
-    def head_loop(h):
+    def head_loop(pr, h):
         def body(c, _):
             hx = ob((h, c))[0]
-            lg = L.lm_head(params["target"], hx)
+            lg = L.lm_head(pr["target"], hx)
             return jnp.sum(lg), None
         return jax.lax.scan(body, jnp.float32(0.0), None, length=IT)[0]
 
-    _, res["lm_head"] = timed(f"lm_head [{nodes}, V]", head_loop, hid0)
+    _, res["lm_head"] = timed(f"lm_head [{nodes}, V]", head_loop, params,
+                              hid0)
 
     # 5) greedy evaluation alone (canon round + path walk)
     lg0 = jax.block_until_ready(
-        jax.jit(lambda h: L.lm_head(params["target"], h))(hid0))
+        jax.jit(lambda pr, h: L.lm_head(pr["target"], h))(params, hid0))
 
     @jax.jit
     def eval_loop(lg, tr):
@@ -218,7 +225,7 @@ def main():
 
     # 6) commit (KV path gather + ids/suffix staging)
     @jax.jit
-    def commit_loop(s, tr):
+    def commit_loop(s, tr):  # no params needed: _commit touches no weights
         def body(tkv, _):
             sx = s._replace(target_kv=tkv)
             hid = ob((hid0, leaf_sum((tkv["k"][0, 0],))))[0]
@@ -230,34 +237,34 @@ def main():
     _, res["commit"] = timed("commit (KV gather+stage)", commit_loop, s0, tr0)
 
     # 7) T=1 target forward (the AR step's forward cost)
-    kv1 = s0.target_kv
     emb1 = jax.block_until_ready(jax.jit(
-        lambda s: params["target"]["embed_tokens"][:1] * 1.0)(s0))
+        lambda pr: pr["target"]["embed_tokens"][:1] * 1.0)(params))
 
     @jax.jit
-    def t1_loop(s, emb):
+    def t1_loop(pr, ct, sn, s, emb):
         def body(c, _):
             tkv, acc = c
             ex = ob((emb, acc))[0]
             bias = jnp.where(jnp.arange(st.s_target)[None, :] <= s.cur_len,
                              0.0, SE.NEG_INF).astype(jnp.float32)
-            h, tkv2 = L.llama_forward(params["target"], tcfg, ex,
+            h, tkv2 = L.llama_forward(pr["target"], tcfg, ex,
                                       s.cur_len[None], tkv, s.cur_len, bias,
-                                      cos_t, sin_t, kv_len=s.cur_len + 1)
-            lg = L.lm_head(params["target"], h)
+                                      ct, sn, kv_len=s.cur_len + 1)
+            lg = L.lm_head(pr["target"], h)
             return (tkv2, jnp.sum(lg)), None
         return jax.lax.scan(body, (s.target_kv, jnp.float32(0.0)), None,
                             length=IT)[0][1]
 
-    _, res["t1_fwd"] = timed("T=1 target forward+head", t1_loop, s0, emb1)
+    _, res["t1_fwd"] = timed("T=1 target forward+head", t1_loop, params,
+                             cos_t, sin_t, s0, emb1)
 
     # ---- full decode body, canonical on/off ----
     if not args.skip_full:
         def make_body_loop(stx):
-            body = SE._decode_body(stx, params, cos_t, sin_t)
-
             @jax.jit
-            def body_loop(s):
+            def body_loop(pr, ct, sn, s):
+                body = SE._decode_body(stx, pr, ct, sn)
+
                 def it(sx, _):
                     sx = sx._replace(
                         cur_len=s.cur_len, draft_len=s.draft_len,
@@ -268,9 +275,11 @@ def main():
             return body_loop
 
         _, res["body_canon"] = timed("FULL decode body (canonical)",
-                                     make_body_loop(st), s0)
+                                     make_body_loop(st), params, cos_t,
+                                     sin_t, s0)
         _, res["body_plain"] = timed("FULL decode body (plain bias)",
-                                     make_body_loop(st_nocanon), s0)
+                                     make_body_loop(st_nocanon), params,
+                                     cos_t, sin_t, s0)
 
     log("")
     parts = ["suffix_fwd", "expand", "verify_canon", "commit"]
