@@ -211,6 +211,14 @@ def main():
                     choices=["none", "int8", "int4"],
                     help="weight-only quantized target (int8 halves, int4 "
                          "quarters decode weight reads)")
+    ap.add_argument("--quant-draft", default="none",
+                    choices=["none", "int8", "int4"],
+                    help="weight-only quantized DRAFT (layers + fc + medusa "
+                         "resblocks). Lossless for committed outputs under "
+                         "canonical attention: the bf16 target decides "
+                         "acceptance and committed rows are draft-invariant "
+                         "bitwise, so this can only shift alpha. Trims "
+                         "~0.45GB of draft-side HBM reads per step at 7B.")
     ap.add_argument("--quant-cache", default="",
                     help="pickle path caching the host-quantized target "
                          "tree (host-side jax-cpu init+quantize of 13B "
@@ -626,6 +634,25 @@ def main():
                 "undistilled draft (alpha ~= 1)")
             rebuild(dp_host0, feats_host)
 
+    # ---- optional draft-side weight quantization ----
+    # applied AFTER distillation (quantize the trained weights) and BEFORE
+    # the alpha-tune/timed phase so every measured program runs the
+    # quantized draft. Committed tokens are unchanged under canonical
+    # attention (draft-invariant bitwise); only alpha can shift.
+    if args.quant_draft != "none":
+        qd_bits = 8 if args.quant_draft == "int8" else 4
+        dp_q = draft_mod.quantize_draft_params(
+            {k: v for k, v in dp.items() if k != "embed_tokens"},
+            bits=qd_bits)
+        eng = gen.eng
+        gen.params = None
+        dp = dp_q
+        dp["embed_tokens"] = tp["embed_tokens"]
+        gen = MSDGenerator(tp, dp, tcfg, dcfg, eng,
+                           n_img=n_img, eos_id=-1, sp=bench_sp)
+        log(f"draft quantized to {args.quant_draft} weight-only "
+            "(layers + fc + medusa)")
+
     # ---- optional alpha-aware tree-budget sweep ----
     alpha_tune_info = None
     if args.alpha_tune:
@@ -731,6 +758,10 @@ def main():
         if dcfg.medusa_heads:
             dp_null["medusa"] = draft_mod.init_medusa_params(
                 jax.random.PRNGKey(4321), dcfg, dtype)
+        if args.quant_draft != "none":
+            # same param treedef as the timed run -> same compiled program
+            dp_null = draft_mod.quantize_draft_params(
+                dp_null, bits=8 if args.quant_draft == "int8" else 4)
         dp_null["embed_tokens"] = tp["embed_tokens"]
         saved_params = gen.params
         gen.params = dict(gen.params)

@@ -62,7 +62,8 @@ def medusa_hiddens(mp: Params, x: jnp.ndarray) -> jnp.ndarray:
 
     h_k = x + silu(x @ mw[k] + mb[k]); head(h_k) is the depth-(k+2)
     distribution. All K blocks read the SAME x (no recursion)."""
-    y = jnp.einsum("...h,khg->k...g", x, mp["mw"]) + \
+    mw = L._w(mp, "mw")
+    y = jnp.einsum("...h,khg->k...g", x.astype(mw.dtype), mw) + \
         mp["mb"].reshape((mp["mb"].shape[0],) + (1,) * (x.ndim - 1)
                          + (mp["mb"].shape[-1],))
     return x[None] + jax.nn.silu(y.astype(jnp.float32)).astype(x.dtype)
@@ -76,12 +77,49 @@ def draft_fuse(params: Params, emb_next: jnp.ndarray, target_hidden: jnp.ndarray
     target_hidden: [T, H]; image_row_mask: [T] bool (True = image span row).
     """
     x = jnp.concatenate([emb_next, target_hidden.astype(emb_next.dtype)], axis=-1)
-    fused = x @ params["fc_w"]
+    fc_w = L._w(params, "fc_w")
+    fused = x.astype(fc_w.dtype) @ fc_w
     if "fc_b" in params:
         fused = fused + params["fc_b"]
     if image_row_mask is not None:
         fused = jnp.where(image_row_mask[:, None], emb_next, fused)
     return fused
+
+
+def quantize_draft_params(params: Params, bits: int = 8) -> Params:
+    """Weight-only int8/int4 transform of the DRAFT param tree (decoder
+    layers + fc fuse + medusa resblocks).
+
+    Unlike target quantization, this is LOSSLESS for committed outputs:
+    the draft only proposes candidates and the (bf16) target verifier
+    decides acceptance, so quantization can shift which tokens get
+    proposed (alpha) but never the greedy trajectory. It trims the
+    draft-side HBM reads (~0.45GB/step at 7B with 13 medusa heads:
+    0.4GB layer + 67MB fc + 0.44GB medusa halved) from the decode step.
+
+    embed_tokens stays full precision (it is a gather, and is usually the
+    target's own embedding shared by reference); biases/norms too.
+    """
+    from msd_tpu.ops.quant import quantize_tensor
+
+    sfx = "_qs" if bits == 8 else "_qs4"
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name, ax in L._QUANT_AXES.items():
+        if name in layers:
+            wq, sc = quantize_tensor(layers[name], ax, bits)
+            layers[name] = wq
+            layers[name + sfx] = sc
+    out["layers"] = layers
+    if "fc_w" in out:
+        wq, sc = quantize_tensor(out["fc_w"], -2, bits)   # [2H, H], in first
+        out["fc_w"], out["fc_w" + sfx] = wq, sc
+    if "medusa" in out and "mw" in out["medusa"]:
+        med = dict(out["medusa"])
+        wq, sc = quantize_tensor(med["mw"], -2, bits)     # [K, h, g], h in
+        med["mw"], med["mw" + sfx] = wq, sc
+        out["medusa"] = med
+    return out
 
 
 def draft_forward(params: Params, cfg: DraftConfig, hidden_in: jnp.ndarray,

@@ -212,3 +212,41 @@ def test_residual_dtype_fp32_msd_lossless_on_bf16():
     msd = gen.generate(ids, max_new_tokens=48)
     n = min(len(ar.tokens), len(msd.tokens))
     assert n > 0 and np.array_equal(ar.tokens[:n], msd.tokens[:n])
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_draft_lossless(bits):
+    """quantize_draft_params (layers + fc + medusa resblocks): a quantized
+    DRAFT changes only which candidates are proposed — greedy MSD still
+    equals greedy AR token-for-token (the bf16 target decides acceptance),
+    in both recursive and medusa modes."""
+    from msd_tpu.configs import DraftConfig, EngineConfig, TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+
+    import jax
+
+    cfg = LlamaConfig.tiny(vocab_size=128, hidden_size=32, layers=2, heads=4,
+                           intermediate_size=64, max_pos=512)
+    for medusa_heads, widths in ((0, None), (3, (3, 2, 1))):
+        dcfg = DraftConfig(text=cfg, medusa_heads=medusa_heads)
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+        tp = L.init_llama_params(k1, cfg)
+        dp = draft_mod.init_draft_params(k2, dcfg)
+        if medusa_heads:
+            dp["medusa"] = draft_mod.init_medusa_params(k3, dcfg)
+        dp = draft_mod.quantize_draft_params(dp, bits=bits)
+        sfx = "_qs" if bits == 8 else "_qs4"
+        assert "fc_w" + sfx in dp and dp["fc_w"].dtype == jnp.int8
+        assert dp["layers"]["q_proj"].dtype == jnp.int8
+        if medusa_heads:
+            assert "mw" + sfx in dp["medusa"]
+        dp["embed_tokens"] = tp["embed_tokens"]
+        eng = EngineConfig(max_seq_len=256, prompt_pad_multiple=32,
+                           tree=TreeConfig(top_k=4, max_depth=3, num_nodes=8,
+                                           medusa_widths=widths))
+        gen = MSDGenerator(tp, dp, cfg, dcfg, eng, eos_id=-1)
+        ids = np.arange(3, 12, dtype=np.int32)
+        msd = gen.generate(ids, max_new_tokens=12)
+        ar = gen.naive_generate(ids, max_new_tokens=12)
+        np.testing.assert_array_equal(msd.tokens, ar.tokens)

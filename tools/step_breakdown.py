@@ -111,15 +111,21 @@ def main():
     IT = args.iters
     ob = jax.lax.optimization_barrier
 
-    def timed(name, fn, *xs):
+    def timed(name, fn, *xs, big=False):
         t0 = time.time()
         out = jax.block_until_ready(fn(*xs))
         c = time.time() - t0
+        if big:
+            # full-body outputs are whole EngineStates (~1.3GB at 7B);
+            # holding the compile-run output while the timed run executes
+            # (plus a previous variant's output bound to `_` at the call
+            # site) OOMs the chip — drop it first, and don't return it
+            out = None
         t0 = time.time()
         out = jax.block_until_ready(fn(*xs))
         ms = (time.time() - t0) / IT * 1e3
         log(f"{name:34s} {ms:8.3f} ms/call   (compile+1st {c:.1f}s)")
-        return out, ms
+        return (None if big else out), ms
 
     def leaf_sum(tr):
         return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tr)
@@ -276,10 +282,14 @@ def main():
 
         _, res["body_canon"] = timed("FULL decode body (canonical)",
                                      make_body_loop(st), params, cos_t,
-                                     sin_t, s0)
+                                     sin_t, s0, big=True)
+        st_nocollect = dataclasses.replace(st, collect_hiddens=False)
+        _, res["body_nocollect"] = timed("FULL decode body (no collect)",
+                                         make_body_loop(st_nocollect),
+                                         params, cos_t, sin_t, s0, big=True)
         _, res["body_plain"] = timed("FULL decode body (plain bias)",
                                      make_body_loop(st_nocanon), params,
-                                     cos_t, sin_t, s0)
+                                     cos_t, sin_t, s0, big=True)
 
     log("")
     parts = ["suffix_fwd", "expand", "verify_canon", "commit"]
