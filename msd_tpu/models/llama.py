@@ -190,7 +190,10 @@ def _attend(cfg: LlamaConfig, q, kv_k, kv_v, bias, kv_len, win=None):
     IS the point)."""
     if win is not None:
         from msd_tpu.ops.attention import windowed_attention
-        return windowed_attention(q, kv_k, kv_v, bias, *win)
+        # compact=True: the engine keeps every window row inside the
+        # [E-W+1, E+T) span (_commit compaction), so the compact two-stage
+        # gather applies — bitwise identical, cheaper HBM traffic.
+        return windowed_attention(q, kv_k, kv_v, bias, *win, compact=True)
     # "auto" is measurement-backed (tools/attn_microbench.py, v5e, r3 sweep
     # in artifacts/attn_sweep_r3.log): the kernel's VPU path wins every
     # tested cache length for <=4 grouped query rows (40 vs 52us at S=1152

@@ -47,8 +47,8 @@ def masked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def windowed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        bias: jnp.ndarray, win_idx: jnp.ndarray,
-                       win_bias: jnp.ndarray, win_start: jnp.ndarray
-                       ) -> jnp.ndarray:
+                       win_bias: jnp.ndarray, win_start: jnp.ndarray,
+                       compact: bool = False) -> jnp.ndarray:
     """Window-canonical attention: bitwise layout-invariant tree verification.
 
     Per query row i, the last W logical positions (its tree ancestors + self +
@@ -89,9 +89,30 @@ def windowed_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       preferred_element_type=jnp.float32) * scale
     sc_c = sc_c + bias.astype(jnp.float32)[None, None, :, :]
 
-    # window part: the last W logical positions at fixed depth-indexed slots
-    kw = jnp.take(k, win_idx, axis=0)            # [T, W, Hkv, D]
-    vw = jnp.take(v, win_idx, axis=0)
+    # window part: the last W logical positions at fixed depth-indexed slots.
+    # compact=True (static; the engine's verify path): every window row
+    # lives inside one [t + w]-row span of the cache (committed tail
+    # [E-W+1, E) + the tree block [E, E+T) that _commit's compaction
+    # maintains), so slice that span once (contiguous HBM read) and take
+    # rows from the small block instead of gathering from the full [S]
+    # cache. Bitwise identical — the same rows feed the same einsums —
+    # measured 1.8x faster per layer standalone (tools/win_gather_bench.py,
+    # artifacts/win_gather_r3.log). Dead slots (win_bias = NEG_INF) may
+    # gather garbage rows; exp underflows them to exact zeros so the values
+    # never matter. compact=False keeps the general contract: arbitrary row
+    # placement (rows outside any [t + w] span), same values, same bits.
+    if compact:
+        w = win_idx.shape[1]
+        cw = min(s, t + w)
+        cbase = jnp.clip(jnp.min(win_idx), 0, s - cw)
+        loc = jnp.clip(win_idx - cbase, 0, cw - 1)
+        kc = jax.lax.dynamic_slice_in_dim(k, cbase, cw, axis=0)
+        vc = jax.lax.dynamic_slice_in_dim(v, cbase, cw, axis=0)
+        kw = jnp.take(kc, loc, axis=0)           # [T, W, Hkv, D]
+        vw = jnp.take(vc, loc, axis=0)
+    else:
+        kw = jnp.take(k, win_idx, axis=0)        # [T, W, Hkv, D]
+        vw = jnp.take(v, win_idx, axis=0)
     sc_w = jnp.einsum("thgd,twhd->hgtw", qg, kw,
                       preferred_element_type=jnp.float32) * scale
     sc_w = sc_w + win_bias.astype(jnp.float32)[None, None, :, :]

@@ -104,3 +104,38 @@ class TestWindowedAttention:
         ref = masked_attention(q, k, v, jnp.asarray(full, jnp.float32))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestCompactGather:
+    """compact=True (the engine's static fast path, models/llama.py
+    attention dispatch): two-stage window gather over the [t + w]-row span
+    that _commit's compaction maintains. Must be BITWISE equal to the
+    general gather whenever the span assumption holds."""
+
+    def test_bitwise_equals_general_gather(self):
+        for seed in range(4):
+            q, k, v, bias, wi, wb, ws, depth, e, w = _mk(seed)
+            out_g = np.asarray(windowed_attention(q, k, v, bias, wi, wb, ws))
+            out_c = np.asarray(windowed_attention(q, k, v, bias, wi, wb, ws,
+                                                  compact=True))
+            np.testing.assert_array_equal(out_g, out_c)
+
+    def test_bitwise_small_e_dead_slots(self):
+        # E < W: window slots below position 0 are dead (NEG_INF) and clip
+        # their row index to 0; the compact span starts at 0 there.
+        q, k, v, bias, wi, wb, ws, depth, e, w = _mk(7, t=4, w=6, e=2)
+        out_g = np.asarray(windowed_attention(q, k, v, bias, wi, wb, ws))
+        out_c = np.asarray(windowed_attention(q, k, v, bias, wi, wb, ws,
+                                              compact=True))
+        np.testing.assert_array_equal(out_g, out_c)
+
+    def test_bitwise_span_at_cache_end(self):
+        # tree block flush against the end of the cache: cbase clamps to
+        # s - cw and local indices stay in range.
+        t, w, s = 5, 4, 48
+        q, k, v, bias, wi, wb, ws, depth, e, _ = _mk(9, t=t, w=w, s=s,
+                                                     e=s - t)
+        out_g = np.asarray(windowed_attention(q, k, v, bias, wi, wb, ws))
+        out_c = np.asarray(windowed_attention(q, k, v, bias, wi, wb, ws,
+                                              compact=True))
+        np.testing.assert_array_equal(out_g, out_c)
