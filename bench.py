@@ -641,9 +641,15 @@ def main():
     # attention (draft-invariant bitwise); only alpha can shift.
     if args.quant_draft != "none":
         qd_bits = 8 if args.quant_draft == "int8" else 4
-        dp_q = draft_mod.quantize_draft_params(
-            {k: v for k, v in dp.items() if k != "embed_tokens"},
-            bits=qd_bits)
+        # quantize on the HOST backend: the fp32 temporaries (amax/round
+        # over e.g. the [13, 4096, 4096] medusa stack) don't fit next to
+        # 13.5GB of resident target params on-chip
+        dp_host = jax.device_get(
+            {k: v for k, v in dp.items() if k != "embed_tokens"})
+        with jax.default_device(jax.devices("cpu")[0]):
+            dp_q = jax.tree.map(np.asarray, draft_mod.quantize_draft_params(
+                dp_host, bits=qd_bits))
+        dp_q = jax.device_put(dp_q, jax.devices()[0])
         eng = gen.eng
         gen.params = None
         dp = dp_q
@@ -753,15 +759,20 @@ def main():
     lossless = fast_lossless
     lossless_64 = fast_lossless_64
     if args.canonical_check and args.canonical_attn:
-        dp_null = draft_mod.init_draft_params(
-            jax.random.PRNGKey(1234), dcfg, dtype)
-        if dcfg.medusa_heads:
-            dp_null["medusa"] = draft_mod.init_medusa_params(
-                jax.random.PRNGKey(4321), dcfg, dtype)
-        if args.quant_draft != "none":
-            # same param treedef as the timed run -> same compiled program
-            dp_null = draft_mod.quantize_draft_params(
-                dp_null, bits=8 if args.quant_draft == "int8" else 4)
+        # init (+ optionally quantize: same param treedef as the timed run
+        # -> same compiled program) on the HOST backend — fp32 temporaries
+        # next to the resident 7B/13B target OOM the chip
+        with jax.default_device(jax.devices("cpu")[0]):
+            dp_null = draft_mod.init_draft_params(
+                jax.random.PRNGKey(1234), dcfg, dtype)
+            if dcfg.medusa_heads:
+                dp_null["medusa"] = draft_mod.init_medusa_params(
+                    jax.random.PRNGKey(4321), dcfg, dtype)
+            if args.quant_draft != "none":
+                dp_null = draft_mod.quantize_draft_params(
+                    dp_null, bits=8 if args.quant_draft == "int8" else 4)
+            dp_null = jax.tree.map(np.asarray, dp_null)
+        dp_null = jax.device_put(dp_null, jax.devices()[0])
         dp_null["embed_tokens"] = tp["embed_tokens"]
         saved_params = gen.params
         gen.params = dict(gen.params)
