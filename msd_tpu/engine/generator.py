@@ -62,6 +62,17 @@ class MSDGenerator:
                        "cos_t": cos_t, "sin_t": sin_t}
         self.sp = sp
         self._eng_dtype = jax.tree.leaves(target_params)[0].dtype
+        self._key_cache: Dict[int, jnp.ndarray] = {}
+
+    def _key(self, seed: int) -> jnp.ndarray:
+        """PRNGKey(seed), cached: key creation is a device dispatch, which
+        costs a full host->device round trip per generate() call on remote
+        backends (the axon tunnel adds ~25ms per dispatch)."""
+        k = self._key_cache.get(seed)
+        if k is None:
+            k = jax.random.PRNGKey(seed)
+            self._key_cache[seed] = k
+        return k
 
     def _statics(self, max_new: int, sp: SamplingParams,
                  use_calibration: bool = False,
@@ -182,10 +193,10 @@ class MSDGenerator:
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
         st = self._statics(max_new, sp)
-        key = jax.random.PRNGKey(seed)
+        key = self._key(seed)
         padded = jnp.asarray(self._pad(ids))
-        carry = SE.ar_prefill(st, self.params, padded, jnp.int32(len(ids)),
-                              img_feats, jnp.int32(self._img_pos(ids)), key)
+        carry = SE.ar_prefill(st, self.params, padded, np.int32(len(ids)),
+                              img_feats, np.int32(self._img_pos(ids)), key)
         return int(carry[3])
 
     def generate(self, ids: np.ndarray, img_feats: Optional[jnp.ndarray] = None,
@@ -220,7 +231,7 @@ class MSDGenerator:
             raise ValueError("set_calibrator() before use_calibration=True")
         st = self._statics(max_new, sp, use_calibration, collect_calibration,
                            collect_hiddens)
-        key = jax.random.PRNGKey(seed)
+        key = self._key(seed)
         if first_token is not None and (
                 self.image_mode == "inline"
                 or isinstance(img_feats, (list, tuple))):
@@ -233,26 +244,33 @@ class MSDGenerator:
             fused, exp_ids_in, img_rows, e0, img_pos = self._fuse_multi(
                 ids, img_feats)
             state = SE.prefill_prefused(st, self.params, fused, exp_ids_in,
-                                        jnp.int32(e0), img_rows,
-                                        jnp.int32(img_pos), key)
+                                        np.int32(e0), img_rows,
+                                        np.int32(img_pos), key)
             state = SE.decode(st, self.params, state)
-            cur = int(state.cur_len)
-            out = _trim(np.asarray(state.ids[e0:cur + 1]), self.eos_id,
-                        max_new)
-            calib_data = None
-            if collect_calibration:
-                n_steps = int(state.steps)
-                calib_data = {k: np.asarray(v[:n_steps])
-                              for k, v in state.calib_log.items()}
-            traj_hidden = exp_ids_out = None
             fetch = collect_hiddens if fetch_hiddens is None else \
                 fetch_hiddens
+            pull = {"cur": state.cur_len, "steps": state.steps,
+                    "acc": state.acc_sum, "ids": state.ids,
+                    "hist": state.alpha_hist}
+            if collect_calibration:
+                pull["calib"] = state.calib_log
             if collect_hiddens and fetch:  # prefused path carries st's flags
-                traj_hidden = np.asarray(state.traj_hidden[:cur])
-                exp_ids_out = np.asarray(state.ids[:cur])
-            return GenResult(tokens=out, accept_steps=int(state.steps),
-                             accept_len_sum=int(state.acc_sum),
-                             alpha_hist=np.asarray(state.alpha_hist),
+                pull["traj"] = state.traj_hidden
+            got = jax.device_get(pull)     # one batched D2H round trip
+            cur = int(got["cur"])
+            out = _trim(got["ids"][e0:cur + 1], self.eos_id, max_new)
+            calib_data = None
+            if collect_calibration:
+                n_steps = int(got["steps"])
+                calib_data = {k: v[:n_steps]
+                              for k, v in got["calib"].items()}
+            traj_hidden = exp_ids_out = None
+            if collect_hiddens and fetch:
+                traj_hidden = got["traj"][:cur]
+                exp_ids_out = got["ids"][:cur]
+            return GenResult(tokens=out, accept_steps=int(got["steps"]),
+                             accept_len_sum=int(got["acc"]),
+                             alpha_hist=got["hist"],
                              calib_data=calib_data, traj_hidden=traj_hidden,
                              exp_ids=exp_ids_out)
         padded_np = self._pad(ids)
@@ -261,59 +279,69 @@ class MSDGenerator:
             pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
             try:
                 state = SE.qwen_generate_program(
-                    st, self.params, padded, jnp.int32(len(ids)), img_feats,
-                    jnp.int32(self._img_pos(ids)), pos3, jnp.int32(delta), key)
+                    st, self.params, padded, np.int32(len(ids)), img_feats,
+                    np.int32(self._img_pos(ids)), pos3, np.int32(delta), key)
             except Exception as e:  # OOM: retry as two smaller programs
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
                 state = SE.qwen_prefill(st, self.params, padded,
-                                        jnp.int32(len(ids)), img_feats,
-                                        jnp.int32(self._img_pos(ids)), pos3,
-                                        jnp.int32(delta), key)
+                                        np.int32(len(ids)), img_feats,
+                                        np.int32(self._img_pos(ids)), pos3,
+                                        np.int32(delta), key)
                 state = SE.decode(st, self.params, state)
         else:
             tok0 = (None if first_token is None
-                    else jnp.int32(int(first_token)))
+                    else np.int32(int(first_token)))
             if split_programs:
                 state = SE.prefill(st, self.params, padded,
-                                   jnp.int32(len(ids)), img_feats,
-                                   jnp.int32(self._img_pos(ids)), key, tok0)
+                                   np.int32(len(ids)), img_feats,
+                                   np.int32(self._img_pos(ids)), key, tok0)
                 state = SE.decode(st, self.params, state)
             else:
                 try:
                     state = SE.generate_program(st, self.params, padded,
-                                                jnp.int32(len(ids)),
+                                                np.int32(len(ids)),
                                                 img_feats,
-                                                jnp.int32(self._img_pos(ids)),
+                                                np.int32(self._img_pos(ids)),
                                                 key, tok0)
                 except Exception as e:
                     if "RESOURCE_EXHAUSTED" not in str(e):
                         raise
                     state = SE.prefill(st, self.params, padded,
-                                       jnp.int32(len(ids)), img_feats,
-                                       jnp.int32(self._img_pos(ids)), key,
+                                       np.int32(len(ids)), img_feats,
+                                       np.int32(self._img_pos(ids)), key,
                                        tok0)
                     state = SE.decode(st, self.params, state)
 
         has_img = img_feats is not None
         e0 = len(ids) + (max(self.n_img - 1, 0)
                          if self.image_mode == "expand" and has_img else 0)
-        cur = int(state.cur_len)
-        out = np.asarray(state.ids[e0:cur + 1])
-        out = _trim(out, self.eos_id, max_new)
+        fetch = collect_hiddens if fetch_hiddens is None else fetch_hiddens
+        # ONE batched device->host transfer: jax.device_get issues async
+        # copies for every leaf then blocks once. Sequential int()/
+        # np.asarray() pulls each cost a full round trip (~25ms over the
+        # axon tunnel), which dominated per-prompt overhead in the bench.
+        pull = {"cur": state.cur_len, "steps": state.steps,
+                "acc": state.acc_sum, "ids": state.ids,
+                "hist": state.alpha_hist}
+        if collect_calibration:
+            pull["calib"] = state.calib_log
+        if collect_hiddens and fetch:
+            pull["traj"] = state.traj_hidden
+        got = jax.device_get(pull)
+        cur = int(got["cur"])
+        out = _trim(got["ids"][e0:cur + 1], self.eos_id, max_new)
         calib_data = None
         if collect_calibration:
-            n_steps = int(state.steps)
-            calib_data = {k: np.asarray(v[:n_steps])
-                          for k, v in state.calib_log.items()}
+            n_steps = int(got["steps"])
+            calib_data = {k: v[:n_steps] for k, v in got["calib"].items()}
         traj_hidden = exp_ids_out = None
-        fetch = collect_hiddens if fetch_hiddens is None else fetch_hiddens
         if collect_hiddens and fetch:
-            traj_hidden = np.asarray(state.traj_hidden[:cur])
-            exp_ids_out = np.asarray(state.ids[:cur])
-        return GenResult(tokens=out, accept_steps=int(state.steps),
-                         accept_len_sum=int(state.acc_sum),
-                         alpha_hist=np.asarray(state.alpha_hist),
+            traj_hidden = got["traj"][:cur]
+            exp_ids_out = got["ids"][:cur]
+        return GenResult(tokens=out, accept_steps=int(got["steps"]),
+                         accept_len_sum=int(got["acc"]),
+                         alpha_hist=got["hist"],
                          calib_data=calib_data, traj_hidden=traj_hidden,
                          exp_ids=exp_ids_out)
 
@@ -370,19 +398,21 @@ class MSDGenerator:
             state = batched(jnp.asarray(padded), jnp.asarray(lens), feats,
                             jnp.asarray(img_pos), keys)
 
+        got = jax.device_get({"cur": state.cur_len, "ids": state.ids,
+                              "steps": state.steps, "acc": state.acc_sum,
+                              "hist": state.alpha_hist})  # one D2H trip
         results = []
         for b in range(B):
             has_img = feats is not None
             e0 = int(lens[b]) + (max(self.n_img - 1, 0)
                                  if self.image_mode == "expand" and has_img
                                  else 0)
-            cur = int(state.cur_len[b])
-            out = _trim(np.asarray(state.ids[b, e0:cur + 1]), self.eos_id,
-                        max_new)
+            cur = int(got["cur"][b])
+            out = _trim(got["ids"][b, e0:cur + 1], self.eos_id, max_new)
             results.append(GenResult(
-                tokens=out, accept_steps=int(state.steps[b]),
-                accept_len_sum=int(state.acc_sum[b]),
-                alpha_hist=np.asarray(state.alpha_hist[b])))
+                tokens=out, accept_steps=int(got["steps"][b]),
+                accept_len_sum=int(got["acc"][b]),
+                alpha_hist=got["hist"][b]))
         return results
 
     def generate_stream(self, ids: np.ndarray,
@@ -408,33 +438,35 @@ class MSDGenerator:
         st = self._statics(max_new, sp, use_calibration)
         padded_np = self._pad(ids)
         padded = jnp.asarray(padded_np)
-        key = jax.random.PRNGKey(seed)
+        key = self._key(seed)
         if self.image_mode == "inline":
             pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
             state = SE.qwen_prefill(st, self.params, padded,
-                                    jnp.int32(len(ids)), img_feats,
-                                    jnp.int32(self._img_pos(ids)), pos3,
-                                    jnp.int32(delta), key)
+                                    np.int32(len(ids)), img_feats,
+                                    np.int32(self._img_pos(ids)), pos3,
+                                    np.int32(delta), key)
         else:
-            state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
-                               img_feats, jnp.int32(self._img_pos(ids)), key)
+            state = SE.prefill(st, self.params, padded, np.int32(len(ids)),
+                               img_feats, np.int32(self._img_pos(ids)), key)
         e0 = len(ids) + (max(self.n_img - 1, 0)
                          if self.image_mode == "expand"
                          and img_feats is not None else 0)
         emitted, target = 0, 0
         while True:
             target += segment
-            state = SE.decode_until(st, self.params, state, jnp.int32(target))
-            cur = int(state.cur_len)
-            out = _trim(np.asarray(state.ids[e0:cur + 1]), self.eos_id,
-                        max_new)
+            state = SE.decode_until(st, self.params, state, np.int32(target))
+            got = jax.device_get({"cur": state.cur_len, "ids": state.ids,
+                                  "done": state.done, "steps": state.steps,
+                                  "acc": state.acc_sum})  # one D2H/segment
+            cur = int(got["cur"])
+            out = _trim(got["ids"][e0:cur + 1], self.eos_id, max_new)
             if len(out) > emitted:
                 yield out[emitted:]
                 emitted = len(out)
-            if bool(state.done):
+            if bool(got["done"]):
                 break
-        self.last_stream_stats = {"accept_steps": int(state.steps),
-                                  "accept_len_sum": int(state.acc_sum)}
+        self.last_stream_stats = {"accept_steps": int(got["steps"]),
+                                  "accept_len_sum": int(got["acc"])}
 
     def score(self, ids: np.ndarray, cont_start: int,
               img_feats: Optional[jnp.ndarray] = None,
@@ -457,13 +489,13 @@ class MSDGenerator:
             lp, n_match, n_cont = SC.qwen_score_program(
                 self.tcfg, self.n_img if img_feats is not None else 0,
                 self.mrope_section, self.params, padded,
-                jnp.int32(len(ids)), jnp.int32(cont_start), img_feats,
-                jnp.int32(self._img_pos(ids)), pos3)
+                np.int32(len(ids)), np.int32(cont_start), img_feats,
+                np.int32(self._img_pos(ids)), pos3)
         else:
             lp, n_match, n_cont = SC.score_program(
                 self.tcfg, self.n_img, self.params, padded,
-                jnp.int32(len(ids)), jnp.int32(cont_start), img_feats,
-                jnp.int32(self._img_pos(ids)))
+                np.int32(len(ids)), np.int32(cont_start), img_feats,
+                np.int32(self._img_pos(ids)))
         return float(lp), bool(int(n_match) == int(n_cont))
 
     def naive_generate(self, ids: np.ndarray,
@@ -483,7 +515,7 @@ class MSDGenerator:
         ids = np.asarray(ids, np.int32)
         sp = sp if sp is not None else self.sp
         max_new = max_new_tokens or self.eng.max_new_tokens
-        key = jax.random.PRNGKey(seed)
+        key = self._key(seed)
         if share_prefill:
             if self.image_mode != "expand" or isinstance(img_feats,
                                                          (list, tuple)):
@@ -491,42 +523,42 @@ class MSDGenerator:
                                  "single-image/text prompts only")
             st = self._statics(max_new, sp, collect_hiddens=collect_hiddens)
             padded = jnp.asarray(self._pad(ids))
-            state = SE.prefill(st, self.params, padded, jnp.int32(len(ids)),
-                               img_feats, jnp.int32(self._img_pos(ids)), key)
+            state = SE.prefill(st, self.params, padded, np.int32(len(ids)),
+                               img_feats, np.int32(self._img_pos(ids)), key)
             ids_buf, cur, n_new = SE.ar_decode_from_state(st, self.params,
                                                           state)
             e0 = len(ids) + (max(self.n_img - 1, 0)
                              if img_feats is not None else 0)
-            out = _trim(np.asarray(ids_buf[e0:int(cur) + 1]), self.eos_id,
-                        max_new)
+            got_ids, got_cur = jax.device_get((ids_buf, cur))  # one D2H trip
+            out = _trim(got_ids[e0:int(got_cur) + 1], self.eos_id, max_new)
             return GenResult(tokens=out)
         st = self._statics(max_new, sp)
         if isinstance(img_feats, (list, tuple)):  # multi-image prompt
             fused, exp_ids, _, e0, _ = self._fuse_multi(ids, img_feats)
             carry = SE.ar_prefill_prefused(st, self.params, fused, exp_ids,
-                                           jnp.int32(e0), key)
+                                           np.int32(e0), key)
             ids_buf, cur, _ = SE.ar_decode(st, self.params, carry)
-            out = _trim(np.asarray(ids_buf[e0:int(cur) + 1]), self.eos_id,
-                        max_new)
+            got_ids, got_cur = jax.device_get((ids_buf, cur))
+            out = _trim(got_ids[e0:int(got_cur) + 1], self.eos_id, max_new)
             return GenResult(tokens=out)
         padded_np = self._pad(ids)
         padded = jnp.asarray(padded_np)
         if self.image_mode == "inline":
             pos3, delta = self._qwen_pos(padded_np, len(ids), img_grid)
             carry = SE.qwen_ar_prefill(st, self.params, padded,
-                                       jnp.int32(len(ids)), img_feats,
-                                       jnp.int32(self._img_pos(ids)), pos3,
-                                       jnp.int32(delta), key)
+                                       np.int32(len(ids)), img_feats,
+                                       np.int32(self._img_pos(ids)), pos3,
+                                       np.int32(delta), key)
         else:
             carry = SE.ar_prefill(st, self.params, padded,
-                                  jnp.int32(len(ids)), img_feats,
-                                  jnp.int32(self._img_pos(ids)), key)
+                                  np.int32(len(ids)), img_feats,
+                                  np.int32(self._img_pos(ids)), key)
         ids_buf, cur, n_new = SE.ar_decode(st, self.params, carry)
         e0 = len(ids) + (max(self.n_img - 1, 0)
                          if self.image_mode == "expand"
                          and img_feats is not None else 0)
-        out = np.asarray(ids_buf[e0:int(cur) + 1])
-        out = _trim(out, self.eos_id, max_new)
+        got_ids, got_cur = jax.device_get((ids_buf, cur))  # one D2H trip
+        out = _trim(got_ids[e0:int(got_cur) + 1], self.eos_id, max_new)
         return GenResult(tokens=out)
 
 
