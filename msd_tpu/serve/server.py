@@ -12,6 +12,10 @@ the reference's one-request-at-a-time worker:
 - streaming: /generate_stream emits newline-delimited JSON chunks, backed by
   segment-bounded decode programs (spec_engine.decode_until), token-identical
   to the non-streaming path.
+- continuous batching (--continuous N): requests join/leave a running N-slot
+  batch at segment boundaries (serve/continuous.py) — no head-of-line
+  blocking, mixed image/text prompts, per-request max_new/seeds, streaming
+  and non-streaming slots side by side. Token-identical to solo runs.
 
   POST /generate        {"prompt": str, "image_b64"?: str,
                          "max_new_tokens"?: int, "temperature"?: float,
@@ -202,6 +206,117 @@ class EngineWorker(threading.Thread):
         w.done.set()
 
 
+class ContinuousWorker(EngineWorker):
+    """EngineWorker variant backed by a ContinuousScheduler: compatible
+    requests JOIN the running slot batch at the next segment boundary
+    (continuous batching) instead of waiting for the current batch to drain.
+
+    Compatible = sampling params match the scheduler's pinned set and MSD is
+    on; image and text prompts mix freely (unlike the static micro-batcher).
+    Incompatible requests run through the ordinary single-request path, but
+    only while the scheduler is idle — under sustained compatible load they
+    wait (documented tradeoff: slots never stall on a foreign program).
+    """
+
+    def __init__(self, adapter, n_slots: int = 4, segment: int = 16):
+        super().__init__(adapter)
+        from collections import deque
+
+        from msd_tpu.serve.continuous import ContinuousScheduler
+        self.sched = ContinuousScheduler(adapter.gen, n_slots=n_slots,
+                                         segment=segment)
+        self._serial = deque()
+
+    def _compatible(self, p) -> bool:
+        sp = self.sched.sp
+        return (float(p.get("temperature", 0.0)) == sp.temperature
+                and float(p.get("top_p", 1.0)) == sp.top_p
+                and bool(p.get("use_msd", True)) and self.adapter.use_msd)
+
+    def _dispatch(self, w: _Work):
+        if not self._compatible(w.payload):
+            self._serial.append(w)
+            return
+        from msd_tpu.serve.continuous import Request
+        try:
+            ids, feats, _, max_new, _ = self._prep(w.payload)
+        except Exception as e:
+            w.error = f"{type(e).__name__}: {e}"
+            if w.chunks is not None:
+                w.chunks.put(None)
+            w.done.set()
+            return
+        req = Request(ids=ids, img_feats=feats, max_new=max_new,
+                      seed=int(w.payload.get("seed", 0)))
+        req._work = w
+        req._t0 = time.time()
+        if w.stream:
+            tok = self.adapter.tokenizer
+            req.on_tokens = lambda t: w.chunks.put(
+                tok.decode(list(t), skip_special_tokens=True))
+        self.sched.submit(req)
+
+    def _finish(self, req):
+        w = req._work
+        dt = time.time() - req._t0
+        self.served += 1
+        if w.stream:
+            w.result = {"done": True, "tokens_generated": len(req.tokens),
+                        "seconds": dt,
+                        "tokens_per_second": len(req.tokens) / max(dt, 1e-9),
+                        "avg_accept_len": req.avg_accept_len}
+            w.chunks.put(None)
+        else:
+            w.result = self._decode_result(req.tokens, dt, req)
+            w.result["segments"] = req.segments
+        w.done.set()
+
+    def _fail_all(self, err: str):
+        works = [a.req._work for a in self.sched.slots if a is not None]
+        works += [r._work for r in self.sched.queue]
+        self.sched.slots = [None] * self.sched.n_slots
+        self.sched.queue.clear()
+        self.sched.bstate = None
+        for w in works:
+            w.error = err
+            if w.chunks is not None:
+                w.chunks.put(None)
+            w.done.set()
+
+    def run(self):
+        while True:
+            block = not (self.sched.busy or self._serial)
+            try:
+                self._dispatch(self.q.get(block=block))
+                while True:
+                    self._dispatch(self.q.get_nowait())
+            except queue.Empty:
+                pass
+            if self.sched.busy:
+                try:
+                    finished = self.sched.step()
+                    self.batches += 1
+                except Exception as e:  # surfaced to every in-flight client
+                    self._fail_all(f"{type(e).__name__}: {e}")
+                    finished = []
+                for req in finished:
+                    self._finish(req)
+            elif self._serial:
+                w = self._serial.popleft()
+                try:
+                    if w.stream:
+                        self._handle_stream(w)
+                    else:
+                        w.result = self._handle(w.payload)
+                        w.done.set()
+                    self.served += 1
+                except Exception as e:
+                    w.error = f"{type(e).__name__}: {e}"
+                    if w.chunks is not None:
+                        w.chunks.put(None)
+                    w.done.set()
+
+
 def make_handler(worker: EngineWorker):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -219,10 +334,15 @@ def make_handler(worker: EngineWorker):
 
         def do_GET(self):
             if self.path == "/health":
-                self._send(200, {"status": "ok",
-                                 "served": worker.served,
-                                 "batches": worker.batches,
-                                 "queued": worker.q.qsize()})
+                info = {"status": "ok", "served": worker.served,
+                        "batches": worker.batches,
+                        "queued": worker.q.qsize()}
+                sched = getattr(worker, "sched", None)
+                if sched is not None:
+                    info["active_slots"] = sched.active
+                    info["n_slots"] = sched.n_slots
+                    info["segments_run"] = sched.steps
+                self._send(200, info)
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -282,8 +402,12 @@ def make_handler(worker: EngineWorker):
     return Handler
 
 
-def serve_forever(adapter, port: int = 8399, host: str = "127.0.0.1"):
-    worker = EngineWorker(adapter)
+def serve_forever(adapter, port: int = 8399, host: str = "127.0.0.1",
+                  continuous: int = 0, segment: int = 16):
+    """continuous=N serves through an N-slot continuous batcher
+    (ContinuousWorker); 0 keeps the static micro-batching worker."""
+    worker = (ContinuousWorker(adapter, n_slots=continuous, segment=segment)
+              if continuous > 0 else EngineWorker(adapter))
     worker.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(worker))
     return httpd  # caller invokes httpd.serve_forever()
@@ -304,6 +428,12 @@ def main(argv=None):
                     choices=["xla", "pallas", "auto"],
                     help="decode attention backend; 'auto' engages the "
                          "length-aware pallas kernel at long caches")
+    ap.add_argument("--continuous", type=int, default=0, metavar="N",
+                    help="continuous batching over N slots (0 = static "
+                         "micro-batching); each slot owns a full KV "
+                         "allocation — size N to the free HBM")
+    ap.add_argument("--segment", type=int, default=16,
+                    help="tokens per scheduling segment in continuous mode")
     args = ap.parse_args(argv)
 
     from msd_tpu.harness.models.llava_msd import LlavaMSD
@@ -315,7 +445,8 @@ def main(argv=None):
         kw["attn_impl"] = args.attn_impl
     adapter = LlavaMSD.from_pretrained(args.pretrained, args.msd_model_path,
                                        use_msd=args.use_msd, **kw)
-    httpd = serve_forever(adapter, args.port)
+    httpd = serve_forever(adapter, args.port, continuous=args.continuous,
+                          segment=args.segment)
     print(f"serving on :{args.port}")
     httpd.serve_forever()
 
