@@ -63,6 +63,7 @@ class MSDGenerator:
         self.sp = sp
         self._eng_dtype = jax.tree.leaves(target_params)[0].dtype
         self._key_cache: Dict[int, jnp.ndarray] = {}
+        self._batch_prog_cache: Dict = {}
 
     def _key(self, seed: int) -> jnp.ndarray:
         """PRNGKey(seed), cached: key creation is a device dispatch, which
@@ -345,6 +346,36 @@ class MSDGenerator:
                          calib_data=calib_data, traj_hidden=traj_hidden,
                          exp_ids=exp_ids_out)
 
+    def _batched_program(self, st: SE.Statics, mode: str, no_feats: bool,
+                         no_pos3: bool = True):
+        """Batched fused program, memoized on (statics, arg presence).
+
+        Re-wrapping jax.jit(jax.vmap(...)) per call would retrace AND
+        recompile on EVERY generate_batch invocation (jit caches by function
+        identity) — measured at seconds per serving batch. One cached
+        wrapper serves all batch sizes (jit then caches per shape). Params
+        enter as jit arguments, not closure constants: 13.5GB embedded
+        constants stall remote-backend compiles (CLAUDE.md gotcha).
+        """
+        key = (st, mode, no_feats, no_pos3)
+        prog = self._batch_prog_cache.get(key)
+        if prog is None:
+            if mode == "inline":
+                fn = jax.vmap(
+                    lambda P, i, l, f, p, p3, d, k:
+                    SE.qwen_generate_program.__wrapped__(st, P, i, l, f, p,
+                                                         p3, d, k),
+                    in_axes=(None, 0, 0, None if no_feats else 0, 0,
+                             None if no_pos3 else 0, 0, 0))
+            else:
+                fn = jax.vmap(
+                    lambda P, i, l, f, p, k:
+                    SE.generate_program.__wrapped__(st, P, i, l, f, p, k),
+                    in_axes=(None, 0, 0, None if no_feats else 0, 0, 0))
+            prog = jax.jit(fn)
+            self._batch_prog_cache[key] = prog
+        return prog
+
     def generate_batch(self, ids_list, img_feats_list=None,
                        max_new_tokens: Optional[int] = None, seed: int = 0,
                        sp: Optional[SamplingParams] = None, img_grid=None):
@@ -381,22 +412,16 @@ class MSDGenerator:
                 pos3s.append(p3)
                 deltas.append(d)
             pos3 = jnp.stack(pos3s) if pos3s[0] is not None else None
-            batched = jax.jit(jax.vmap(
-                lambda i, l, f, p, p3, d, k:
-                SE.qwen_generate_program.__wrapped__(
-                    st, self.params, i, l, f, p, p3, d, k),
-                in_axes=(0, 0, None if feats is None else 0, 0,
-                         None if pos3 is None else 0, 0, 0)))
-            state = batched(jnp.asarray(padded), jnp.asarray(lens), feats,
-                            jnp.asarray(img_pos), pos3,
-                            jnp.asarray(deltas, jnp.int32), keys)
+            batched = self._batched_program(
+                st, "inline", feats is None, pos3 is None)
+            state = batched(self.params, jnp.asarray(padded),
+                            jnp.asarray(lens), feats, jnp.asarray(img_pos),
+                            pos3, jnp.asarray(deltas, jnp.int32), keys)
         else:
-            batched = jax.jit(jax.vmap(
-                lambda i, l, f, p, k: SE.generate_program.__wrapped__(
-                    st, self.params, i, l, f, p, k),
-                in_axes=(0, 0, None if feats is None else 0, 0, 0)))
-            state = batched(jnp.asarray(padded), jnp.asarray(lens), feats,
-                            jnp.asarray(img_pos), keys)
+            batched = self._batched_program(st, "expand", feats is None)
+            state = batched(self.params, jnp.asarray(padded),
+                            jnp.asarray(lens), feats, jnp.asarray(img_pos),
+                            keys)
 
         got = jax.device_get({"cur": state.cur_len, "ids": state.ids,
                               "steps": state.steps, "acc": state.acc_sum,

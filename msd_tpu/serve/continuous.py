@@ -54,6 +54,32 @@ from msd_tpu.engine.generator import _trim
 from msd_tpu.ops.sampling import SamplingParams
 
 
+# Compiled scheduler programs, shared across scheduler instances: jit caches
+# by function identity, so per-instance wrappers would retrace + recompile
+# the (expensive) vmapped segment program every time a scheduler is created.
+_PROG_CACHE: dict = {}
+
+
+def _programs(st: SE.Statics, n_slots: int):
+    key = (st, n_slots)
+    progs = _PROG_CACHE.get(key)
+    if progs is None:
+        seg = jax.jit(
+            jax.vmap(partial(SE.decode_until.__wrapped__, st),
+                     in_axes=(None, 0, 0)),
+            donate_argnums=(1,))
+        insert = jax.jit(
+            lambda bs, s, i: jax.tree.map(
+                lambda b, x: jax.lax.dynamic_update_index_in_dim(b, x, i, 0),
+                bs, s),
+            donate_argnums=(0,))
+        stack = jax.jit(
+            lambda s: jax.tree.map(
+                lambda x: jnp.stack([x] * n_slots), s))
+        progs = _PROG_CACHE[key] = (seg, insert, stack)
+    return progs
+
+
 @dataclasses.dataclass
 class Request:
     """One generation request tracked by the scheduler."""
@@ -112,19 +138,7 @@ class ContinuousScheduler:
         self.steps = 0                   # segment steps executed
         self.joined = 0                  # requests admitted into slots
 
-        st = self.st
-        self._seg = jax.jit(
-            jax.vmap(partial(SE.decode_until.__wrapped__, st),
-                     in_axes=(None, 0, 0)),
-            donate_argnums=(1,))
-        self._insert = jax.jit(
-            lambda bs, s, i: jax.tree.map(
-                lambda b, x: jax.lax.dynamic_update_index_in_dim(b, x, i, 0),
-                bs, s),
-            donate_argnums=(0,))
-        self._stack = jax.jit(
-            lambda s: jax.tree.map(
-                lambda x: jnp.stack([x] * n_slots), s))
+        self._seg, self._insert, self._stack = _programs(self.st, n_slots)
 
     # -- public API -----------------------------------------------------
     def submit(self, req: Request) -> None:

@@ -12,6 +12,18 @@ tokens/s, and per-request latency vs bs=1. One JSON line at the end.
 Usage:
   python tools/serve_throughput.py [--model 7b] [--batch-sizes 1,2,4,8]
       [--max-new 64] [--prompt-tokens 64] [--distill-steps 0]
+  python tools/serve_throughput.py --arrival-sim [--requests 16]
+      [--arrival-gap 0.3] [--slots 4] [--segment 16]
+
+--arrival-sim replays a timed arrival stream through BOTH serving policies
+and reports per-request latency + makespan:
+  static      the server's micro-batcher (serve/server.py EngineWorker):
+              whatever has arrived when the worker frees up forms a batch
+              (padded to --slots for one compiled shape) and runs to
+              completion — later arrivals wait for the whole batch.
+  continuous  ContinuousScheduler (serve/continuous.py): arrivals join the
+              running batch at the next --segment boundary and retire
+              independently.
 
 With random weights alpha~1 (no distilled draft), so tokens/s reflects the
 machine cost per step, not speculation gains; pass --distill-steps to train
@@ -43,6 +55,14 @@ def main():
     ap.add_argument("--image", action="store_true", default=True)
     ap.add_argument("--no-image", dest="image", action="store_false")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--arrival-sim", action="store_true",
+                    help="timed arrival stream: static micro-batch vs "
+                         "continuous batching, per-request latency")
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--arrival-gap", type=float, default=0.3,
+                    help="seconds between request arrivals")
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--segment", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -71,11 +91,13 @@ def main():
     dp["embed_tokens"] = tp["embed_tokens"]
 
     n_img = 576 if args.image else 0
-    max_seq = args.prompt_tokens + n_img + args.max_new + 64
+    # the arrival sim serves heterogeneous limits up to 2x max_new
+    new_budget = 2 * args.max_new if args.arrival_sim else args.max_new
+    max_seq = args.prompt_tokens + n_img + new_budget + 64
     widths = (8, 6, 4, 3, 2, 2, 1, 1)
     eng = EngineConfig(
         max_seq_len=max_seq, prompt_pad_multiple=64,
-        max_new_tokens=args.max_new, canonical_attn=True,
+        max_new_tokens=new_budget, canonical_attn=True,
         tree=TreeConfig(top_k=widths[0], max_depth=len(widths),
                         num_nodes=1 + sum(widths), medusa_widths=widths))
     gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, eos_id=-1, n_img=n_img)
@@ -90,6 +112,9 @@ def main():
         if n_img:
             q[1] = IMAGE_TOKEN_INDEX
         return q
+
+    if args.arrival_sim:
+        return arrival_sim(gen, feats, mk_prompt, args)
 
     rows = []
     base_lat = None
@@ -119,6 +144,101 @@ def main():
     print(json.dumps({"metric": "serve_throughput_batched_msd",
                       "model": args.model, "max_new": args.max_new,
                       "image_tokens": n_img, "rows": rows}))
+    return 0
+
+
+def arrival_sim(gen, feats, mk_prompt, args):
+    """Replay one timed arrival stream through both serving policies."""
+    import time as _t
+    from collections import deque
+
+    import numpy as np
+
+    from msd_tpu.serve.continuous import ContinuousScheduler, Request
+
+    R, gap, N = args.requests, args.arrival_gap, args.slots
+    prompts = [mk_prompt(i) for i in range(R)]
+    # heterogeneous generation limits: the static micro-batcher can only
+    # group requests with EQUAL max_new (serve/server.py _batch_key), while
+    # the continuous scheduler mixes limits in one program via per-slot
+    # stop targets — the architectural difference under test
+    m = args.max_new
+    lens = [(m // 2, m, 2 * m, m)[i % 4] for i in range(R)]
+    fl = [feats] * N if feats is not None else None
+    total_toks = sum(lens)
+
+    def stats(lat, makespan):
+        lat = np.asarray(sorted(lat.values()))
+        return {"makespan_s": round(makespan, 2),
+                "mean_latency_s": round(float(lat.mean()), 2),
+                "p50_latency_s": round(float(lat[len(lat) // 2]), 2),
+                "p95_latency_s": round(float(lat[int(len(lat) * 0.95)]), 2),
+                "agg_tokens_per_s": round(total_toks / makespan, 1)}
+
+    # ---- warm every compiled shape OUT of the timed region ----
+    print("warming compiles...", flush=True)
+    for n in sorted(set(lens)):
+        gen.generate_batch([prompts[0]] * N, fl, max_new_tokens=n)
+    sched = ContinuousScheduler(gen, n_slots=N, segment=args.segment)
+    for _ in range(2):  # two joins: the _stack AND _insert paths compile
+        sched.submit(Request(ids=prompts[0], img_feats=feats, max_new=m))
+    sched.run_all()
+
+    # ---- static micro-batch policy (serve/server.py EngineWorker) ----
+    t0 = _t.time()
+    arrived, next_i, finish = deque(), 0, {}
+    while len(finish) < R:
+        now = _t.time() - t0
+        while next_i < R and next_i * gap <= now:
+            arrived.append(next_i)
+            next_i += 1
+        if not arrived:
+            _t.sleep(0.002)
+            continue
+        # group = arrivals sharing the head's batch key (equal max_new)
+        head = arrived.popleft()
+        group, rest = [head], []
+        while arrived and len(group) < N:
+            i = arrived.popleft()
+            (group if lens[i] == lens[head] else rest).append(i)
+        arrived.extendleft(reversed(rest))
+        pad = group + [group[-1]] * (N - len(group))
+        gen.generate_batch([prompts[i] for i in pad], fl,
+                           max_new_tokens=lens[head])
+        done_at = _t.time() - t0
+        for i in group:
+            finish[i] = done_at - i * gap
+    static = stats(finish, _t.time() - t0)
+    print(f"static     {static}", flush=True)
+
+    # ---- continuous policy (serve/continuous.py) ----
+    sched = ContinuousScheduler(gen, n_slots=N, segment=args.segment)
+    t0 = _t.time()
+    next_i, finish = 0, {}
+    while len(finish) < R:
+        now = _t.time() - t0
+        while next_i < R and next_i * gap <= now:
+            rq = Request(ids=prompts[next_i], img_feats=feats,
+                         max_new=lens[next_i])
+            rq.idx = next_i
+            sched.submit(rq)
+            next_i += 1
+        if not sched.busy:
+            _t.sleep(0.002)
+            continue
+        for rq in sched.step():
+            finish[rq.idx] = (_t.time() - t0) - rq.idx * gap
+    cont = stats(finish, _t.time() - t0)
+    print(f"continuous {cont}", flush=True)
+
+    print(json.dumps({"metric": "serve_arrival_sim", "model": args.model,
+                      "requests": R, "arrival_gap_s": gap, "slots": N,
+                      "segment": args.segment, "max_new": args.max_new,
+                      "image_tokens": 576 if feats is not None else 0,
+                      "static": static, "continuous": cont,
+                      "p95_latency_improvement":
+                          round(static["p95_latency_s"]
+                                / max(cont["p95_latency_s"], 1e-9), 2)}))
     return 0
 
 
