@@ -96,6 +96,8 @@ class Request:
     accept_steps: int = 0
     accept_len_sum: int = 0
     segments: int = 0                    # segment steps this request spanned
+    error: Optional[str] = None          # admission failure (solo; the batch
+    #                                      and other requests are unaffected)
 
     @property
     def avg_accept_len(self) -> float:
@@ -154,10 +156,12 @@ class ContinuousScheduler:
         return sum(s is not None for s in self.slots)
 
     def step(self) -> List[Request]:
-        """Admit, run one segment, harvest. Returns finished requests."""
-        self._admit()
+        """Admit, run one segment, harvest. Returns finished requests
+        (including ones that failed admission, with .error set — a bad
+        request must not take down the other slots)."""
+        failed = self._admit()
         if self.active == 0:
-            return []
+            return failed
         stop = np.zeros((self.n_slots,), np.int32)
         for i, a in enumerate(self.slots):
             if a is not None:
@@ -190,7 +194,7 @@ class ContinuousScheduler:
                 r.accept_len_sum = int(got["acc"][i])
                 finished.append(r)
                 self.slots[i] = None     # lane masked by stop_at=0
-        return finished
+        return failed + finished
 
     def run_all(self) -> List[Request]:
         """Drive step() until drained (convenience for tests/offline use)."""
@@ -222,17 +226,21 @@ class ContinuousScheduler:
                              if req.img_feats is not None else 0)
         return state, e0
 
-    def _admit(self) -> None:
+    def _admit(self) -> List[Request]:
+        failed: List[Request] = []
         for i in range(self.n_slots):
-            if not self.queue:
-                return
-            if self.slots[i] is not None:
-                continue
-            req = self.queue.popleft()
-            state, e0 = self._prefill(req)
-            if self.bstate is None:
-                self.bstate = self._stack(state)
-            else:
-                self.bstate = self._insert(self.bstate, state, i)
-            self.slots[i] = _Active(req=req, e0=e0)
-            self.joined += 1
+            while self.queue and self.slots[i] is None:
+                req = self.queue.popleft()
+                try:
+                    state, e0 = self._prefill(req)
+                except Exception as e:   # bad request (e.g. prompt too long)
+                    req.error = f"{type(e).__name__}: {e}"
+                    failed.append(req)
+                    continue
+                if self.bstate is None:
+                    self.bstate = self._stack(state)
+                else:
+                    self.bstate = self._insert(self.bstate, state, i)
+                self.slots[i] = _Active(req=req, e0=e0)
+                self.joined += 1
+        return failed

@@ -258,6 +258,12 @@ class ContinuousWorker(EngineWorker):
 
     def _finish(self, req):
         w = req._work
+        if req.error is not None:        # solo admission failure
+            w.error = req.error
+            if w.chunks is not None:
+                w.chunks.put(None)
+            w.done.set()
+            return
         dt = time.time() - req._t0
         self.served += 1
         if w.stream:

@@ -79,6 +79,25 @@ def test_staggered_join_does_not_perturb_running_slot(text_gen):
         np.testing.assert_array_equal(r.tokens, solo.tokens)
 
 
+def test_bad_request_does_not_kill_the_batch(text_gen):
+    """An over-long prompt fails admission SOLO (error set on that request);
+    requests sharing the batch complete normally."""
+    gen = text_gen
+    good1 = Request(ids=_prompt(40, 15), max_new=20, seed=0)
+    bad = Request(ids=_prompt(41, 500), max_new=20, seed=0)  # > engine budget
+    good2 = Request(ids=_prompt(42, 9), max_new=16, seed=0)
+    sched = ContinuousScheduler(gen, n_slots=2, segment=8)
+    for r in (good1, bad, good2):
+        sched.submit(r)
+    done = sched.run_all()
+    assert len(done) == 3
+    assert bad.error is not None and "prompt too long" in bad.error
+    for r in (good1, good2):
+        assert r.error is None
+        solo = gen.generate(r.ids, max_new_tokens=r.max_new, seed=r.seed)
+        np.testing.assert_array_equal(r.tokens, solo.tokens)
+
+
 def test_streaming_chunks_concatenate_to_final(text_gen):
     gen = text_gen
     chunks = []
