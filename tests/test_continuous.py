@@ -146,6 +146,30 @@ def test_mixed_image_and_text_slots():
     np.testing.assert_array_equal(r_txt.tokens, solo_txt.tokens)
 
 
+def test_arrival_sim_tool_smoke():
+    """tools/serve_throughput.py --arrival-sim runs both policies end-to-end
+    and emits the comparison JSON line (tiny model, CPU)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/serve_throughput.py", "--model", "tiny",
+         "--no-image", "--arrival-sim", "--requests", "4",
+         "--arrival-gap", "0.05", "--slots", "2", "--max-new", "8",
+         "--segment", "4"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "serve_arrival_sim"
+    for policy in ("static", "continuous"):
+        assert out[policy]["makespan_s"] > 0
+        assert out[policy]["agg_tokens_per_s"] > 0
+
+
 def test_http_server_continuous_mode():
     """serve_forever(..., continuous=2): concurrent requests complete with
     the same text as a solo run, streaming works, /health reports slots."""
