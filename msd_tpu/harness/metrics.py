@@ -169,3 +169,38 @@ def bootstrap_stderr(xs: Sequence[float], iters: int = 1000,
     rng = np.random.default_rng(seed)
     idx = rng.integers(0, len(xs), size=(iters, len(xs)))
     return float(xs[idx].mean(axis=1).std(ddof=1))
+
+
+# ---------------------------------------------------------------------------
+# referring-expression grounding (REC): bbox IoU family
+# ---------------------------------------------------------------------------
+
+_BOX_RE = re.compile(
+    r"\[\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*,"
+    r"\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\]")
+
+
+def parse_box(text: str) -> List[float]:
+    """First `[x1, y1, x2, y2]` float sequence in the output, else zeros
+    (tasks/refcoco/utils_rec.py parse_float_sequence_within)."""
+    m = _BOX_RE.search(str(text))
+    return [float(g) for g in m.groups()] if m else [0.0, 0.0, 0.0, 0.0]
+
+
+def box_iou(box1: Sequence[float], box2: Sequence[float]) -> float:
+    """IoU of two [x1, y1, x2, y2] boxes (refcoco/utils_rec.py compute_iou;
+    degenerate/empty unions score 0 instead of dividing by zero)."""
+    xl, yt = max(box1[0], box2[0]), max(box1[1], box2[1])
+    xr, yb = min(box1[2], box2[2]), min(box1[3], box2[3])
+    inter = max(0.0, xr - xl) * max(0.0, yb - yt)
+    a1 = (box1[2] - box1[0]) * (box1[3] - box1[1])
+    a2 = (box2[2] - box2[0]) * (box2[3] - box2[1])
+    union = a1 + a2 - inter
+    return inter / union if union > 0 else 0.0
+
+
+def box_center_in(gt: Sequence[float], pred: Sequence[float]) -> float:
+    """1.0 iff pred's center lies inside gt
+    (refcoco/utils_rec.py compute_center_accuracy)."""
+    cx, cy = (pred[0] + pred[2]) / 2, (pred[1] + pred[3]) / 2
+    return float(gt[0] <= cx <= gt[2] and gt[1] <= cy <= gt[3])

@@ -35,6 +35,17 @@ from msd_tpu.utils.conversation import build_msd_prompt, vicuna_v1
 from msd_tpu.utils.mm_utils import process_image, tokenizer_image_token
 
 
+def apply_until(text: str, gen_kwargs: Dict) -> str:
+    """Host-side stop-string truncation: cut the response at the first
+    occurrence of any ``until`` string (the lmms-eval adapter convention,
+    e.g. models/llava_msd.py `until` handling + gsm8k.yaml's
+    ``until: ["Question:"]``; EOS itself stops on-device)."""
+    for stop in gen_kwargs.get("until", []) or []:
+        if stop:
+            text = text.split(stop)[0]
+    return text
+
+
 def run_multi_round(generate_one, requests: List[Instance],
                     default_max_rounds: int = 8) -> List[List[str]]:
     """Shared ``generate_until_multi_round`` driver (the round protocol of
@@ -221,13 +232,32 @@ class LlavaMSD:
         return cls(gen, tokenizer, enc, vocab_class=vc, **kw)
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _as_image(visual):
+        """Normalize one visual to a single image. Video inputs — a [T, H,
+        W, 3] frames array — fall back to the middle frame (this adapter is
+        image-only like the reference's llava models; the temporal tower
+        lives in qwen2_vl_msd). A bare video PATH needs a decoder we don't
+        have here, so fail with an actionable message instead of a shape
+        error deep in image prep."""
+        if isinstance(visual, str):
+            raise ValueError(
+                f"visual is a video path ({visual!r}); the llava adapters "
+                "are image-only — use a video-capable adapter "
+                "(qwen2_vl_msd) for this task")
+        arr = np.asarray(visual) if not hasattr(visual, "ndim") else visual
+        if getattr(arr, "ndim", 0) == 4:
+            return arr[arr.shape[0] // 2]
+        return visual
+
     def _prepare(self, context: str, visuals) -> tuple:
         with_image = bool(visuals) and self.gen.n_img > 0
         prompt = build_msd_prompt(context, with_image=with_image)
         ids = tokenizer_image_token(prompt, self.tokenizer)
         feats = None
         if with_image:
-            px = process_image(visuals[0], image_size=self.image_size)
+            px = process_image(self._as_image(visuals[0]),
+                               image_size=self.image_size)
             if self.encode_image_fn is None:
                 raise ValueError("image provided but no vision encoder")
             feats = self.encode_image_fn(jnp.asarray(px))
@@ -330,7 +360,7 @@ class LlavaMSD:
             self.total_accept_steps += getattr(r, "accept_steps", 0)
             text = self.tokenizer.decode(list(r.tokens),
                                          skip_special_tokens=True)
-            outputs.append(text.strip())
+            outputs.append(apply_until(text, gen_kwargs).strip())
         self.total_duration_seconds = time.time() - t_start
         if self.log_dir:
             self.write_run_outputs()
@@ -345,8 +375,9 @@ class LlavaMSD:
         r = fn(ids, img_feats=feats, max_new_tokens=max_new, sp=sp)
         self.total_accept_len += getattr(r, "accept_len_sum", 0)
         self.total_accept_steps += getattr(r, "accept_steps", 0)
-        return self.tokenizer.decode(list(r.tokens),
-                                     skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(list(r.tokens),
+                                     skip_special_tokens=True)
+        return apply_until(text, gen_kwargs).strip()
 
     def generate_until_multi_round(self, requests: List[Instance]
                                    ) -> List[List[str]]:
@@ -380,7 +411,8 @@ class LlavaMSD:
             ids_full = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
             feats = None
             if with_image:
-                px = process_image(visuals[0], image_size=self.image_size)
+                px = process_image(self._as_image(visuals[0]),
+                                   image_size=self.image_size)
                 if self.encode_image_fn is None:
                     raise ValueError("image provided but no vision encoder")
                 feats = self.encode_image_fn(jnp.asarray(px))

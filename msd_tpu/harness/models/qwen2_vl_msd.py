@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from msd_tpu.harness.instance import Instance
+from msd_tpu.harness.models.llava_msd import apply_until
 from msd_tpu.harness.registry import register_model
 from msd_tpu.models.qwen2vl import (IMAGE_PAD_ID, VIDEO_PAD_ID,
                                     VISION_END_ID, VISION_START_ID)
@@ -261,8 +262,9 @@ class Qwen2VLMSD:
                img_grid=grid)
         self.total_accept_len += getattr(r, "accept_len_sum", 0)
         self.total_accept_steps += getattr(r, "accept_steps", 0)
-        return self.tokenizer.decode(list(r.tokens),
-                                     skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(list(r.tokens),
+                                     skip_special_tokens=True)
+        return apply_until(text, gen_kwargs).strip()
 
     def generate_until(self, requests: List[Instance]) -> List[str]:
         outputs = []

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -742,6 +743,281 @@ def make_videomme(dataset_path=None, max_frames: int = 8) -> TaskConfig:
         } for i in range(n)])
 
 
+def make_rec_task(name: str, dataset_path=None,
+                  query_key: str = "answer") -> TaskConfig:
+    """Referring-expression bbox grounding (REC): the model emits a
+    normalized ``[x1, y1, x2, y2]`` box, scored IoU + ACC@{.1,.3,.5,.7,.9}
+    + Center_ACC (tasks/refcoco/utils_rec.py:9-126,
+    tasks/screenspot/utils_rec.py:6-126). Doc schema: ``bbox`` already
+    normalized to x1y1x2y2 in [0, 1] (the reference's
+    refcoco_bbox_rec_preprocess_dataset does the xywh->xyxy/normalize map
+    at load time; a local dataset is expected pre-normalized), and the
+    referring expression under ``query_key`` ('answer' for refcoco,
+    'instruction' for screenspot)."""
+    def _res(d, r):
+        pred = M.parse_box(r[0])
+        gt = [float(v) for v in d["bbox"]]
+        iou = M.box_iou(gt, pred)
+        out = {"IoU": iou, "Center_ACC": M.box_center_in(gt, pred)}
+        for th in (0.1, 0.3, 0.5, 0.7, 0.9):
+            out[f"ACC@{th}"] = float(iou >= th)
+        return out
+
+    return TaskConfig(
+        name=name,
+        doc_to_text=lambda d: (
+            "Bounding box coordinates are specified in the format (top-left "
+            "x, top-left y, bottom-right x, bottom-right y). All values are "
+            "floating point numbers bounded between 0 and 1. Please provide "
+            "the bounding box coordinate of the region this sentence "
+            "describes: " + str(d[query_key])),
+        doc_to_visual=_visual,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 32, "temperature": 0.0},
+        metric_names=("IoU", "ACC@0.1", "ACC@0.3", "ACC@0.5", "ACC@0.7",
+                      "ACC@0.9", "Center_ACC"),
+        synthetic_docs=lambda n: [{
+            query_key: f"the object in cell {i % 4}",
+            "bbox": [0.1 + 0.2 * (i % 4), 0.2, 0.2 + 0.2 * (i % 4), 0.5],
+            "image": _synth_image(i),
+        } for i in range(n)])
+
+
+def make_mmvet(dataset_path=None) -> TaskConfig:
+    """MM-Vet integrated-capability scoring. The reference grades with a
+    GPT judge over an <AND>/<OR> ground-truth algebra
+    (tasks/mmvet/utils.py:38-49 MM_VET_PROMPT); offline deterministic
+    analog (same deviation class as the mathvista/mathverse rebuilds):
+    score = mean over <AND> conjuncts of max over <OR> alternatives of
+    normalized containment/numeric match — reproducing the judge's anchor
+    cases (all conjuncts present = 1.0, one of two = 0.5, none = 0.0)."""
+    def _part_hit(part: str, pred: str) -> float:
+        alts = [a.strip() for a in part.split("<OR>")]
+        pn = M.normalize_extract(pred)
+        best = 0.0
+        for alt in alts:
+            an = M.normalize_extract(alt)
+            if not an:
+                continue
+            if an in pn or M.relaxed_correctness(pred, alt):
+                return 1.0
+        return best
+
+    def _res(d, r):
+        gt = str(d.get("answer", ""))
+        parts = [p.strip() for p in gt.split("<AND>") if p.strip()]
+        score = (sum(_part_hit(p, r[0]) for p in parts) / len(parts)
+                 if parts else 0.0)
+        return {"gpt_eval_score": score}
+
+    return TaskConfig(
+        name="mmvet",
+        doc_to_text=lambda d: d["question"],
+        doc_to_visual=_visual,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 512, "temperature": 0.0},
+        metric_names=("gpt_eval_score",),
+        synthetic_docs=lambda n: [{
+            "question": f"What are the two numbers shown? (doc {i})",
+            "answer": f"{i} <AND> {i + 1}" if i % 2 == 0
+            else f"{i} <OR> {i * 10}",
+            "image": _synth_image(i),
+        } for i in range(n)])
+
+
+def make_video_mc_task(name: str, dataset_path=None) -> TaskConfig:
+    """Video multiple-choice (egoschema / nextqa / perceptiontest /
+    mvbench family): the option list and gold answer live under
+    dataset-specific keys — ``option``+int answer (egoschema
+    tasks/egoschema/utils.py:57-77), ``a0..a4``+int (nextqa
+    tasks/nextqa/utils.py doc_to_text_mc), ``options``+letter, or
+    ``candidates``+gold-string (mvbench tasks/mvbench/utils.py) — all
+    normalized here to lettered options + a letter gold."""
+    def _opts(d) -> List[str]:
+        raw = (d.get("options") or d.get("option") or d.get("candidates")
+               or [d[k] for k in ("a0", "a1", "a2", "a3", "a4")
+                   if d.get(k) is not None])
+        return [str(o) for o in raw]
+
+    def _gold_letter(d, opts: List[str]) -> str:
+        ans = d.get("answer", d.get("truth"))
+        if isinstance(ans, (int, np.integer)):
+            return "ABCDEFGH"[int(ans)]
+        a = str(ans).strip()
+        if a.isdigit():
+            return "ABCDEFGH"[int(a)]
+        if len(a) == 1 and a.upper() in "ABCDEFGH":
+            return a.upper()
+        # gold given as the full option string (mvbench): match it
+        for j, o in enumerate(opts):
+            if M.normalize_extract(o.split(". ", 1)[-1]) == \
+                    M.normalize_extract(a):
+                return "ABCDEFGH"[j]
+        return "A"
+
+    def _text(d):
+        opts = _opts(d)
+        lettered = [o if o[:2] in (f"{c}." for c in "ABCDEFGH")
+                    else f"{'ABCDEFGH'[j]}. {o}"
+                    for j, o in enumerate(opts)]
+        return ("Select the best answer to the following multiple-choice "
+                "question based on the video. Respond with only the letter "
+                "of the correct option.\n"
+                + d["question"] + "\n" + "\n".join(lettered)
+                + "\nThe best answer is:")
+
+    def _vis(d):
+        if d.get("video_path"):
+            return [d["video_path"]]
+        return [d["video"]]
+
+    def _synth_video(i):
+        rng = np.random.default_rng(i)
+        return rng.integers(0, 255, size=(6, 56, 56, 3), dtype=np.uint8)
+
+    def _res(d, r):
+        opts = _opts(d)
+        return {"accuracy": M.mc_accuracy(r[0], _gold_letter(d, opts),
+                                          max(1, len(opts)))}
+
+    return TaskConfig(
+        name=name,
+        doc_to_text=_text,
+        doc_to_visual=_vis,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 8, "temperature": 0.0},
+        metric_names=("accuracy",),
+        synthetic_docs=lambda n: [{
+            "question": f"Which option is number {i % 4}?",
+            "option": [f"option {j}" for j in range(4)],
+            "answer": i % 4,
+            "video": _synth_video(i),
+        } for i in range(n)])
+
+
+def make_multidocvqa(dataset_path=None) -> TaskConfig:
+    """MP-DocVQA (multidocvqa): ANLS + exact-accuracy over multi-page
+    document images — doc_to_visual returns every non-null ``image_k``
+    page, k = 1..20 (tasks/multidocvqa/utils.py:20-47); answers may be an
+    ast-encoded list string like the HF dump."""
+    def _answers(d) -> List[str]:
+        ans = d.get("answers", d.get("answer", []))
+        if isinstance(ans, str):
+            try:
+                import ast
+                ans = ast.literal_eval(ans)
+            except (ValueError, SyntaxError):
+                ans = [ans]
+        if not isinstance(ans, (list, tuple)):
+            ans = [ans]
+        return [str(a) for a in ans]
+
+    def _vis(d):
+        pages = [d[f"image_{i}"] for i in range(1, 21)
+                 if d.get(f"image_{i}") is not None]
+        return pages or ([d["image"]] if d.get("image") is not None else [])
+
+    def _res(d, r):
+        answers = _answers(d)
+        norm = [a.strip().lower() for a in answers]
+        return {"anls": M.anls(r[0], answers),
+                "accuracy": float(str(r[0]).strip().lower() in norm)}
+
+    return TaskConfig(
+        name="multidocvqa_val",
+        doc_to_text=lambda d: (f"{d['question']}\nAnswer the question "
+                               "using a single word or phrase."),
+        doc_to_visual=_vis,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 32, "temperature": 0.0},
+        metric_names=("anls", "accuracy"),
+        synthetic_docs=lambda n: [{
+            "question": f"What is the value on page 2 of doc {i}?",
+            "answers": [str(i % 10)],
+            "image_1": _synth_image(2 * i),
+            "image_2": _synth_image(2 * i + 1),
+        } for i in range(n)])
+
+
+_GSM8K_NUM_RE = re.compile(r"-?[0-9][0-9,]*\.?[0-9]*")
+
+
+def make_gsm8k(dataset_path=None) -> TaskConfig:
+    """GSM8K text-only math word problems (tasks/gsm8k/gsm8k.yaml):
+    'Question: {q}\\nAnswer:' prompt, gold after '#### ', scored with the
+    yaml's flexible-extract filter (last number in the output, commas/$
+    stripped). No visual — exercises the engine's text-only path."""
+    def _gold(d) -> str:
+        a = str(d.get("answer", ""))
+        a = a.split("#### ")[-1].strip().rstrip(".")
+        return a.replace(",", "").replace("$", "")
+
+    def _res(d, r):
+        nums = _GSM8K_NUM_RE.findall(str(r[0]).replace("$", ""))
+        pred = nums[-1].replace(",", "").rstrip(".") if nums else ""
+        gold = _gold(d)
+        try:
+            ok = float(pred) == float(gold)
+        except ValueError:
+            ok = pred == gold
+        return {"exact_match": float(ok)}
+
+    return TaskConfig(
+        name="gsm8k",
+        doc_to_text=lambda d: f"Question: {d['question']}\nAnswer:",
+        doc_to_visual=lambda d: [],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 256, "temperature": 0.0,
+                    "until": ["Question:"]},
+        metric_names=("exact_match",),
+        synthetic_docs=lambda n: [{
+            "question": f"Tom has {i} apples and buys {i} more. "
+                        "How many apples does Tom have?",
+            "answer": f"Tom has {i}+{i} apples. #### {2 * i}",
+        } for i in range(n)])
+
+
+def make_text_ppl_choice(name: str, dataset_path=None) -> TaskConfig:
+    """Text-only likelihood-ranked multiple choice (arc/arc_easy.yaml,
+    hellaswag/utils.py, mmlu/default): one loglikelihood request per
+    choice continuation; reports acc (argmax logprob) and acc_norm
+    (argmax logprob / choice character length — the lm-eval
+    byte-normalized variant both yamls list). Doc schema: ``query`` (or
+    'Question: {question}\\nAnswer:'), ``choices``, int ``gold``."""
+    def _choices(d):
+        return [str(c) for c in d["choices"]]
+
+    def _query(d):
+        return d.get("query") or f"Question: {d['question']}\nAnswer:"
+
+    def _res(d, results):
+        lps = np.array([lp for lp, _ in results], float)
+        lens = np.array([max(1, len(c)) for c in _choices(d)], float)
+        gold = int(d["gold"])
+        return {"acc": float(int(np.argmax(lps)) == gold),
+                "acc_norm": float(int(np.argmax(lps / lens)) == gold)}
+
+    return TaskConfig(
+        name=name,
+        doc_to_text=_query,
+        doc_to_visual=lambda d: [],
+        process_results=_res,
+        dataset_path=dataset_path,
+        output_type="loglikelihood",
+        doc_to_choice=_choices,
+        metric_names=("acc", "acc_norm"),
+        synthetic_docs=lambda n: [{
+            "query": f"Question: which option is number {i % 4}?\nAnswer:",
+            "choices": [f" option {j}" for j in range(4)],
+            "gold": i % 4,
+        } for i in range(n)])
+
+
 def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     root = dataset_root or os.environ.get("MSD_TPU_DATASETS", "")
 
@@ -803,4 +1079,28 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     if yaml_dir and os.path.isdir(yaml_dir):
         from msd_tpu.harness.yaml_task import register_yaml_dir
         register_yaml_dir(yaml_dir, dataset_root=root or None)
+    register_task("refcoco_bbox_rec_val",
+                  make_rec_task("refcoco_bbox_rec_val", p("RefCOCO")))
+    register_task("refcoco+_bbox_rec_val",
+                  make_rec_task("refcoco+_bbox_rec_val", p("RefCOCO+")))
+    register_task("refcocog_bbox_rec_val",
+                  make_rec_task("refcocog_bbox_rec_val", p("RefCOCOg")))
+    register_task("screenspot_rec_test",
+                  make_rec_task("screenspot_rec_test", p("ScreenSpot"),
+                                query_key="instruction"))
+    register_task("mmvet", make_mmvet(p("MM-Vet")))
+    register_task("multidocvqa_val", make_multidocvqa(p("MP-DocVQA")))
+    register_task("egoschema", make_video_mc_task("egoschema",
+                                                  p("EgoSchema")))
+    register_task("nextqa_mc_test", make_video_mc_task("nextqa_mc_test",
+                                                       p("NExT-QA")))
+    register_task("perceptiontest_val_mc", make_video_mc_task(
+        "perceptiontest_val_mc", p("PerceptionTest")))
+    register_task("mvbench", make_video_mc_task("mvbench", p("MVBench")))
+    register_task("gsm8k", make_gsm8k(p("GSM8K")))
+    register_task("arc_easy", make_text_ppl_choice("arc_easy", p("ARC-Easy")))
+    register_task("arc_challenge",
+                  make_text_ppl_choice("arc_challenge", p("ARC-Challenge")))
+    register_task("hellaswag", make_text_ppl_choice("hellaswag",
+                                                    p("HellaSwag")))
     register_task("synthetic_vqa", make_chartqa(None))
