@@ -1097,6 +1097,11 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_task("perceptiontest_val_mc", make_video_mc_task(
         "perceptiontest_val_mc", p("PerceptionTest")))
     register_task("mvbench", make_video_mc_task("mvbench", p("MVBench")))
+    # round-3b extended tier (tasks_ext.py): mme_realworld, muirbench,
+    # websrc, qbench, longvideobench, mlvu, mmlu, mmlu_pro, gpqa, synthdog,
+    # vatex, detailcaps, naturalbench
+    from msd_tpu.harness.tasks_ext import register_ext_tasks
+    register_ext_tasks(p)
     register_task("gsm8k", make_gsm8k(p("GSM8K")))
     register_task("arc_easy", make_text_ppl_choice("arc_easy", p("ARC-Easy")))
     register_task("arc_challenge",
