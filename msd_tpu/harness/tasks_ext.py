@@ -670,6 +670,324 @@ def make_naturalbench(dataset_path=None) -> TaskConfig:
 
 
 # ---------------------------------------------------------------------------
+# MMT-Bench (A..I option columns) + II-Bench (6-option, most-common letter)
+# ---------------------------------------------------------------------------
+
+def make_mmt(dataset_path=None, name="mmt_val") -> TaskConfig:
+    """MMT-Bench (mmt/utils.py:61-109): options live in per-letter columns
+    A..I ('' = absent), 'Question: <image>\\n' header, answer is the letter;
+    per l2-category accuracies via aggregate_extra."""
+    _LETTERS = "ABCDEFGHI"
+
+    def _opts(d) -> List[str]:
+        return [c for c in _LETTERS
+                if d.get(c) and str(d[c]).strip()]
+
+    def _text(d):
+        lines = [f"{c}: {str(d[c]).strip()}" for c in _opts(d)]
+        return ("Question: " + d["question"].strip() + "\n"
+                + "\n".join(lines)
+                + "\nAnswer with the option letter from the given choices "
+                "directly.")
+
+    def _res(d, r):
+        pred = extract_letter(r[0], _LETTERS)
+        acc = 1.0 if pred and pred == str(d.get("answer", "")).strip() \
+            else 0.0
+        out = {"accuracy": acc}
+        l2 = str(d.get("l2-category", d.get("l2_category", "")))
+        if l2:
+            out[f"_l2_{l2}"] = acc
+        return out
+
+    def _agg(rows):
+        keys = {k for row in rows for k in row if k.startswith("_l2_")}
+        return {k[len("_l2_"):]: float(np.mean([row[k] for row in rows
+                                                if k in row]))
+                for k in sorted(keys)}
+
+    return TaskConfig(
+        name=name,
+        doc_to_text=_text,
+        doc_to_visual=lambda d: [d["image"]],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 8, "temperature": 0.0},
+        metric_names=("accuracy",),
+        aggregate_extra=_agg,
+        synthetic_docs=lambda n: [dict(
+            {"question": f"Which option is number {i % 4}?",
+             "answer": "ABCD"[i % 4], "l2-category": "ocr",
+             "image": _synth_image(i)},
+            **{c: f"option {j}" for j, c in enumerate("ABCD")})
+            for i in range(n)])
+
+
+def ii_bench_extract(text: str) -> str:
+    """ii_bench/utils.py:29-47 extract_option_labels: prefer '(X)' matches,
+    fall back to standalone capitals; the MOST COMMON letter wins, ties to
+    the last-listed candidate."""
+    from collections import Counter
+    matches = re.findall(r"\(([A-F])\)", str(text))
+    if not matches:
+        matches = re.findall(r"\b([A-F])\b", str(text))
+    if not matches:
+        return ""
+    counts = Counter(matches).most_common()
+    top = [m for m in counts if m[1] == counts[0][1]]
+    return top[-1][0]
+
+
+def make_ii_bench(dataset_path=None) -> TaskConfig:
+    """II-Bench (ii_bench/utils.py:10-27): image-implication MC over
+    option1..option6 rendered as '(A) ...' lines."""
+    def _text(d):
+        lines = [f"({c}) {d[f'option{j + 1}']}"
+                 for j, c in enumerate("ABCDEF") if d.get(f"option{j + 1}")]
+        return ("Question: " + d["question"] + "\n" + "\n".join(lines)
+                + "\nAnswer with the option's letter from the given "
+                "choices directly.")
+
+    def _res(d, r):
+        pred = ii_bench_extract(r[0])
+        gold = _gold_letter(d.get("answer", ""))
+        return {"accuracy": 1.0 if pred and pred == gold else 0.0}
+
+    return TaskConfig(
+        name="ii_bench",
+        doc_to_text=_text,
+        doc_to_visual=lambda d: [d["image"]],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 8, "temperature": 0.0},
+        metric_names=("accuracy",),
+        synthetic_docs=lambda n: [dict(
+            {"question": f"Which option is number {i % 6}?",
+             "answer": "ABCDEF"[i % 6], "image": _synth_image(i)},
+            **{f"option{j + 1}": f"option {j}" for j in range(6)})
+            for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# MIRB (multi-image reasoning, per-subset instructions)
+# ---------------------------------------------------------------------------
+
+_MIRB_INSTR = {
+    **dict.fromkeys(("analogy", "attribute", "plot_code", "visual_chain",
+                     "sightseeing"), "Answer with a single word."),
+    **dict.fromkeys(("codeu", "food", "image_jigsaw"),
+                    "Answer with the option symbol."),
+    "arxiv": "Answer with the paper title.",
+    "count": "Answer with a single number.",
+    "3d_scene": ("The following images are different views of the same 3D "
+                 "scene. Answer with a single number."),
+}
+
+
+def make_mirb(dataset_path=None) -> TaskConfig:
+    """MIRB (mirb/utils.py:12-41): multi-image reasoning over
+    doc['image_list'], per-subset task instruction, normalized exact match
+    (numeric answers compared as numbers); per-subset accuracies."""
+    def _text(d):
+        sub = str(d.get("subset", ""))
+        return _MIRB_INSTR.get(sub, "") + str(d.get("questions",
+                                                    d.get("question", "")))
+
+    def _norm(s: str) -> str:
+        return M.normalize_extract(str(s))
+
+    def _match(pred: str, gold: str) -> float:
+        p, g = _norm(pred), _norm(gold)
+        try:
+            return float(abs(float(p.replace(",", ""))
+                             - float(g.replace(",", ""))) < 1e-6)
+        except ValueError:
+            return float(p == g or (g and g in p.split()))
+
+    def _res(d, r):
+        gold = d.get("answers", d.get("answer", ""))
+        acc = _match(r[0], str(gold))
+        out = {"accuracy": acc}
+        sub = str(d.get("subset", ""))
+        if sub:
+            out[f"_sub_{sub}"] = acc
+        return out
+
+    def _agg(rows):
+        keys = {k for row in rows for k in row if k.startswith("_sub_")}
+        return {k[len("_sub_"):]: float(np.mean([row[k] for row in rows
+                                                 if k in row]))
+                for k in sorted(keys)}
+
+    return TaskConfig(
+        name="mirb",
+        doc_to_text=_text,
+        doc_to_visual=lambda d: list(d.get("image_list") or [d["image"]]),
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16, "temperature": 0.0},
+        metric_names=("accuracy",),
+        aggregate_extra=_agg,
+        synthetic_docs=lambda n: [{
+            "questions": f" How many squares are in image {i % 3}?",
+            "answers": str(i % 5), "subset": "count",
+            "image_list": [_synth_image(2 * i), _synth_image(2 * i + 1)],
+        } for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# ConBench (consistency across 3 question fields per image)
+# ---------------------------------------------------------------------------
+
+def make_conbench(dataset_path=None) -> TaskConfig:
+    """ConBench (conbench/utils.py:26-95): each image is probed by three
+    question fields — N/Y (yes/no prefix parse), Choices (first non-space
+    char), Q/A (near-exact: NLS >= 0.95). Per-doc score plus ConScore_D =
+    fraction of images where ALL THREE are right."""
+    def _res(d, r):
+        pred = str(r[0]).replace("\n", "").lower()
+        gt = str(d.get("answer", "")).lower()
+        field = str(d.get("question_field", "Q/A"))
+        if field == "N/Y":
+            head = pred[:4] if pred not in ("yes", "no") else pred
+            p = "yes" if "yes" in head else ("no" if "no" in head
+                                             else "other")
+            score = 1.0 if p == gt else 0.0
+        elif field == "Choices":
+            p = pred.replace(" ", "")[:1]
+            score = 1.0 if p == gt else 0.0
+        else:  # Q/A: anls_score(threshold=0.95) >= 0.4 <=> NLS >= 0.95
+            from msd_tpu.harness.metrics import _levenshtein
+            p, g = pred.strip(), gt.strip()
+            nls = 1.0 - _levenshtein(p, g) / max(1, max(len(p), len(g)))
+            score = 1.0 if (nls >= 0.95 or p == g) else 0.0
+        return {"accuracy": score,
+                "_img": float(zlib.crc32(str(d.get("image_id",
+                                                   "")).encode()))}
+
+    def _agg(rows):
+        per_img: Dict[float, List[float]] = {}
+        for row in rows:
+            per_img.setdefault(row["_img"], []).append(row["accuracy"])
+        full = [v for v in per_img.values() if len(v) >= 3]
+        if not full:
+            return {"ConScore_D": 0.0}
+        return {"ConScore_D": float(np.mean([all(v) for v in full]))}
+
+    return TaskConfig(
+        name="conbench",
+        doc_to_text=lambda d: str(d["question"]).strip(),
+        doc_to_visual=lambda d: [d["image"]],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 32, "temperature": 0.0},
+        metric_names=("accuracy",),
+        aggregate_extra=_agg,
+        synthetic_docs=lambda n: [{
+            "question": ("Is there a shape? Answer yes or no."
+                         if i % 3 == 0 else
+                         ("Pick A or B." if i % 3 == 1
+                          else "What is shown?")),
+            "question_field": ("N/Y", "Choices", "Q/A")[i % 3],
+            "answer": ("yes", "a", "a shape")[i % 3],
+            "image_id": str(i // 3),
+            "image": _synth_image(i // 3)} for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# TempCompass (video; rule-matched MC / yes-no / caption-matching)
+# ---------------------------------------------------------------------------
+
+def _tempcompass_mc_rating(pred: str, answer: str) -> float:
+    """tempcompass/utils.py:127-143 hand-crafted matching rules; the
+    ChatGPT fallback for unmatched answers is out of scope (offline
+    harness) — unmatched predictions score 0."""
+    pred, answer = str(pred).strip(), str(answer)
+    if pred == answer:
+        return 1.0
+    if pred in ("A", "B", "C", "D"):
+        return 1.0 if answer.startswith(pred) else 0.0
+    for sep in (".", ")"):
+        if any(pred.startswith(f"{c}{sep}") for c in "ABCD"):
+            return 1.0 if answer.startswith(pred.split(sep)[0]) else 0.0
+    return 0.0
+
+
+def make_tempcompass(dataset_path=None, kind="multi-choice") -> TaskConfig:
+    """TempCompass (tempcompass/_default_template_yaml post_prompts +
+    utils.py process_results): the question text already carries the
+    options; per-dim accuracies via aggregate_extra."""
+    post = {"multi-choice": "\nPlease directly give the best option:",
+            "yes_no": "\nPlease answer yes or no:",
+            "caption_matching": "\nPlease directly give the best option:"}
+    name = {"multi-choice": "tempcompass_mc",
+            "yes_no": "tempcompass_yes_no",
+            "caption_matching": "tempcompass_caption_matching"}[kind]
+
+    def _rate(d, r) -> float:
+        if kind == "yes_no":
+            pred = str(r[0]).strip().lower()
+            p = "yes" if pred.startswith("yes") else (
+                "no" if pred.startswith("no") else "")
+            return 1.0 if p and p == str(d["answer"]).strip().lower() \
+                else 0.0
+        return _tempcompass_mc_rating(r[0], d["answer"])
+
+    def _res(d, r):
+        acc = _rate(d, r)
+        out = {"avg_accuracy": acc}
+        dim = str(d.get("dim", ""))
+        if dim:
+            out[f"_dim_{dim}"] = acc
+        return out
+
+    def _agg(rows):
+        keys = {k for row in rows for k in row if k.startswith("_dim_")}
+        return {k[len("_dim_"):] + "_accuracy":
+                float(np.mean([row[k] for row in rows if k in row]))
+                for k in sorted(keys)}
+
+    def _vis(d):
+        if d.get("video_path"):
+            return [d["video_path"]]
+        return [d["video"]]
+
+    def _synth_video(i):
+        rng = np.random.default_rng(i + 29)
+        return rng.integers(0, 255, size=(6, 56, 56, 3), dtype=np.uint8)
+
+    def _synth(n):
+        docs = []
+        for i in range(n):
+            if kind == "yes_no":
+                docs.append({"question": f"Is the clip playing forward "
+                                         f"({i % 2})?",
+                             "answer": "yes" if i % 2 == 0 else "no",
+                             "dim": "direction", "video_id": str(i),
+                             "video": _synth_video(i)})
+            else:
+                docs.append({"question": (f"Which option is {i % 4}?\n"
+                                          + "\n".join(
+                                              f"{c}. option {j}" for j, c
+                                              in enumerate("ABCD"))),
+                             "answer": f"{'ABCD'[i % 4]}. option {i % 4}",
+                             "dim": "order", "video_id": str(i),
+                             "video": _synth_video(i)})
+        return docs
+
+    return TaskConfig(
+        name=name,
+        doc_to_text=lambda d: str(d["question"]) + post[kind],
+        doc_to_visual=_vis,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16, "temperature": 0.0},
+        metric_names=("avg_accuracy",),
+        aggregate_extra=_agg,
+        synthetic_docs=_synth)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -693,3 +1011,13 @@ def register_ext_tasks(p) -> None:
         prompt=("Describe this image in detail. Provide a detailed "
                 "description of the image.")))
     register_task("naturalbench", make_naturalbench(p("NaturalBench")))
+    register_task("mmt_val", make_mmt(p("MMT-Bench")))
+    register_task("ii_bench", make_ii_bench(p("II-Bench")))
+    register_task("mirb", make_mirb(p("MIRB")))
+    register_task("conbench", make_conbench(p("ConBench")))
+    register_task("tempcompass_mc",
+                  make_tempcompass(p("TempCompass"), "multi-choice"))
+    register_task("tempcompass_yes_no",
+                  make_tempcompass(p("TempCompass"), "yes_no"))
+    register_task("tempcompass_caption_matching",
+                  make_tempcompass(p("TempCompass"), "caption_matching"))

@@ -166,12 +166,90 @@ def test_naturalbench_grouped_metrics():
     assert t.aggregate_extra(rows[:3])["Q_Acc"] == 0.0
 
 
+def test_mmt_letter_columns():
+    from msd_tpu.harness.tasks_ext import make_mmt
+    t = make_mmt()
+    d = {"question": "q", "A": "a", "B": "b", "C": "", "answer": "B",
+         "l2-category": "ocr", "image": IMG}
+    txt = t.doc_to_text(d)
+    assert "A: a" in txt and "B: b" in txt and "C:" not in txt
+    r = t.process_results(d, ["B"])
+    assert r["accuracy"] == 1.0
+    assert t.aggregate_extra([r])["ocr"] == 1.0
+
+
+def test_ii_bench_most_common_letter():
+    from msd_tpu.harness.tasks_ext import ii_bench_extract, make_ii_bench
+    assert ii_bench_extract("the answer is (C)") == "C"
+    assert ii_bench_extract("A or B, but B fits better: B") == "B"
+    assert ii_bench_extract("no letters here at all") == ""
+    t = make_ii_bench()
+    d = dict({"question": "q", "answer": "F", "image": IMG},
+             **{f"option{j + 1}": f"o{j}" for j in range(6)})
+    assert "(F) o5" in t.doc_to_text(d)
+    assert t.process_results(d, ["(F)"])["accuracy"] == 1.0
+
+
+def test_mirb_numeric_and_subset():
+    from msd_tpu.harness.tasks_ext import make_mirb
+    t = make_mirb()
+    d = {"questions": " How many?", "answers": "12", "subset": "count",
+         "image_list": [IMG, IMG]}
+    assert t.doc_to_text(d).startswith("Answer with a single number.")
+    assert len(t.doc_to_visual(d)) == 2
+    r = t.process_results(d, ["There are 12."])
+    assert r["accuracy"] == 1.0
+    assert t.aggregate_extra([r])["count"] == 1.0
+    assert t.process_results(d, ["eleven"])["accuracy"] == 0.0
+
+
+def test_conbench_three_fields_and_conscore():
+    from msd_tpu.harness.tasks_ext import make_conbench
+    t = make_conbench()
+    base = {"image_id": "7", "image": IMG}
+    ny = dict(base, question="Is it?", question_field="N/Y", answer="Yes")
+    ch = dict(base, question="A or B?", question_field="Choices",
+              answer="A")
+    qa = dict(base, question="What?", question_field="Q/A",
+              answer="a red car")
+    rows = [t.process_results(ny, ["Yes, it is"]),
+            t.process_results(ch, [" A."]),
+            t.process_results(qa, ["a red car"])]
+    assert all(r["accuracy"] == 1.0 for r in rows)
+    assert t.aggregate_extra(rows)["ConScore_D"] == 1.0
+    rows[2] = t.process_results(qa, ["a blue bike"])
+    assert rows[2]["accuracy"] == 0.0
+    assert t.aggregate_extra(rows)["ConScore_D"] == 0.0
+
+
+def test_tempcompass_rule_matching():
+    from msd_tpu.harness.tasks_ext import (_tempcompass_mc_rating,
+                                           make_tempcompass)
+    assert _tempcompass_mc_rating("B. a cat", "B. a cat") == 1.0
+    assert _tempcompass_mc_rating("B", "B. a cat") == 1.0
+    assert _tempcompass_mc_rating("B)", "B. a cat") == 1.0
+    assert _tempcompass_mc_rating("C", "B. a cat") == 0.0
+    # unmatched free text: the reference's ChatGPT fallback is out of
+    # scope — scores 0
+    assert _tempcompass_mc_rating("it looks like a cat", "B. a cat") == 0.0
+    t = make_tempcompass(kind="yes_no")
+    vid = np.zeros((4, 8, 8, 3), np.uint8)
+    d = {"question": "q", "answer": "yes", "dim": "direction",
+         "video": vid}
+    assert t.doc_to_text(d).endswith("Please answer yes or no:")
+    r = t.process_results(d, ["Yes."])
+    assert r["avg_accuracy"] == 1.0
+    assert t.aggregate_extra([r])["direction_accuracy"] == 1.0
+
+
 def test_ext_tasks_registered():
     register_builtin_tasks()
     for name in ("mme_realworld", "muirbench", "websrc_val", "qbench_dev",
                  "longvideobench_val_v", "mlvu", "mmlu", "mmlu_pro",
                  "gpqa_main_zeroshot", "synthdog_en", "vatex_test",
-                 "detailcaps", "naturalbench"):
+                 "detailcaps", "naturalbench", "mmt_val", "ii_bench",
+                 "mirb", "conbench", "tempcompass_mc",
+                 "tempcompass_yes_no", "tempcompass_caption_matching"):
         task = get_task(name)
         docs = task.load_docs(limit=4)
         assert len(docs) == 4
