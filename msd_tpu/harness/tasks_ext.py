@@ -76,7 +76,8 @@ def _gold_letter(ans) -> str:
 # MME-RealWorld
 # ---------------------------------------------------------------------------
 
-def make_mme_realworld(dataset_path=None) -> TaskConfig:
+def make_mme_realworld(dataset_path=None,
+                       name="mme_realworld") -> TaskConfig:
     """MME-RealWorld (mme_realworld/utils.py:52-57 prompt, :91-118 letter
     extraction, :137-160 per-(task, subtask) aggregation): five '(A) ...'
     options under 'multi-choice options', answers A-E; reports overall
@@ -109,7 +110,7 @@ def make_mme_realworld(dataset_path=None) -> TaskConfig:
                 for k in sorted(keys)}
 
     return TaskConfig(
-        name="mme_realworld",
+        name=name,
         doc_to_text=_text,
         doc_to_visual=lambda d: [d["image"]],
         process_results=_res,
@@ -1021,3 +1022,11 @@ def register_ext_tasks(p) -> None:
                   make_tempcompass(p("TempCompass"), "yes_no"))
     register_task("tempcompass_caption_matching",
                   make_tempcompass(p("TempCompass"), "caption_matching"))
+    # cheap dataset variants over the same makers (reference yaml-only
+    # forks: qbench/qbench2_dev.yaml + abench_dev.yaml share utils.py;
+    # mme_realworld_lite.yaml shares mme_realworld/utils.py)
+    register_task("qbench2_dev", make_qbench(p("Q-Bench2"), "qbench2_dev"))
+    register_task("abench_dev", make_qbench(p("A-Bench"), "abench_dev"))
+    register_task("mme_realworld_lite",
+                  make_mme_realworld(p("MME-RealWorld-Lite"),
+                                     "mme_realworld_lite"))

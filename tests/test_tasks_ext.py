@@ -249,7 +249,8 @@ def test_ext_tasks_registered():
                  "gpqa_main_zeroshot", "synthdog_en", "vatex_test",
                  "detailcaps", "naturalbench", "mmt_val", "ii_bench",
                  "mirb", "conbench", "tempcompass_mc",
-                 "tempcompass_yes_no", "tempcompass_caption_matching"):
+                 "tempcompass_yes_no", "tempcompass_caption_matching",
+                 "qbench2_dev", "abench_dev", "mme_realworld_lite"):
         task = get_task(name)
         docs = task.load_docs(limit=4)
         assert len(docs) == 4
