@@ -26,6 +26,7 @@ decode with identical greedy outputs):
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -66,6 +67,118 @@ def wait_for_backend(budget_s: float, probe_timeout: float = 150.0) -> bool:
             return False
         time.sleep(delay)
         delay = min(delay * 2, 120.0)
+
+
+_T_START = time.time()  # process birth: the driver's timeout clock
+
+
+class Budget:
+    """Wall-clock budget from PROCESS START (the driver wraps bench.py in a
+    hard ``timeout``; round 3's run died mid-distillation with no JSON —
+    BENCH_r03.json rc=124/parsed=null). Optional phases consult
+    ``allow(cost, reserve)`` and are skipped or truncated so the timed
+    measurement + canonical check + JSON emit ALWAYS happen."""
+
+    def __init__(self, total_s: float):
+        self.total = total_s
+
+    def spent(self) -> float:
+        return time.time() - _T_START
+
+    def remaining(self) -> float:
+        return self.total - self.spent()
+
+    def allow(self, cost_s: float, reserve_s: float) -> bool:
+        return self.remaining() - reserve_s >= cost_s
+
+
+def _flat_draft(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flat_draft(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflat_draft(flat: dict) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
+def save_draft_cache(path: str, draft_host: dict, meta: dict,
+                     trajs=None) -> None:
+    """Persist a distilled draft (host pytree) + meta + record trajectories.
+    bf16 leaves are stored as uint16 views (np.savez cannot serialize the
+    ml_dtypes extension dtype)."""
+    import ml_dtypes
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {}
+    for k, v in _flat_draft(draft_host).items():
+        if v.dtype == ml_dtypes.bfloat16:
+            payload[k + "__bf16"] = v.view(np.uint16)
+        else:
+            payload[k] = v
+    if trajs is not None:
+        for i, t in enumerate(trajs):
+            payload[f"__traj__/{i}"] = np.asarray(t, np.int32)
+    payload["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    tmp = path + ".tmp.npz"  # .npz suffix: np.savez appends it otherwise
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_draft_cache(path: str):
+    """-> (draft_host pytree, meta dict, trajs list) or None."""
+    import ml_dtypes
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        flat, trajs = {}, {}
+        for k in z.files:
+            if k == "__meta__":
+                continue
+            if k.startswith("__traj__/"):
+                trajs[int(k.split("/")[1])] = z[k]
+                continue
+            if k.endswith("__bf16"):
+                flat[k[:-len("__bf16")]] = z[k].view(ml_dtypes.bfloat16)
+            else:
+                flat[k] = z[k]
+        traj_list = [trajs[i] for i in sorted(trajs)] if trajs else None
+        return _unflat_draft(flat), meta, traj_list
+    except Exception as e:  # corrupt/stale cache: re-distill
+        log(f"WARNING: draft cache {path} unreadable ({e!r}); ignoring")
+        return None
+
+
+def draft_cache_key(args) -> str:
+    """Distillation is deterministic in these inputs (PRNG seeds are fixed),
+    so the cache key is a hash of everything that shapes the trained draft."""
+    import hashlib
+    sig = {k: getattr(args, k) for k in (
+        "model", "prompt_tokens", "max_new", "image", "draft_mode",
+        "medusa_widths", "records_source", "distill_lr", "distill_pw",
+        "distill_noise_rel", "distill_vnorm", "distill_rollout",
+        "distill_medusa_w", "distill_steps", "distill_prompts",
+        "head_sharpen", "greedy_round_bits", "share_prefill",
+        "canonical_attn", "tree_depth", "tree_topk", "tree_nodes", "quant",
+        "dtype")}
+    sig["canonical_ar"] = True  # ar_decode association version marker
+    h = hashlib.sha1(json.dumps(sig, sort_keys=True).encode()).hexdigest()
+    return h[:16]
+
 
 
 def main():
@@ -180,13 +293,16 @@ def main():
                          "(EngineConfig.canonical_attn)")
     ap.add_argument("--no-canonical-attn", dest="canonical_attn",
                     action="store_false")
-    ap.add_argument("--ar-noise-check", action="store_true", default=False,
+    ap.add_argument("--ar-noise-check", default="auto",
+                    choices=["auto", "on", "off"],
                     help="also compile the fast-AR program at a second "
                          "max_new shape and report where the two PURE-AR "
                          "programs diverge from each other — demonstrates "
                          "that fast-AR-vs-MSD token drift is XLA "
                          "program-shape noise, not a speculation artifact "
-                         "(costs one extra cold AR compile)")
+                         "(costs one extra cold AR compile). auto = run "
+                         "only if the timed run shows fast-AR drift and "
+                         "the budget allows")
     ap.add_argument("--attn-impl", default="auto",
                     choices=["xla", "pallas", "auto"])
     ap.add_argument("--residual-dtype", default="float32",
@@ -228,6 +344,40 @@ def main():
     ap.add_argument("--dtype", default=None, choices=["bfloat16", "float32"],
                     help="override the model dtype (default: bf16; tiny "
                          "defaults to fp32)")
+    ap.add_argument("--budget-s", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 1380.0)),
+                    help="wall-clock budget (seconds from process start). "
+                         "Distillation rounds and optional phases are "
+                         "truncated/skipped to fit; the timed measurement, "
+                         "canonical check and JSON emit always run. The "
+                         "driver kills bench.py with a hard timeout (round 3 "
+                         "died at ~25 min with no JSON), so the default "
+                         "keeps the whole cold run under 23 min")
+    ap.add_argument("--draft-ckpt", default="artifacts/draft_cache",
+                    help="directory (or file path) caching the distilled "
+                         "draft per config hash: load if present and skip "
+                         "distillation, else distill once and save. '' "
+                         "disables. Distillation is deterministic in the "
+                         "hashed args, so a warm run reproduces the cold "
+                         "run's draft exactly")
+    ap.add_argument("--use-calibration", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="measure the GroupedIsotonicCalibrator end-to-end "
+                         "on chip: collect per-node features during extra "
+                         "decodes, fit on host, export device tables, and "
+                         "report calibrated-vs-uncalibrated alpha + step "
+                         "cost (the reference's headline contribution, "
+                         "figs/result2.png via cnets.py:1121-1168). "
+                         "auto = run if the budget allows")
+    ap.add_argument("--calib-prompts", type=int, default=4,
+                    help="prompts used for calibration feature collection")
+    ap.add_argument("--pallas-ar-check", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="also time a speed-only AR program (canonical "
+                         "attention off, attn_impl=pallas) to quantify what "
+                         "the pallas decode kernel contributes at the bench "
+                         "shape; costs one extra AR compile. auto = run if "
+                         "the budget allows")
     ap.add_argument("--backend-wait", type=float, default=5400.0,
                     help="seconds to keep retrying backend init across "
                          "axon tunnel flaps")
@@ -242,8 +392,6 @@ def main():
         log(f"FATAL: no TPU backend after {args.backend_wait:.0f}s of "
             "retries (axon tunnel unreachable); no benchmark result")
         sys.exit(2)
-
-    import os
 
     import jax
 
@@ -435,8 +583,31 @@ def main():
     # incl. the benchmark prompt's — so the measured alpha reflects a draft
     # that actually knows this target's trajectories. (With real checkpoints
     # the published draft heads play this role.)
+    budget = Budget(args.budget_s)
+
+    def reserve_s() -> float:
+        """Lower bound on post-distill cost: MSD compile + timed phase +
+        canonical check + JSON emit slack, anchored on the measured AR
+        prompt time. Distillation consults this before every round so the
+        measurement phases ALWAYS fit."""
+        ar_p = min(ar_times)
+        npz = len(prompts)
+        timed = npz * args.repeats * (ar_p + max(ar_p, 2.0))
+        canon = (npz * ar_p * 1.9
+                 if (args.canonical_check and args.canonical_attn) else 0.0)
+        return 160.0 + timed + canon + 75.0
+
     distilled_ok = False
     rec_trajs = None
+    distill_rounds_done = 0
+    distill_truncated = False
+    draft_ckpt_hit = False
+    ck_path = None
+    if args.draft_ckpt and args.distill_steps > 0:
+        ck_path = (args.draft_ckpt if args.draft_ckpt.endswith(".npz") else
+                   os.path.join(args.draft_ckpt,
+                                f"draft_{args.model}_{args.draft_mode}_"
+                                f"{draft_cache_key(args)}.npz"))
     if args.distill_steps > 0:
         import gc
 
@@ -619,14 +790,63 @@ def main():
             if iters > 1:
                 steps_it[-1] = max(50, steps_it[-2] // 2)
             steps_it[0] += max(0, args.distill_steps - sum(steps_it))
-            recs, rec_trajs = collect_records()
-            for it in range(iters):
+
+            it0 = 0
+            hit = load_draft_cache(ck_path) if ck_path else None
+            if hit is not None:
+                ck_draft, ck_meta, ck_trajs = hit
+                rebuild(ck_draft, feats_host)
+                rec_trajs = ([np.asarray(t) for t in ck_trajs]
+                             if ck_trajs else None)
+                it0 = min(int(ck_meta.get("rounds_done", iters)), iters)
+                distill_rounds_done = it0
+                distilled_ok = True
+                draft_ckpt_hit = True
+                log(f"distilled draft loaded from {ck_path} "
+                    f"(rounds_done={it0}/{iters})")
+
+            s_per_step = 0.5       # updated from the first train round
+            rec_cost = 290.0       # first collection includes the MSD compile
+            for it in range(it0, iters):
+                if not budget.allow(rec_cost + 50 * s_per_step + 20.0,
+                                    reserve_s()):
+                    distill_truncated = True
+                    log(f"budget: skipping distill rounds {it}..{iters - 1} "
+                        f"(remaining {budget.remaining():.0f}s, reserve "
+                        f"{reserve_s():.0f}s)")
+                    break
+                t_r = time.time()
+                recs, rec_trajs = collect_records()
+                rec_cost = time.time() - t_r
+                steps_aff = int((budget.remaining() - reserve_s() - 20.0)
+                                / s_per_step)
+                steps_run = min(steps_it[it], max(steps_aff, 0))
+                if steps_run < 50:
+                    distill_truncated = True
+                    log(f"budget: no training budget left at round {it} "
+                        f"({steps_aff} affordable steps)")
+                    break
+                if steps_run < steps_it[it]:
+                    distill_truncated = True
+                    log(f"budget: round {it} truncated to "
+                        f"{steps_run}/{steps_it[it]} steps")
                 lr_it = args.distill_lr / (3.0 ** it)
-                trained_host = train_phase(recs, steps_it[it], lr_it)
+                t_t = time.time()
+                trained_host = train_phase(recs, steps_run, lr_it)
+                s_per_step = max((time.time() - t_t) / max(steps_run, 1),
+                                 0.05)
                 rebuild(trained_host, feats_host)
-                if it < iters - 1:
-                    recs, rec_trajs = collect_records()
-            distilled_ok = True
+                distill_rounds_done = it + 1
+                distilled_ok = True
+                if ck_path:
+                    t_s = time.time()
+                    save_draft_cache(
+                        ck_path, trained_host,
+                        {"rounds_done": distill_rounds_done,
+                         "budget_s": args.budget_s,
+                         "truncated": distill_truncated}, rec_trajs)
+                    log(f"draft cache saved to {ck_path} "
+                        f"({time.time() - t_s:.1f}s)")
         except Exception as e:  # never lose the bench to a distill failure
             if "UNAVAILABLE" in str(e) or "worker process crashed" in str(e):
                 raise  # backend gone: let _run_with_flap_retries re-exec
@@ -801,11 +1021,110 @@ def main():
             f"executable): {lossless} (>=64: {lossless_64}; per-prompt "
             f"match {canon_div}; {canon_steps} AR steps in {canon_t:.1f}s)")
 
+    alpha_meas = agg_tokens / max(agg_steps, 1)
+
+    # ---- optional phases, in value order, each gated on remaining budget ---
+
+    # (a) calibrator, end-to-end on chip: collect per-node features with the
+    # distilled draft, fit GroupedIsotonicCalibrator on host, export device
+    # tables, and time calibrated decodes — the reference's headline
+    # contribution (figs/result2.png: alpha 6.01 -> 6.69 on ChartQA via the
+    # cnets.py:1121-1168 rerank). Committed greedy tokens are draft-invariant
+    # under canonical attention, so calibration can only shift alpha/speed —
+    # the phase also VERIFIES that (calibrated tokens vs the timed run's).
+    calib_info = None
+    want_cal = args.use_calibration == "on" or (
+        args.use_calibration == "auto" and distilled_ok
+        and budget.allow(460.0, 140.0))
+    if want_cal and args.distill_steps > 0:
+        try:
+            t_cal = time.time()
+            from msd_tpu.calib.device import CalibTables
+            from msd_tpu.calib.grouped import (GroupedIsotonicCalibrator,
+                                               soft_labels_from)
+            rows = []
+            for pi in range(min(args.calib_prompts, len(prompts))):
+                r_c = gen.generate(prompts[pi], img_feats=p_feats_all[pi],
+                                   max_new_tokens=args.max_new,
+                                   collect_calibration=True,
+                                   collect_hiddens=True, split_programs=True,
+                                   fetch_hiddens=False,
+                                   first_token=tok0s[pi])
+                d = r_c.calib_data
+                valid = d["valid"].astype(bool)
+                rows.append({k: v[valid] for k, v in d.items()})
+            feats_cal = {k: np.concatenate([r[k] for r in rows])
+                         for k in rows[0]}
+            soft = soft_labels_from(
+                feats_cal["base_conf"].astype(np.float64),
+                np.maximum(feats_cal["draft_conf"].astype(np.float64), 1e-6))
+            hard = feats_cal["base_top1"].astype(float)
+            fit_feats = {
+                "token_category": np.asarray(
+                    ["content"] * len(soft)),
+                "avg_visual_attention_intensity": feats_cal["attn"],
+                "tree_depth": feats_cal["depth"].astype(float),
+                "draft_margin": feats_cal["margin"],
+                "draft_confidence": feats_cal["draft_conf"],
+            }
+            cal = GroupedIsotonicCalibrator(
+                min_samples_per_group=200, max_grouping_level=2,
+                target="soft").fit(fit_feats, soft, hard)
+            vc = np.zeros((tcfg.vocab_size,), np.int8)
+            gen.set_calibrator(CalibTables.from_host(
+                cal.export_tables(), vc))
+            log(f"calibrator fitted on {len(soft)} tree-node samples "
+                f"({time.time()-t_cal:.1f}s incl. collection)")
+            t0 = time.time()
+            gen.generate(prompts[0], img_feats=p_feats_all[0],
+                         max_new_tokens=args.max_new, use_calibration=True,
+                         first_token=tok0s[0], **msd_kw)  # compile warmup
+            log(f"calibrated-MSD compile+first run {time.time()-t0:.1f}s")
+            cal_total = 0.0
+            cal_steps = cal_tokens = 0
+            cal_match = []
+            for pi, p_ids in enumerate(prompts):
+                best_t, m_c = float("inf"), None
+                for _ in range(args.repeats):
+                    t0 = time.time()
+                    m_c = gen.generate(p_ids, img_feats=p_feats_all[pi],
+                                       max_new_tokens=args.max_new,
+                                       use_calibration=True,
+                                       first_token=tok0s[pi], **msd_kw)
+                    best_t = min(best_t, time.time() - t0)
+                cal_total += best_t
+                cal_steps += m_c.accept_steps
+                cal_tokens += m_c.accept_len_sum
+                a, b = msd_toks[pi], np.asarray(m_c.tokens)
+                nn = min(len(a), len(b))
+                cal_match.append(
+                    nn if np.array_equal(a[:nn], b[:nn])
+                    else int(np.argmax(a[:nn] != b[:nn])))
+            alpha_cal = cal_tokens / max(cal_steps, 1)
+            calib_info = {
+                "alpha_calibrated": round(alpha_cal, 3),
+                "alpha_uncalibrated": round(alpha_meas, 3),
+                "msd_calibrated_total_s": round(cal_total, 3),
+                "speedup_calibrated": round(ar_total / max(cal_total, 1e-9),
+                                            3),
+                "calibrated_lossless_tokens": cal_match,
+                "fit_samples": int(len(soft)),
+                "phase_s": round(time.time() - t_cal, 1),
+            }
+            log(f"calibrated: alpha {alpha_meas:.3f} -> {alpha_cal:.3f}, "
+                f"MSD total {msd_total:.2f}s -> {cal_total:.2f}s, committed-"
+                f"token match per prompt {cal_match}")
+        except Exception as e:
+            if "UNAVAILABLE" in str(e) or "worker process crashed" in str(e):
+                raise
+            log(f"WARNING: calibration phase failed ({e!r}); continuing")
+
+    # (b) cross-program AR noise: two PURE-AR programs at different compiled
+    # shapes bound what any cross-program token identity can promise
     ar_noise_tokens = None
-    if args.ar_noise_check:
-        # two PURE-AR programs (max_new vs max_new-1 -> different compiled
-        # shapes) decode the bench prompt; where they diverge bounds what
-        # any cross-program token-identity can promise at these weights
+    if args.ar_noise_check == "on" or (
+            args.ar_noise_check == "auto" and not fast_lossless
+            and budget.allow(190.0, 60.0)):
         t0 = time.time()
         r_b = gen.naive_generate(ids, img_feats=feats,
                                  max_new_tokens=args.max_new - 1, **ar_kw)
@@ -816,6 +1135,44 @@ def main():
         log(f"fast-AR vs fast-AR (different program shape): identical for "
             f"{ar_noise_tokens}/{nn} tokens "
             f"(extra compile+run {time.time()-t0:.1f}s)")
+
+    # (c) speed-only AR probe: canonical attention off, pallas decode kernel
+    # on — quantifies what the length-aware kernel contributes to the AR
+    # baseline at the bench shape (identity is not expected for this
+    # program; the headline baseline stays the canonical AR)
+    pallas_info = None
+    if args.pallas_ar_check == "on" or (
+            args.pallas_ar_check == "auto" and budget.allow(280.0, 60.0)):
+        try:
+            import dataclasses as _dc
+            t0 = time.time()
+            gen_p = MSDGenerator(
+                tp, dp, _dc.replace(tcfg, attn_impl="pallas"), dcfg,
+                _dc.replace(gen.eng, canonical_attn=False),
+                n_img=n_img, eos_id=-1, sp=bench_sp)
+            r_pl = gen_p.naive_generate(ids, img_feats=feats,
+                                        max_new_tokens=args.max_new)
+            compile_s = time.time() - t0
+            pl_times = []
+            for _ in range(args.repeats):
+                t0 = time.time()
+                r_pl = gen_p.naive_generate(ids, img_feats=feats,
+                                            max_new_tokens=args.max_new)
+                pl_times.append(time.time() - t0)
+            t_ar_pl = min(pl_times) / max(len(r_pl.tokens), 1)
+            pallas_info = {
+                "ar_ms_per_token_pallas": round(t_ar_pl * 1e3, 3),
+                "ar_ms_per_token_canonical": round(t_ar * 1e3, 3),
+                "delta_ms_per_token": round((t_ar - t_ar_pl) * 1e3, 3),
+                "compile_s": round(compile_s, 1),
+            }
+            del gen_p
+            log(f"pallas-AR probe: {t_ar_pl*1e3:.2f} ms/tok vs canonical "
+                f"{t_ar*1e3:.2f} ms/tok (delta {(t_ar-t_ar_pl)*1e3:+.2f})")
+        except Exception as e:
+            if "UNAVAILABLE" in str(e) or "worker process crashed" in str(e):
+                raise
+            log(f"WARNING: pallas-AR probe failed ({e!r}); continuing")
     tie_gap = None
     if div_info[0] < n_cmp:
         # diagnose: at the first divergence, how far apart are the two
@@ -832,7 +1189,6 @@ def main():
         tie_gap = abs(lp_ar - lp_msd)
         log(f"first divergence at new-token {i}: AR={r.tokens[i]} "
             f"MSD={m.tokens[i]}, teacher-forced logprob gap {tie_gap:.5f}")
-    alpha_meas = agg_tokens / max(agg_steps, 1)
     speedup_wallclock = ar_total / max(msd_total, 1e-9)
     log(f"TOTAL wall-clock: AR {ar_total:.3f}s vs MSD {msd_total:.3f}s over "
         f"{len(prompts)} prompts x {args.max_new} tokens -> "
@@ -899,6 +1255,15 @@ def main():
             "distilled_ok": distilled_ok,
             "decode_on_distilled_trajectory_tokens": on_traj,
             "distill_steps": args.distill_steps,
+            "distill_rounds_done": distill_rounds_done,
+            "distill_truncated_by_budget": distill_truncated,
+            "draft_ckpt_hit": draft_ckpt_hit,
+            "budget_s": args.budget_s,
+            "budget_spent_s": round(budget.spent(), 1),
+            "calibration": calib_info,
+            "pallas_ar_probe": pallas_info,
+            "ar_impl": ("windowed-canonical" if args.canonical_attn
+                        else "masked"),
             "tree_nodes": gen.eng.tree.num_nodes,
             "alpha_tune": alpha_tune_info,
             "draft_mode": args.draft_mode,

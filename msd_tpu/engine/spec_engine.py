@@ -84,8 +84,12 @@ class Statics:
 
     @property
     def s_target(self) -> int:
-        """Target KV capacity: room for the prompt + generation + one tree."""
-        return self.eng.max_seq_len + self.tree.num_nodes
+        """Target KV capacity: room for the prompt + generation + one tree,
+        rounded up to the 128-lane multiple — the length-aware pallas decode
+        kernel requires S % 128 == 0 (ops/pallas/decode_attention.py), and
+        alignment costs at most 127 bias-masked cache rows (~64MB at 7B),
+        so ``attn_impl="auto"`` can engage at any engine geometry."""
+        return -128 * (-(self.eng.max_seq_len + self.tree.num_nodes) // 128)
 
     @property
     def s_draft(self) -> int:
@@ -1198,10 +1202,32 @@ def ar_decode(st: Statics, params: Dict, carry):
     def body(c):
         ids_buf, kv, cur, tok, n_new, done, key = c
         emb = tp["embed_tokens"][tok][None]
-        bias = jnp.where(kpos <= cur, 0.0, NEG_INF)[None, :].astype(jnp.float32)
+        win = None
+        if st.eng.canonical_attn:
+            # Canonical AR: the single query row at logical position ``cur``
+            # reduces through the SAME split-softmax association as a verify
+            # node at that logical position (_verify's window scheme) — its
+            # last W positions via fixed window slots, everything below via
+            # the bias-masked cache einsum. Removes the association mismatch
+            # between the fast-AR and tree-verify programs, the residual
+            # source of near-tie greedy argmax flips after logit-grid
+            # canonicalization (the reference gets this for free by sharing
+            # one torch kernel, eagle/model/utils.py:395-409).
+            W = st.tree.max_path_len
+            win_start = cur + 1 - W                       # window [cur-W+1, cur]
+            l = win_start + jnp.arange(W, dtype=jnp.int32)
+            win_idx = jnp.clip(l, 0, st.s_target - 1)[None, :]
+            win_bias = jnp.where(l >= 0, 0.0, NEG_INF)[None, :].astype(
+                jnp.float32)
+            bias = jnp.where(kpos < win_start, 0.0,
+                             NEG_INF)[None, :].astype(jnp.float32)
+            win = (win_idx, win_bias, win_start[None])
+        else:
+            bias = jnp.where(kpos <= cur, 0.0,
+                             NEG_INF)[None, :].astype(jnp.float32)
         hidden, kv = L.llama_forward(tp, st.tcfg, emb, (cur + pos_delta)[None],
                                      kv, cur, bias, cos_t, sin_t,
-                                     kv_len=cur + 1)
+                                     kv_len=cur + 1, win=win)
         logits = L.lm_head(tp, hidden)[0]
         if (not st.sp.greedy) and st.sp.repetition_penalty != 1.0:
             from msd_tpu.ops.sampling import apply_repetition_penalty

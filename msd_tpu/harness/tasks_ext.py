@@ -37,15 +37,27 @@ def strip_answer_prefixes(s: str) -> str:
     return s.strip()
 
 
-def extract_letter(s: str, letters: str = "ABCDE") -> str:
+def extract_letter(s: str, letters: str = "ABCDE",
+                   choices=None) -> str:
     """mme_realworld/utils.py:91-118 extract_characters_regex: strip the
     known answer prefixes, then the first standalone capital in range; long
-    answers with no letter score empty."""
+    answers with no letter score empty. When ``choices`` (option strings
+    like '(A) text') are given, a regex miss falls back to substring
+    matching the answer against each option and returning its letter
+    (utils.py:112-116) — guarded against empty predictions, which the
+    reference would spuriously map to the first option."""
     s = strip_answer_prefixes(str(s))
     if len(s.split()) > 10 and not re.search(f"[{letters}]", s):
         return ""
     m = re.search(f"[{letters}]", s)
-    return m[0] if m else ""
+    if m:
+        return m[0]
+    if s and choices:
+        for choice in choices:
+            c = str(choice)
+            if len(c) > 1 and s.lower() in c.lower():
+                return c[1]
+    return ""
 
 
 def _options_from_numbered(d: Dict, n: int, key: str = "option") -> List[str]:
@@ -92,7 +104,9 @@ def make_mme_realworld(dataset_path=None,
                 "The best answer is: ")
 
     def _res(d, r):
-        pred = extract_letter(r[0], "ABCDE")
+        pred = extract_letter(r[0], "ABCDE",
+                              d.get("multi-choice options")
+                              or d.get("options"))
         gold = _gold_letter(d.get("answer", ""))
         cat = str(d.get("category", ""))
         task = "Perception" if "perception" in cat.lower() else "Reasoning"
@@ -262,11 +276,19 @@ def make_qbench(dataset_path=None, name="qbench_dev") -> TaskConfig:
         if not (isinstance(gold, (int, np.integer))
                 or str(gold).strip().isdigit()
                 or len(str(gold).strip()) == 1):
-            # gold given as the full option text: map to its letter
+            # gold given as the full option text: map to its letter; an
+            # unmappable gold (normalization mismatch, truncated option)
+            # scores 0 rather than silently treating option A as correct
             golds = [j for j, o in enumerate(opts)
                      if M.normalize_extract(o) ==
                      M.normalize_extract(str(gold))]
-            gold = golds[0] if golds else 0
+            if not golds:
+                import logging
+                logging.getLogger("msd_tpu.harness").warning(
+                    "qbench: gold answer %r matches no option %r; "
+                    "scoring 0", gold, opts)
+                return {"accuracy": 0.0}
+            gold = golds[0]
         pred = extract_letter(r[0], "ABCD")
         return {"accuracy": 1.0 if pred and pred == _gold_letter(gold)
                 else 0.0}
@@ -623,15 +645,24 @@ def make_naturalbench(dataset_path=None) -> TaskConfig:
 
     def _res(d, r):
         pred = str(r[0]).strip().lower()
+        idx = int(d.get("Index", d.get("index", d.get("id", 0))))
+        qtype = str(d.get("question_type", "yes_no"))
         gold = str(d.get("answer", "")).strip().lower()
-        if str(d.get("question_type", "yes_no")) == "yes_no":
+        if not gold:
+            # the reference dataset carries NO answer field: correctness is
+            # implicit in the fixed slot pattern keyed off doc['Index'] —
+            # q0_i0=yes, q0_i1=no, q1_i0=no, q1_i1=yes (A/B for the
+            # multiple_choice variant); naturalbench/utils.py get_scores
+            gold = (("yes" if idx % 4 in (0, 3) else "no")
+                    if qtype == "yes_no"
+                    else ("a" if idx % 4 in (0, 3) else "b"))
+        if qtype == "yes_no":
             p = "yes" if pred.startswith("yes") else (
                 "no" if pred.startswith("no") else "")
             acc = 1.0 if p and gold.startswith(p) else 0.0
         else:
             pl = extract_letter(r[0], "ABCD").lower()
             acc = 1.0 if pl and gold.startswith(pl) else 0.0
-        idx = int(d.get("index", d.get("id", 0)))
         return {"accuracy": acc, "_group": float(idx // 4),
                 "_slot": float(idx % 4)}
 
@@ -914,6 +945,44 @@ def _tempcompass_mc_rating(pred: str, answer: str) -> float:
     return 0.0
 
 
+def _tempcompass_caption_rating(pred: str, question: str,
+                                answer: str) -> float:
+    """tempcompass/utils.py:438-458 caption_matching eval_rule: match the
+    raw output against the complete option lines parsed from the question
+    ('Caption A: <text>'), the option sentences, or the option indices
+    ('Caption A' / 'Option 1' / bare 'A'), then compare the matched form
+    against the answer's equivalent forms. Unmatched outputs (the
+    reference's 'fail', later ChatGPT-judged) score 0 offline."""
+    pred, answer = str(pred).strip(), str(answer)
+    option_strs = [ln for ln in str(question).split("\n")[1:] if ln.strip()]
+    with_sep = [o for o in option_strs if ": " in o]
+    option_sents = [o.split(": ", 1)[1] for o in with_sep]
+    option_inds = [o.split(": ", 1)[0] for o in with_sep]
+    option_inds += [i.replace("Sentence ", "").replace("Option ", "")
+                    .replace("Caption ", "") for i in option_inds]
+    matched = None
+    for o in option_strs:
+        if o == pred:
+            matched = o
+    for sent in option_sents:
+        if sent == pred or (") " in pred
+                            and sent == pred.split(") ", 1)[1]):
+            matched = sent
+    for ind in option_inds:
+        if ind == pred or ind == pred.replace(".", ""):
+            matched = ind
+    if matched is None:
+        return 0.0
+    forms = {answer}
+    if ": " in answer:
+        head, sent = answer.split(": ", 1)
+        forms |= {head, sent}
+        hw = head.split()
+        if len(hw) > 1:
+            forms.add(hw[1])
+    return 1.0 if matched in forms else 0.0
+
+
 def make_tempcompass(dataset_path=None, kind="multi-choice") -> TaskConfig:
     """TempCompass (tempcompass/_default_template_yaml post_prompts +
     utils.py process_results): the question text already carries the
@@ -932,6 +1001,9 @@ def make_tempcompass(dataset_path=None, kind="multi-choice") -> TaskConfig:
                 "no" if pred.startswith("no") else "")
             return 1.0 if p and p == str(d["answer"]).strip().lower() \
                 else 0.0
+        if kind == "caption_matching":
+            return _tempcompass_caption_rating(r[0], d["question"],
+                                               d["answer"])
         return _tempcompass_mc_rating(r[0], d["answer"])
 
     def _res(d, r):
@@ -966,6 +1038,14 @@ def make_tempcompass(dataset_path=None, kind="multi-choice") -> TaskConfig:
                              "answer": "yes" if i % 2 == 0 else "no",
                              "dim": "direction", "video_id": str(i),
                              "video": _synth_video(i)})
+            elif kind == "caption_matching":
+                docs.append({"question": (
+                    "Which caption matches the video?\n"
+                    + "\n".join(f"Caption {c}: clip {j}" for j, c
+                                in enumerate("AB"))),
+                    "answer": f"Caption {'AB'[i % 2]}: clip {i % 2}",
+                    "dim": "order", "video_id": str(i),
+                    "video": _synth_video(i)})
             else:
                 docs.append({"question": (f"Which option is {i % 4}?\n"
                                           + "\n".join(

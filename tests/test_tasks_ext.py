@@ -256,3 +256,76 @@ def test_ext_tasks_registered():
         assert len(docs) == 4
         txt = task.doc_to_text(docs[0])
         assert isinstance(txt, str) and txt
+
+
+def test_tempcompass_caption_matching_rule():
+    """Reference eval_rule semantics (tempcompass/utils.py:438-458): match
+    the raw output against option lines/sentences/indices, then compare the
+    matched form against the answer's equivalent forms."""
+    from msd_tpu.harness.tasks_ext import (_tempcompass_caption_rating,
+                                           make_tempcompass)
+    q = ("Which caption matches the video?\n"
+         "Caption A: a dog runs left\n"
+         "Caption B: a dog runs right")
+    ans = "Caption A: a dog runs left"
+    assert _tempcompass_caption_rating("Caption A", q, ans) == 1.0
+    assert _tempcompass_caption_rating("A", q, ans) == 1.0
+    assert _tempcompass_caption_rating("A.", q, ans) == 1.0
+    assert _tempcompass_caption_rating(ans, q, ans) == 1.0
+    assert _tempcompass_caption_rating("a dog runs left", q, ans) == 1.0
+    assert _tempcompass_caption_rating("B) a dog runs left", q, ans) == 1.0
+    assert _tempcompass_caption_rating("Caption B", q, ans) == 0.0
+    assert _tempcompass_caption_rating("a dog runs right", q, ans) == 0.0
+    # unmatched free text = the reference's 'fail' -> 0 offline
+    assert _tempcompass_caption_rating("something else", q, ans) == 0.0
+    # 'Option 1' style indices
+    q2 = "Pick one.\nOption 1: first\nOption 2: second"
+    assert _tempcompass_caption_rating("Option 2", q2,
+                                       "Option 2: second") == 1.0
+    assert _tempcompass_caption_rating("2", q2, "Option 2: second") == 1.0
+    t = make_tempcompass(kind="caption_matching")
+    d = t.synthetic_docs(2)[1]
+    assert t.process_results(d, [d["answer"]])["avg_accuracy"] == 1.0
+    assert t.process_results(d, ["Caption A"])["avg_accuracy"] == 0.0
+
+
+def test_naturalbench_implicit_slot_answers():
+    """Reference-format docs carry no answer field: correctness is implicit
+    in the Index slot pattern (naturalbench/utils.py get_scores)."""
+    t = make_naturalbench()
+    preds = ["yes", "no", "no", "yes"]     # the correct slot pattern
+    rows = [t.process_results({"Index": i, "question": "q",
+                               "question_type": "yes_no", "image": IMG},
+                              [preds[i]]) for i in range(4)]
+    agg = t.aggregate_extra(rows)
+    assert agg["G_Acc"] == 1.0 and agg["Q_Acc"] == 1.0
+    # multiple_choice variant: A for slots 0/3, B for 1/2
+    rows = [t.process_results({"Index": i, "question": "q",
+                               "question_type": "multiple_choice",
+                               "image": IMG}, [p])
+            for i, p in enumerate(["A", "B", "B", "A"])]
+    assert t.aggregate_extra(rows)["G_Acc"] == 1.0
+
+
+def test_qbench_unmappable_gold_scores_zero():
+    t = make_qbench()
+    d = {"question": "q", "option0": "Good", "option1": "Bad",
+         "option2": "N/A", "option3": "N/A",
+         "answer": "totally absent option text", "image": IMG}
+    assert t.process_results(d, ["A"])["accuracy"] == 0.0
+
+
+def test_extract_letter_choice_fallback():
+    """mme_realworld/utils.py:112-116: a regex miss falls back to substring
+    matching against the option strings; empty predictions stay empty."""
+    from msd_tpu.harness.tasks_ext import extract_letter, make_mme_realworld
+    choices = ["(A) cat", "(B) dog"]
+    assert extract_letter("dog", "ABCDE", choices) == "B"
+    assert extract_letter("", "ABCDE", choices) == ""
+    assert extract_letter("zebra", "ABCDE", choices) == ""
+    t = make_mme_realworld()
+    d = {"question": "q",
+         "multi-choice options": ["(A) red panda", "(B) otter"],
+         "answer": "B", "category": "Perception", "l2-category": "x",
+         "image": IMG}
+    assert t.process_results(d, ["otter"])["accuracy"] == 1.0
