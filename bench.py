@@ -840,8 +840,14 @@ def main():
                 distilled_ok = True
                 if ck_path:
                     t_s = time.time()
+                    # cache the ENGINE-dtype weights (what rebuild() casts
+                    # to anyway): bit-identical at load, half the I/O of
+                    # the fp32 master weights (1.8GB -> 0.9GB at 7B)
+                    np_dt = np.asarray(jnp.zeros((), dtype)).dtype
+                    cache_host = jax.tree.map(
+                        lambda a: np.asarray(a).astype(np_dt), trained_host)
                     save_draft_cache(
-                        ck_path, trained_host,
+                        ck_path, cache_host,
                         {"rounds_done": distill_rounds_done,
                          "budget_s": args.budget_s,
                          "truncated": distill_truncated}, rec_trajs)

@@ -124,6 +124,13 @@ def main(argv=None):
     ap.add_argument("--verbosity", "-v", default=None,
                     help="logging level: DEBUG|INFO|WARNING|ERROR "
                          "(:250-254)")
+    ap.add_argument("--judge", default="offline",
+                    help="judge backend for GPT-scored tasks (mathvista "
+                         "extraction, mmvet grading, llava-bench pairwise "
+                         "review): 'offline' (deterministic rule analogs) "
+                         "or 'endpoint:URL' (local OpenAI-style chat "
+                         "endpoint; reference-parity prompts, "
+                         "msd_tpu/harness/judge.py)")
     ap.add_argument("--seed", default="0,1234,1234",
                     help="comma list: python,numpy,fewshot seeds; a single "
                          "int sets all (:280-293)")
@@ -141,6 +148,9 @@ def main(argv=None):
     ap.add_argument("--trust_remote_code", action="store_true",
                     help="sets HF_DATASETS_TRUST_REMOTE_CODE (:295-300)")
     args = ap.parse_args(argv)
+
+    from msd_tpu.harness.judge import set_judge
+    set_judge(args.judge)
 
     def validate(a):
         # reference validations (lmms-eval/__main__.py:425-437); applied

@@ -64,6 +64,14 @@ def extract_answer(response: str, problem: Dict,
         if m:
             return m.group(1).strip().strip('"')
 
+    # judge-backed general extraction (mathvista_evals.py:262-280): only
+    # consulted when the rules above did not settle it and a judge is
+    # installed (harness --judge endpoint:URL); failure falls through
+    from msd_tpu.harness.judge import mathvista_judge_extract
+    ext = mathvista_judge_extract(problem.get("query", ""), response)
+    if ext:
+        return ext
+
     if question_type == "multi_choice":
         m = _LETTER_RE.search(response)
         if m:

@@ -806,6 +806,12 @@ def make_mmvet(dataset_path=None) -> TaskConfig:
 
     def _res(d, r):
         gt = str(d.get("answer", ""))
+        # judge-backed scoring when installed (mmvet/utils.py:74-108 row
+        # format against MM_VET_PROMPT); offline algebra otherwise
+        from msd_tpu.harness.judge import mmvet_judge_score
+        js = mmvet_judge_score(d.get("question", ""), gt, r[0])
+        if js is not None:
+            return {"gpt_eval_score": js}
         parts = [p.strip() for p in gt.split("<AND>") if p.strip()]
         score = (sum(_part_hit(p, r[0]) for p in parts) / len(parts)
                  if parts else 0.0)
@@ -1102,6 +1108,8 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     # vatex, detailcaps, naturalbench
     from msd_tpu.harness.tasks_ext import register_ext_tasks
     register_ext_tasks(p)
+    from msd_tpu.harness.tasks_judge import register_judge_tasks
+    register_judge_tasks(p)
     register_task("gsm8k", make_gsm8k(p("GSM8K")))
     register_task("arc_easy", make_text_ppl_choice("arc_easy", p("ARC-Easy")))
     register_task("arc_challenge",

@@ -35,3 +35,11 @@ def _drop_compiled_programs():
     yield
     jax.clear_caches()
     gc.collect()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast correctness tier (<3 min total; losslessness on tiny "
+        "shapes, finalize_tree, calibrator goldens, task scoring rules) — "
+        "run with `pytest -m quick` for tight driver iterations")

@@ -15,6 +15,7 @@ from msd_tpu.calib.token_class import (classify_text, synthetic_vocab_table,
 from tests.test_spec_engine import make_gen
 
 
+@pytest.mark.quick
 def test_pav_monotone_and_interp():
     x = np.array([0.1, 0.2, 0.3, 0.4, 0.5])
     y = np.array([0.0, 1.0, 0.0, 1.0, 1.0])
@@ -28,6 +29,7 @@ def test_pav_monotone_and_interp():
     assert iso.predict(np.array([2.0]))[0] == pred[-1]
 
 
+@pytest.mark.quick
 def test_pav_matches_bruteforce():
     rng = np.random.default_rng(0)
     x = rng.uniform(size=50)
@@ -52,6 +54,7 @@ def _fake_features(n, rng):
     }
 
 
+@pytest.mark.quick
 def test_grouped_calibrator_fit_predict_and_tables():
     rng = np.random.default_rng(1)
     n = 3000
@@ -92,12 +95,14 @@ def test_grouped_calibrator_fit_predict_and_tables():
     assert err.max() < 5e-2
 
 
+@pytest.mark.quick
 def test_soft_labels():
     np.testing.assert_allclose(
         soft_labels_from(np.array([0.5, 0.1]), np.array([0.25, 0.2])),
         np.array([1.0, 0.5]))
 
 
+@pytest.mark.quick
 def test_token_classify():
     assert classify_text("123") == NUMBER
     assert classify_text("3.14") == NUMBER
@@ -107,6 +112,7 @@ def test_token_classify():
     assert classify_text("cat") == CONTENT
 
 
+@pytest.mark.quick
 def test_collect_then_calibrated_generation_lossless():
     """Full loop: collect calibration data, fit, install device tables,
     decode with calibrated tree construction — greedy output must STILL
@@ -224,6 +230,7 @@ def test_rerank_changes_candidate_order():
     assert new_ids[3] == bad_token
 
 
+@pytest.mark.quick
 def test_adaptive_alpha_semantics():
     from msd_tpu.calib.device import adaptive_alpha
     vt = np.zeros((10,), np.int8)

@@ -40,6 +40,7 @@ def gen():
     return make_gen()
 
 
+@pytest.mark.quick
 def test_greedy_losslessness(gen):
     """MSD greedy == AR greedy, bit for bit, random draft."""
     rng = np.random.default_rng(0)
@@ -160,6 +161,7 @@ def test_prompt_at_bucket_boundary(gen):
     np.testing.assert_array_equal(msd.tokens, ar.tokens)
 
 
+@pytest.mark.quick
 def test_max_new_one(gen):
     ids = np.arange(3, 9, dtype=np.int32)
     r = gen.generate(ids, max_new_tokens=1)
@@ -246,6 +248,7 @@ def test_streaming_matches_oneshot(gen):
         assert stats["accept_len_sum"] == one.accept_len_sum
 
 
+@pytest.mark.quick
 def test_finalize_tree_padded_budget_keeps_parent_chain():
     """Regression: when num_nodes - 1 > max_depth * top_k (dead-pad entries),
     the pad scatter must not overwrite layer-0 slot 0's tree index — that
@@ -329,6 +332,7 @@ def test_collect_hiddens_matches_teacher_forward():
     np.testing.assert_array_equal(rec["img_mask"], ref["img_mask"][:cur])
 
 
+@pytest.mark.quick
 def test_medusa_draft_mode():
     """Medusa-style multi-head drafting (DraftConfig.medusa_heads > 0):
     greedy MSD == greedy AR with random heads (lossless regardless of draft
@@ -526,6 +530,7 @@ def test_greedy_round_bits_lossless_and_pinned_first_token():
             err_msg=f"trial {trial}: rounded-greedy MSD diverged from AR")
 
 
+@pytest.mark.quick
 def test_canon_logits_properties():
     """Rounding is idempotent, monotone in comparisons it preserves, and a
     no-op at bits=0; argmax over rounded logits breaks exact ties toward the

@@ -4,7 +4,11 @@ synthdog, vatex, naturalbench (msd_tpu/harness/tasks_ext.py)."""
 
 import json
 
+import pytest
+
 import numpy as np
+
+pytestmark = pytest.mark.quick
 
 from msd_tpu.harness.registry import get_task
 from msd_tpu.harness.tasks import register_builtin_tasks

@@ -2,7 +2,11 @@
 scoring, video multiple-choice normalization, MP-DocVQA multi-page, and the
 text-only tasks (gsm8k, arc/hellaswag ppl-choice)."""
 
+import pytest
+
 import numpy as np
+
+pytestmark = pytest.mark.quick
 
 from msd_tpu.harness import metrics as M
 from msd_tpu.harness.registry import get_task

@@ -1,0 +1,224 @@
+"""Generalization study: does a distilled draft transfer to prompts the
+distiller NEVER saw? (round-3 VERDICT item 5)
+
+The bench's headline alpha is measured on the same prompts the draft was
+distilled on (with real checkpoints the published draft heads play that
+role — lucylyn/MSD-LLaVA1.5-7B, README.md:30-33: train once, eval
+everywhere). A random-weight target cannot show transfer, because its
+greedy trajectories have no shared structure to generalize over. This tool
+constructs the minimal target that HAS structure:
+
+1. TRAIN THE TARGET: a tiny LLaMA is trained (train/finetune.py's masked
+   LM loss at n_img=0) on a synthetic word grammar — fixed multi-token
+   words composed by a sparse first-order Markov chain — until greedy
+   continuations follow the grammar.
+2. DISTILL A DRAFT on the engine's own trajectories (collect_hiddens) from
+   a fixed set of distillation prompts, exactly like bench.py.
+3. MEASURE alpha on (a) the distillation prompts and (b) HELD-OUT prompts
+   from the same grammar that share no sentence with the distillation set.
+
+The gap between (a) and (b) is the memorization-vs-generalization answer.
+Greedy losslessness (MSD == AR) is asserted on every measured prompt.
+
+Run:  JAX_PLATFORMS=cpu python tools/generalization_alpha.py
+Emits one JSON line; writes artifacts/generalization_r4.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_grammar(rng, vocab=256, n_words=24, word_len=4, branch=3):
+    """Words = fixed token sequences; sentences = Markov chains over words."""
+    words = [rng.integers(4, vocab, size=word_len).astype(np.int32)
+             for _ in range(n_words)]
+    succ = [rng.choice(n_words, size=branch, replace=False)
+            for _ in range(n_words)]
+    probs = np.asarray([0.6, 0.3, 0.1])[:branch]
+    probs = probs / probs.sum()
+
+    def sentence(rng2, n_tokens):
+        w = int(rng2.integers(0, n_words))
+        toks = []
+        while len(toks) < n_tokens:
+            toks.extend(words[w].tolist())
+            w = int(rng2.choice(succ[w], p=probs))
+        return np.asarray(toks[:n_tokens], np.int32)
+
+    return sentence
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-steps", type=int, default=400)
+    ap.add_argument("--distill-steps", type=int, default=500)
+    ap.add_argument("--distill-rounds", type=int, default=2)
+    ap.add_argument("--n-prompts", type=int, default=6)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--seq-len", type=int, default=96)
+    args = ap.parse_args()
+
+    import jax
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from msd_tpu.configs import DraftConfig, EngineConfig, LlamaConfig, \
+        TreeConfig
+    from msd_tpu.engine.generator import MSDGenerator
+    from msd_tpu.models import draft as draft_mod
+    from msd_tpu.models import llama as L
+    from msd_tpu.ops.sampling import SamplingParams
+    from msd_tpu.train.data_gen import record_from_traj
+    from msd_tpu.train.draft_train import TrainConfig
+    from msd_tpu.train.finetune import FinetuneBatch, finetune_loss
+    from msd_tpu.train.trainer import DraftTrainer, TrainerConfig
+
+    t_start = time.time()
+    cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=256, layers=4,
+                           heads=4, intermediate_size=688, max_pos=2048)
+    m_widths = (6, 4, 2, 1)
+    dcfg = DraftConfig(text=cfg, medusa_heads=len(m_widths) - 1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = L.init_llama_params_stacked(k1, cfg, jnp.float32)
+    cos_t, sin_t = L.make_rope(cfg, 2048)
+
+    # ---- 1) train the target on the grammar --------------------------------
+    rng = np.random.default_rng(0)
+    sentence = build_grammar(rng)
+    B, T = 8, args.seq_len
+
+    def batch(rng2):
+        ids = np.stack([sentence(rng2, T) for _ in range(B)])
+        return FinetuneBatch(
+            ids=jnp.asarray(ids),
+            clip_feats=jnp.zeros((B, 1, 1), jnp.float32),
+            img_pos=jnp.full((B,), T + 1, jnp.int32),  # no image
+            attn_len=jnp.full((B,), T, jnp.int32),
+            tgt_mask=jnp.asarray(
+                np.concatenate([np.zeros((B, 1), np.float32),
+                                np.ones((B, T - 1), np.float32)], axis=1)))
+
+    params = {"target": tp}
+    opt = optax.adamw(3e-4, weight_decay=0.01)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, b):
+        (loss, agree), g = jax.value_and_grad(
+            lambda p_: finetune_loss(p_, cfg, 0, b, cos_t, sin_t),
+            has_aux=True)(p)
+        upd, s = opt.update(g, s, p)
+        return optax.apply_updates(p, upd), s, loss, agree
+
+    trng = np.random.default_rng(1)
+    for i in range(args.train_steps):
+        params, opt_state, loss, agree = step(params, opt_state, batch(trng))
+        if i % 100 == 0 or i == args.train_steps - 1:
+            log(f"target train step {i}: loss={float(loss):.4f} "
+                f"next-tok agreement={float(agree):.3f}")
+    tp = params["target"]
+    target_agree = float(agree)
+
+    # ---- 2) distill a draft on engine trajectories -------------------------
+    dp = draft_mod.init_draft_params(k2, dcfg, jnp.float32)
+    dp["medusa"] = draft_mod.init_medusa_params(jax.random.PRNGKey(7), dcfg,
+                                                jnp.float32)
+    dp["embed_tokens"] = tp["embed_tokens"]
+    eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=64,
+                       tree=TreeConfig(top_k=m_widths[0],
+                                       max_depth=len(m_widths),
+                                       num_nodes=1 + sum(m_widths),
+                                       medusa_widths=m_widths))
+    sp = SamplingParams(greedy_round_bits=6)
+    gen = MSDGenerator(tp, dp, cfg, dcfg, eng, n_img=0, eos_id=-1, sp=sp)
+
+    prng = np.random.default_rng(100)      # distillation prompts
+    hrng = np.random.default_rng(999)      # held-out prompts (disjoint seed)
+    distill_prompts = [sentence(prng, 16) for _ in range(args.n_prompts)]
+    heldout_prompts = [sentence(hrng, 16) for _ in range(args.n_prompts)]
+    seen = {p.tobytes() for p in distill_prompts}
+    heldout_prompts = [p for p in heldout_prompts if p.tobytes() not in seen]
+    pad_rec = ((16 + args.max_new + 63) // 64) * 64
+    emb_host = np.asarray(tp["embed_tokens"])
+
+    def collect():
+        recs = []
+        for p_ids in distill_prompts:
+            r = gen.generate(p_ids, max_new_tokens=args.max_new,
+                             collect_hiddens=True)
+            recs.append(record_from_traj(
+                r.traj_hidden, r.exp_ids, len(p_ids), pad_rec, 0, None,
+                emb_host, pad_rec))
+        return recs
+
+    for rd in range(args.distill_rounds):
+        recs = collect()
+        dp32 = {k: v for k, v in gen.params["draft"].items()
+                if k != "embed_tokens"}
+        tc = TrainerConfig(
+            train=TrainConfig(lr=1e-3 / (3.0 ** rd), warmup_steps=10,
+                              total_steps=max(args.distill_steps, 21),
+                              noise_std=0.0, noise_rel=0.01, p_w=0.1,
+                              v_norm=True, medusa_w=1.0),
+            batch_size=2, max_len=pad_rec, num_epochs=1, log_every=10 ** 9)
+        trainer = DraftTrainer(dcfg, dp32, tp["lm_head"], tc)
+        last = {}
+        while trainer.step_count < args.distill_steps:
+            last = trainer.run_epoch([], recs, log=lambda *a: None)
+        log(f"distill round {rd}: top1_agree={last.get('top1_agree', 0):.3f} "
+            f"medusa1_agree={last.get('medusa1_agree', 0):.3f}")
+        dp_new = dict(trainer.params)
+        dp_new["embed_tokens"] = tp["embed_tokens"]
+        gen = MSDGenerator(tp, dp_new, cfg, dcfg, eng, n_img=0, eos_id=-1,
+                           sp=sp)
+
+    # ---- 3) measure alpha on distill vs held-out prompts -------------------
+    def alpha_over(prompts, label):
+        steps = toks = 0
+        for p_ids in prompts:
+            m = gen.generate(p_ids, max_new_tokens=args.max_new)
+            a = gen.naive_generate(p_ids, max_new_tokens=args.max_new)
+            n = min(len(m.tokens), len(a.tokens))
+            assert np.array_equal(m.tokens[:n], a.tokens[:n]), \
+                f"lossless violated on {label} prompt"
+            steps += m.accept_steps
+            toks += m.accept_len_sum
+        return toks / max(steps, 1)
+
+    a_train = alpha_over(distill_prompts, "distill")
+    a_held = alpha_over(heldout_prompts, "held-out")
+    out = {
+        "metric": "generalization_alpha",
+        "alpha_on_distill_prompts": round(a_train, 3),
+        "alpha_heldout_prompts": round(a_held, 3),
+        "generalization_ratio": round(a_held / max(a_train, 1e-9), 3),
+        "target_next_token_agreement": round(target_agree, 3),
+        "n_distill_prompts": len(distill_prompts),
+        "n_heldout_prompts": len(heldout_prompts),
+        "max_new": args.max_new,
+        "greedy_lossless": True,   # asserted above on every prompt
+        "wall_s": round(time.time() - t_start, 1),
+    }
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/generalization_r4.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
