@@ -395,6 +395,20 @@ def main():
 
     import jax
 
+    # persistent compilation cache: the axon server recompiles by-shape on
+    # a duty cycle (r4 run1: the record program recompiled ~200s on rounds
+    # 3+ after caching fine on round 2); if the PJRT plugin supports
+    # executable serialization this makes every rerun warm. Harmless (one
+    # warning) where unsupported.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "artifacts/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:
+        log(f"persistent compile cache unavailable ({e!r})")
+
     # honor an explicit cpu request (the axon plugin ignores the env var and
     # hangs at init when its tunnel is down)
     if "cpu" in os.environ.get("JAX_PLATFORMS", ""):

@@ -205,6 +205,51 @@ def llava_pairwise_scores(context: str, question: str, ans1: str,
     return None
 
 
+_VIDEOQA_SYSTEM = (
+    "You are an intelligent chatbot designed for evaluating the "
+    "correctness of generative outputs for question-answer pairs. "
+    "Your task is to compare the predicted answer with the correct answer "
+    "and determine if they match meaningfully. Here's how you can "
+    "accomplish the task:"
+    "------"
+    "##INSTRUCTIONS: "
+    "- Focus on the meaningful match between the predicted answer and the "
+    "correct answer.\n"
+    "- Consider synonyms or paraphrases as valid matches.\n"
+    "- Evaluate the correctness of the prediction compared to the answer.")
+
+
+def videoqa_judge_score(question: str, answer: str, pred: str
+                        ) -> Optional[Tuple[str, float]]:
+    """The video-QA GPT rubric shared by activitynetqa and the
+    videochatgpt family (activitynetqa/utils.py:93-131): the judge returns
+    a python-dict string {'pred': 'yes'|'no', 'score': 0-5}."""
+    j = get_judge()
+    if j is None:
+        return None
+    user = (f"Please evaluate the following video-based question-answer "
+            f"pair:\n\nQuestion: {question}\nCorrect Answer: {answer}\n"
+            f"Predicted Answer: {pred}\n\n"
+            "Provide your evaluation only as a yes/no and score where the "
+            "score is an integer value between 0 and 5, with 5 indicating "
+            "the highest meaningful match. Please generate the response in "
+            "the form of a Python dictionary string with keys 'pred' and "
+            "'score', where value of 'pred' is  a string of 'yes' or 'no' "
+            "and value of 'score' is in INTEGER, not STRING."
+            "DO NOT PROVIDE ANY OTHER OUTPUT TEXT OR EXPLANATION. Only "
+            "provide the Python dictionary string. "
+            "For example, your response should look like this: "
+            "{'pred': 'yes', 'score': 4.8}.")
+    out = j.complete(user, max_tokens=64, system=_VIDEOQA_SYSTEM)
+    if out is None:
+        return None
+    m = re.search(r"['\"]pred['\"]\s*:\s*['\"](yes|no)['\"]", out, re.I)
+    s = re.search(r"['\"]score['\"]\s*:\s*([0-9]+(?:\.[0-9]+)?)", out)
+    if not (m and s):
+        return None
+    return m.group(1).lower(), float(s.group(1))
+
+
 def mathvista_judge_extract(query: str, response: str) -> Optional[str]:
     """mathvista_evals.py:262-280 general extraction via the judge."""
     j = get_judge()

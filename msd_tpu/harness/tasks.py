@@ -1110,6 +1110,10 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_ext_tasks(p)
     from msd_tpu.harness.tasks_judge import register_judge_tasks
     register_judge_tasks(p)
+    from msd_tpu.harness.tasks_mmbench import register_mmbench_tasks
+    register_mmbench_tasks(p)
+    from msd_tpu.harness.tasks_ext2 import register_ext2_tasks
+    register_ext2_tasks(p)
     register_task("gsm8k", make_gsm8k(p("GSM8K")))
     register_task("arc_easy", make_text_ppl_choice("arc_easy", p("ARC-Easy")))
     register_task("arc_challenge",
