@@ -229,6 +229,16 @@ class EngineConfig:
     # boundaries) — a null-draft run IS canonical greedy AR. Costs one
     # [N, P, Hkv, D] K/V gather per layer per step (~2-3% at 7B).
     canonical_attn: bool = True
+    # Also run the FAST-AR loop's single query row through the windowed
+    # split-softmax association (same scheme as a verify node at that
+    # logical position). Measured on the v5e (r4 run1): +0.2ms/tok (~1%)
+    # and it does NOT deliver cross-program bitwise identity — the T=1 AR
+    # matmuls and the T=N verify matmuls still accumulate bf16 in
+    # different orders, which flips near-tie argmaxes. Identity is instead
+    # guaranteed against canonical greedy AR (the null-draft rerun of the
+    # SAME MSD executable, bench --canonical-check); default False keeps
+    # the AR baseline speed-optimal (pallas-eligible).
+    canonical_ar: bool = False
     # greedy when temperature == 0.0
     temperature: float = 0.0
     top_p: float = 1.0

@@ -1203,16 +1203,19 @@ def ar_decode(st: Statics, params: Dict, carry):
         ids_buf, kv, cur, tok, n_new, done, key = c
         emb = tp["embed_tokens"][tok][None]
         win = None
-        if st.eng.canonical_attn:
-            # Canonical AR: the single query row at logical position ``cur``
-            # reduces through the SAME split-softmax association as a verify
-            # node at that logical position (_verify's window scheme) — its
-            # last W positions via fixed window slots, everything below via
-            # the bias-masked cache einsum. Removes the association mismatch
-            # between the fast-AR and tree-verify programs, the residual
-            # source of near-tie greedy argmax flips after logit-grid
-            # canonicalization (the reference gets this for free by sharing
-            # one torch kernel, eagle/model/utils.py:395-409).
+        if st.eng.canonical_ar:
+            # Opt-in canonical AR (EngineConfig.canonical_ar): the single
+            # query row at logical position ``cur`` reduces through the SAME
+            # split-softmax association as a verify node at that logical
+            # position (_verify's window scheme) — its last W positions via
+            # fixed window slots, everything below via the bias-masked cache
+            # einsum. Measured on the v5e (r4): +0.2ms/tok and it does NOT
+            # deliver cross-program bitwise identity (the T=1 AR and T=N
+            # verify matmuls still accumulate bf16 in different orders), so
+            # the default keeps fast-AR speed-optimal (pallas-eligible);
+            # identity is guaranteed against canonical greedy AR instead —
+            # the null-draft rerun of the same MSD executable (the reference
+            # shares one torch kernel, eagle/model/utils.py:395-409).
             W = st.tree.max_path_len
             win_start = cur + 1 - W                       # window [cur-W+1, cur]
             l = win_start + jnp.arange(W, dtype=jnp.int32)

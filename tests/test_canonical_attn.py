@@ -134,6 +134,26 @@ class TestDraftInvariance:
         assert n >= 60
         np.testing.assert_array_equal(r.tokens[:n], r2.tokens[:n])
 
+    def test_canonical_ar_optin_matches_fast_ar(self, bundle):
+        """EngineConfig.canonical_ar routes the fast-AR loop's single query
+        row through the windowed split-softmax association. The split is
+        mathematically exact, so at highest precision the opt-in program
+        must reproduce the default (speed) AR program token-for-token."""
+        cfg, dcfg, tp, dp, ids, feats = bundle
+        with jax.default_matmul_precision("highest"):
+            outs = []
+            for can_ar in (False, True):
+                gen = MSDGenerator(
+                    tp, dp, cfg, dcfg,
+                    EngineConfig(max_seq_len=1024, prompt_pad_multiple=64,
+                                 tree=DEEP, canonical_ar=can_ar),
+                    eos_id=-1, n_img=64)
+                outs.append(gen.naive_generate(ids, img_feats=feats,
+                                               max_new_tokens=48).tokens)
+        n = min(map(len, outs))
+        assert n >= 40
+        np.testing.assert_array_equal(outs[0][:n], outs[1][:n])
+
     def test_legacy_tree_bias_path_still_works(self, bundle):
         """canonical_attn=False keeps the original tree_bias verification;
         MSD stays lossless vs AR at highest precision (legacy behavior)."""
