@@ -1328,7 +1328,10 @@ def _run_with_flap_retries(max_retries: int = 2):
     except Exception as e:  # noqa: BLE001 — classify, then re-exec or raise
         msg = str(e)
         transient = ("UNAVAILABLE" in msg or "worker process crashed" in msg
-                     or "not in the list of known backends" in msg)
+                     or "not in the list of known backends" in msg
+                     # axon lease teardown race / tunnel flap mid-dispatch
+                     # surfaces as ABORTED: TPU backend error (Aborted)
+                     or "ABORTED" in msg or "TPU backend error" in msg)
         tries = int(os.environ.get("BENCH_FLAP_RETRY", "0"))
         if not transient or tries >= max_retries:
             raise
