@@ -1,0 +1,135 @@
+"""Round-4b task tier: temporalbench, vitatecs, jmmmu, mmworld, youcook2,
+video_detail_description, olympiadbench."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
+
+from msd_tpu.harness.tasks_ext3 import (_math_equal, _vitatecs_qa,
+                                        make_jmmmu, make_mmworld,
+                                        make_olympiadbench,
+                                        make_temporalbench, make_vitatecs,
+                                        make_video_detail_description,
+                                        make_youcook2)
+
+
+def test_temporalbench_binary_and_multiple_binary():
+    """temporalbench/utils.py:106-131: first-char binary accuracy; a video
+    counts for Multiple Binary Accuracy only when ALL its QAs are right."""
+    t = make_temporalbench("short_qa")
+    docs = t.synthetic_docs(4)  # vids: vid0(x2), vid1(x2)
+    rows = [t.process_results(d, [d["GT"]]) for d in docs]
+    assert all(r["accuracy"] == 1.0 for r in rows)
+    agg = t.aggregate_extra(rows)
+    assert agg["multiple_binary_accuracy"] == 1.0
+    # break one QA of vid0 -> vid0 misses, vid1 still hits
+    rows[0] = t.process_results(docs[0], ["B" if docs[0]["GT"] == "A"
+                                          else "A"])
+    agg = t.aggregate_extra(rows)
+    assert agg["multiple_binary_accuracy"] == 0.5
+    # long answers score by first character (reference pred[0] semantics)
+    assert t.process_results(docs[1], ["B. no, it did not"])["accuracy"] \
+        == (1.0 if docs[1]["GT"].lower().startswith("b") else 0.0)
+
+
+def test_vitatecs_deterministic_order_and_rules():
+    """vitatecs/utils.py:91-105: A/B order is seeded by the caption text;
+    :114-143 hand-crafted matching rules."""
+    d = {"caption": "a person opens door 1",
+         "counterfactual": "a person closes door 1"}
+    q1, a1, o1 = _vitatecs_qa(d)
+    q2, a2, o2 = _vitatecs_qa(d)
+    assert (q1, a1, o1) == (q2, a2, o2)  # deterministic
+    assert a1[1] in "AB" and "(A)" in q1 and "(B)" in q1
+    t = make_vitatecs("Direction")
+    # bare letter form
+    assert t.process_results(d, [a1[1]])["accuracy"] == 1.0
+    assert t.process_results(d, ["B" if a1[1] == "A" else "A"])[
+        "accuracy"] == 0.0
+    # full option text containment beats letters
+    assert t.process_results(d, [d["caption"]])["accuracy"] == 1.0
+    assert t.process_results(d, [d["counterfactual"]])["accuracy"] == 0.0
+    # unmatched + no judge -> 0 (reference would call GPT here)
+    assert t.process_results(d, ["no idea"])["accuracy"] == 0.0
+
+
+def test_jmmmu_mc_and_subdomain_aggregate():
+    t = make_jmmmu()
+    docs = t.synthetic_docs(4)
+    d = docs[2]
+    r = t.process_results(d, [d["answer"]])
+    assert r["accuracy"] == 1.0 and r["_sub_Physics"] == 1.0
+    rows = [t.process_results(x, [x["answer"]]) for x in docs]
+    rows[0] = t.process_results(docs[0], ["Z no letter here"])
+    agg = t.aggregate_extra(rows)
+    assert 0.0 <= agg["Physics"] <= 1.0
+    # Japanese MC instruction present in the prompt
+    assert "アルファベット" in t.doc_to_text(d)
+
+
+def test_mmworld_letter_extraction_and_disciplines():
+    t = make_mmworld()
+    d = t.synthetic_docs(3)[0]
+    gold = d["correct_answer_label"].upper()
+    assert t.process_results(d, [f"The best answer is {gold}"])[
+        "accuracy"] == 1.0
+    # long answer without a letter -> no credit
+    assert t.process_results(
+        d, ["this is a very long answer with many words and no "
+            "option letter at all"])["accuracy"] == 0.0
+    rows = [t.process_results(x, [x["correct_answer_label"].upper()])
+            for x in t.synthetic_docs(6)]
+    agg = t.aggregate_extra(rows)
+    assert agg and all(v == 1.0 for v in agg.values())
+
+
+def test_youcook2_caption_scores():
+    t = make_youcook2()
+    docs = t.synthetic_docs(4)
+    rows = [t.process_results(d, [d["sentence"]]) for d in docs]
+    agg = t.aggregate_extra(rows)
+    assert agg["coco_Bleu_4"] > 0.99 and agg["coco_CIDEr"] > 0.0
+    # non-ascii stripped (youcook2/utils.py:20-22)
+    r = t.process_results(docs[0], ["café cooking"])
+    assert "é" not in r["_pred"]
+
+
+def test_video_detail_description_offline_fallback():
+    t = make_video_detail_description()
+    d = t.synthetic_docs(2)[0]
+    perfect = t.process_results(d, [d["answer"]])["gpt_eval_score"]
+    junk = t.process_results(d, ["nothing relevant"])["gpt_eval_score"]
+    assert perfect == 5.0 and junk < perfect
+
+
+def test_olympiadbench_math_equivalence():
+    """olympiadbench_evals.py judge semantics: numeric within precision,
+    symbolic equivalence, multi-answer comma split."""
+    assert _math_equal("0.5", "\\frac{1}{2}", 1e-8)
+    assert _math_equal("2", "2.0000000001", 1e-8)
+    assert not _math_equal("3", "2", 0)
+    assert _math_equal("1,2", "2, 1", 0)          # order-insensitive
+    assert not _math_equal("1,2", "1, 3", 0)
+    assert _math_equal("$x^2 - 1$", "(x-1)*(x+1)", 0)
+    t = make_olympiadbench()
+    d = t.synthetic_docs(3)[1]   # answer "3"
+    out = t.process_results(
+        d, ["Working... So the final answer is \\boxed{3}."])
+    assert out["exact_match"] == 1.0
+    out = t.process_results(d, ["So the final answer is \\boxed{4}."])
+    assert out["exact_match"] == 0.0
+    # proof questions are excluded from accuracy (en_utils.py:58-59)
+    dp = dict(d, source="TP_synth")
+    assert "exact_match" not in t.process_results(dp, ["anything"])
+    assert "competition" in t.doc_to_text(d)
+
+
+def test_registry_includes_round4b_tier():
+    from msd_tpu.harness.registry import TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for name in ("temporalbench_short_qa", "vitatecs_direction", "jmmmu",
+                 "mmworld", "youcook2_val", "video_detail_description",
+                 "olympiadbench_test_en"):
+        assert name in TASK_REGISTRY, name
