@@ -133,3 +133,40 @@ def test_registry_includes_round4b_tier():
                  "mmworld", "youcook2_val", "video_detail_description",
                  "olympiadbench_test_en"):
         assert name in TASK_REGISTRY, name
+
+
+def test_mmupd_dual_accuracy():
+    """mmupd_evals.py:600-618 dual accuracy: a question scores only when
+    the standard row picks the gold option AND the upd row abstains."""
+    from msd_tpu.harness.tasks_mmupd import make_mmupd, mmupd_grade_row
+    t = make_mmupd("aad", "base")
+    docs = t.synthetic_docs(4)
+    std = [d for d in docs if d["type"] == "standard"]
+    upd = [d for d in docs if d["type"] == "upd"]
+    # perfect model: gold letters on standard, abstains on upd
+    rows = [t.process_results(d, [d["answer"]]) for d in std]
+    rows += [t.process_results(d, ["None of the above"]) for d in upd]
+    agg = t.aggregate_extra(rows)
+    assert agg["gpt_eval_score"] == 100.0
+    assert agg["overall_acc_standard"] == 1.0
+    assert agg["overall_acc_upd"] == 1.0
+    # a model that always answers 'A' fails every upd twin -> dual 0
+    rows = [t.process_results(d, ["A"]) for d in std]
+    rows += [t.process_results(d, ["A"]) for d in upd]
+    assert t.aggregate_extra(rows)["gpt_eval_score"] == 0.0
+    # instruction variant: 'F. None of the above' counts as abstention
+    assert mmupd_grade_row({"type": "upd", "A": "red", "B": "green",
+                            "answer": "F"}, "F. None of the above",
+                           "inst") == 1.0
+    # picking a real option on a upd row is wrong
+    assert mmupd_grade_row({"type": "upd", "A": "red", "B": "green",
+                            "answer": "F"}, "A. red", "base") == 0.0
+
+
+def test_mmupd_registry():
+    from msd_tpu.harness.registry import TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for upd in ("mmaad", "mmiasd", "mmivqd"):
+        for qt in ("base", "option", "instruction"):
+            assert f"{upd}_{qt}" in TASK_REGISTRY
