@@ -1118,6 +1118,8 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_ext3_tasks(p)
     from msd_tpu.harness.tasks_mmupd import register_mmupd_tasks
     register_mmupd_tasks(p)
+    from msd_tpu.harness.tasks_judge2 import register_judge2_tasks
+    register_judge2_tasks(p)
     register_task("gsm8k", make_gsm8k(p("GSM8K")))
     register_task("arc_easy", make_text_ppl_choice("arc_easy", p("ARC-Easy")))
     register_task("arc_challenge",

@@ -170,3 +170,41 @@ def test_mmupd_registry():
     for upd in ("mmaad", "mmiasd", "mmivqd"):
         for qt in ("base", "option", "instruction"):
             assert f"{upd}_{qt}" in TASK_REGISTRY
+
+
+def test_wild_vision_verdict_mapping_and_offline():
+    from msd_tpu.harness.tasks_judge2 import (make_wild_vision,
+                                              wild_vision_judgement_to_score)
+    assert wild_vision_judgement_to_score("A>>B") == (-2, "model_a")
+    assert wild_vision_judgement_to_score("B>>A") == (2, "model_b")
+    assert wild_vision_judgement_to_score("A>B") == (-1, "model_a")
+    assert wild_vision_judgement_to_score("A=B") == (0, "tie")
+    assert wild_vision_judgement_to_score("garbage") == (0, "tie")
+    t = make_wild_vision()
+    d = t.synthetic_docs(2)[0]
+    # offline: agreeing with the baseline answer -> tie (0), junk -> worse
+    tie = t.process_results(d, [d["claude-3-sonnet-20240229"]])
+    junk = t.process_results(d, ["nothing relevant at all"])
+    assert tie["raw_score"] == 0.0 and junk["raw_score"] == -1.0
+
+
+def test_vibe_and_mia_offline_scores():
+    from msd_tpu.harness.tasks_judge2 import make_mia_bench, make_vibe_eval
+    tv = make_vibe_eval()
+    d = tv.synthetic_docs(2)[1]          # category 'hard'
+    good = tv.process_results(d, [d["reference"]])
+    assert good["score100"] == 100.0 and good["_hard"] == 100.0
+    assert tv.aggregate_extra([good]) == {"hard": 100.0}
+    bad = tv.process_results(d, ["zzz"])
+    assert bad["score100"] < good["score100"]
+    tm = make_mia_bench()
+    dm = tm.synthetic_docs(1)[0]
+    assert tm.process_results(dm, [dm["instruction"]])["total_score"] == 1.0
+
+
+def test_judge2_registry():
+    from msd_tpu.harness.registry import TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for name in ("wildvision_0617", "vibe_eval", "mia_bench"):
+        assert name in TASK_REGISTRY
