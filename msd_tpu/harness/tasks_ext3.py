@@ -579,6 +579,52 @@ def make_olympiadbench(dataset_path=None) -> TaskConfig:
             "images": [_synth_image(i)]} for i in range(n)])
 
 
+# ---------------------------------------------------------------------------
+# IFEval (ifeval/utils.py + instructions.py — text-only instruction following)
+# ---------------------------------------------------------------------------
+
+def make_ifeval(dataset_path=None) -> TaskConfig:
+    """ifeval/utils.py:112-152: strict grading on the raw response, loose
+    grading over the 8 first/last-line- and asterisk-stripped variants
+    (:62-80); prompt-level accuracy requires ALL of a doc's instructions
+    followed, instruction-level averages over every instruction. Checkers:
+    task_utils/ifeval.py (25 instruction types, instructions.py parity)."""
+    from msd_tpu.harness.task_utils import ifeval as IF
+
+    def _res(d, r):
+        ids = list(d.get("instruction_id_list") or [])
+        kws = list(d.get("kwargs") or [{}] * len(ids))
+        strict, loose = IF.evaluate(ids, kws, str(r[0]) if r else "",
+                                    prompt=str(d.get("prompt", "")))
+        return {"prompt_level_strict_acc": 1.0 if all(strict) else 0.0,
+                "prompt_level_loose_acc": 1.0 if all(loose) else 0.0,
+                "_inst_strict": [1.0 if b else 0.0 for b in strict],
+                "_inst_loose": [1.0 if b else 0.0 for b in loose]}
+
+    def _agg(rows):
+        s = [x for row in rows for x in row.get("_inst_strict", [])]
+        l = [x for row in rows for x in row.get("_inst_loose", [])]
+        return {"inst_level_strict_acc": float(np.mean(s)) if s else 0.0,
+                "inst_level_loose_acc": float(np.mean(l)) if l else 0.0}
+
+    return TaskConfig(
+        name="ifeval",
+        doc_to_text=lambda d: str(d.get("prompt", "")),
+        doc_to_visual=lambda d: [],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 1280, "temperature": 0.0},
+        metric_names=("prompt_level_strict_acc", "prompt_level_loose_acc"),
+        aggregate_extra=_agg,
+        synthetic_docs=lambda n: [{
+            "key": i,
+            "prompt": f"Write about topic {i} without using commas.",
+            "instruction_id_list": ["punctuation:no_comma",
+                                    "length_constraints:number_words"],
+            "kwargs": [{}, {"num_words": 3, "relation": "at least"}],
+        } for i in range(n)])
+
+
 _VITATECS_ASPECTS = ("Direction", "Intensity", "Sequence", "Localization",
                      "Compositionality", "Type")
 
@@ -598,3 +644,4 @@ def register_ext3_tasks(p) -> None:
                   make_video_detail_description(p("VideoDetailCaption")))
     register_task("olympiadbench_test_en",
                   make_olympiadbench(p("OlympiadBench")))
+    register_task("ifeval", make_ifeval(p("IFEval")))

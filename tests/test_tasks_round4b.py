@@ -208,3 +208,57 @@ def test_judge2_registry():
     register_builtin_tasks()
     for name in ("wildvision_0617", "vibe_eval", "mia_bench"):
         assert name in TASK_REGISTRY
+
+
+def test_ifeval_checkers():
+    """instructions.py checker semantics spot-checks."""
+    from msd_tpu.harness.task_utils import ifeval as IF
+    c = IF.check
+    assert c("punctuation:no_comma", {}, "no commas here")
+    assert not c("punctuation:no_comma", {}, "one, comma")
+    assert c("detectable_format:title", {}, "<<My Title>>\nbody")
+    assert not c("detectable_format:title", {}, "<< >>")
+    assert c("startend:quotation", {}, '"wrapped fully"')
+    assert c("keywords:existence", {"keywords": ["alpha", "beta"]},
+             "Alpha meets BETA.")
+    assert not c("keywords:existence", {"keywords": ["alpha", "gamma"]},
+                 "alpha only")
+    assert c("keywords:frequency",
+             {"keyword": "cat", "frequency": 2, "relation": "at least"},
+             "cat and cat")
+    assert c("keywords:forbidden_words", {"forbidden_words": ["dog"]},
+             "a doghouse is fine")        # \b word boundary semantics
+    assert not c("keywords:forbidden_words", {"forbidden_words": ["dog"]},
+                 "a dog is not")
+    assert c("length_constraints:number_paragraphs", {"num_paragraphs": 2},
+             "first\n***\nsecond")
+    assert c("detectable_format:number_bullet_lists", {"num_bullets": 2},
+             "* one\n- two")
+    assert not c("detectable_format:number_bullet_lists", {"num_bullets": 2},
+                 "* one\n- two\n- three")   # exact count
+    assert c("detectable_format:json_format", {}, '```json\n{"a": 1}\n```')
+    assert c("combination:two_responses", {}, "yes\n******\nno")
+    assert not c("combination:two_responses", {}, "same\n******\nsame")
+    assert c("change_case:english_capital", {}, "ALL CAPS HERE")
+    assert c("language:response_language", {"language": "zh"}, "你好世界")
+    assert not c("language:response_language", {"language": "zh"},
+                 "hello world")
+    assert c("length_constraints:nth_paragraph_first_word",
+             {"num_paragraphs": 2, "nth_paragraph": 2,
+              "first_word": "hello"},
+             "intro text\n\nHello, second paragraph.")
+
+
+def test_ifeval_strict_vs_loose():
+    """utils.py:62-80: a leading junk line breaks strict but loose passes
+    once the first line is stripped."""
+    from msd_tpu.harness.tasks_ext3 import make_ifeval
+    t = make_ifeval()
+    d = {"prompt": "p", "instruction_id_list": ["startend:quotation"],
+         "kwargs": [{}]}
+    r = t.process_results(d, ['Sure! Here you go:\n"quoted answer"'])
+    assert r["prompt_level_strict_acc"] == 0.0
+    assert r["prompt_level_loose_acc"] == 1.0
+    agg = t.aggregate_extra([r])
+    assert agg["inst_level_loose_acc"] == 1.0
+    assert agg["inst_level_strict_acc"] == 0.0
