@@ -216,3 +216,174 @@ def register_judge2_tasks(p) -> None:
     register_task("wildvision_0617", make_wild_vision(p("WildVision")))
     register_task("vibe_eval", make_vibe_eval(p("VibeEval")))
     register_task("mia_bench", make_mia_bench(p("MIA-Bench")))
+    register_task("cvrr", make_cvrr(p("CVRR-ES")))
+    register_task("moviechat_global", make_moviechat("global",
+                                                     p("MovieChat")))
+    register_task("moviechat_breakpoint",
+                  make_moviechat("breakpoint", p("MovieChat")))
+    register_task("cuva", make_cuva(p("CUVA")))
+
+
+# ---------------------------------------------------------------------------
+# CVRR-ES (cvrr/utils.py)
+# ---------------------------------------------------------------------------
+
+def make_cvrr(dataset_path=None) -> TaskConfig:
+    """cvrr/utils.py:100-180: the judge returns {'pred':
+    'correct'|'incorrect', 'score': 0-5}; accuracy per DimensionName plus
+    mean score. Offline: the activitynetqa containment proxy
+    (tasks_ext2._videoqa_offline), documented in PARITY.md."""
+    from msd_tpu.harness.tasks_ext2 import _videoqa_offline
+
+    def _res(d, r):
+        pred = str(r[0]) if r else ""
+        gold = str(d.get("answer", ""))
+        j = J.get_judge()
+        verdict = None
+        if j is not None:
+            user = ("Please evaluate the following video-based "
+                    "question-answer pair:\n\n"
+                    f"Question: {d.get('question', '')}\n"
+                    f"Correct Answer: {gold}\n"
+                    f"Predicted Answer: {pred}\n\n"
+                    "Provide your evaluation as a correct/incorrect "
+                    "prediction along with the score where the score is an "
+                    "integer value between 0 (fully wrong) and 5 (fully "
+                    "correct). The middle score provides the percentage of "
+                    "correctness. Please generate the response in the form "
+                    "of a Python dictionary string with keys 'pred', "
+                    "'score' and 'reason'. DO NOT PROVIDE ANY OTHER OUTPUT "
+                    "TEXT OR EXPLANATION. For example: "
+                    '{"pred": "correct", "score": 4.8, "reason": reason}.')
+            out = j.complete(user, max_tokens=128)
+            if out:
+                m = re.search(r"['\"]pred['\"]\s*:\s*['\"]"
+                              r"(correct|incorrect)", out, re.I)
+                s = re.search(r"['\"]score['\"]\s*:\s*([0-9.]+)", out)
+                if m and s:
+                    verdict = (m.group(1).lower() == "correct",
+                               float(s.group(1)))
+        if verdict is None:
+            yn, sc = _videoqa_offline(gold, pred)
+            verdict = (yn == "yes", sc)
+        dim = str(d.get("DimensionName", ""))
+        row = {"accuracy": 1.0 if verdict[0] else 0.0,
+               "score": min(5.0, verdict[1])}
+        if dim:
+            row[f"_dim_{dim}"] = row["accuracy"]
+        return row
+
+    def _agg(rows):
+        keys = {k for row in rows for k in row if k.startswith("_dim_")}
+        return {k[len("_dim_"):]: float(np.mean([r[k] for r in rows
+                                                 if k in r]))
+                for k in sorted(keys)}
+
+    def _synth_video(i):
+        rng = np.random.default_rng(i + 53)
+        return rng.integers(0, 255, size=(4, 32, 32, 3), dtype=np.uint8)
+
+    return TaskConfig(
+        name="cvrr",
+        doc_to_text=lambda d: str(d.get("question", "")),
+        doc_to_visual=lambda d: [d.get("video", d.get("video_name", ""))],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 128, "temperature": 0.0},
+        metric_names=("accuracy", "score"),
+        aggregate_extra=_agg,
+        synthetic_docs=lambda n: [{
+            "question": f"what happens in clip {i}",
+            "answer": f"pattern {i}",
+            "DimensionName": ("Partial actions",
+                              "Time order understanding")[i % 2],
+            "video": _synth_video(i)} for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# MovieChat (moviechat/utils.py — global / breakpoint modes)
+# ---------------------------------------------------------------------------
+
+def make_moviechat(mode: str = "global", dataset_path=None) -> TaskConfig:
+    """moviechat/utils.py:83-260: long-video QA; the judge returns yes/no +
+    0-5 score (same rubric family as activitynetqa). The breakpoint
+    variant anchors the question at doc['time'] (:67-80); with array
+    inputs the adapters sample frames uniformly, so the distinction lives
+    in the dataset, not the pipeline. Offline containment proxy."""
+    from msd_tpu.harness.judge import videoqa_judge_score
+    from msd_tpu.harness.tasks_ext2 import _videoqa_offline
+
+    def _res(d, r):
+        js = videoqa_judge_score(d.get("question", ""),
+                                 str(d.get("answer", "")),
+                                 str(r[0]) if r else "")
+        if js is None:
+            js = _videoqa_offline(d.get("answer", ""),
+                                  str(r[0]) if r else "")
+        return {"accuracy": 1.0 if js[0] == "yes" else 0.0,
+                "score": float(js[1])}
+
+    def _synth_video(i):
+        rng = np.random.default_rng(i + 67)
+        return rng.integers(0, 255, size=(4, 32, 32, 3), dtype=np.uint8)
+
+    return TaskConfig(
+        name=f"moviechat_{mode}",
+        doc_to_text=lambda d: str(d.get("question", "")),
+        doc_to_visual=lambda d: [d.get("video", d.get("video_name", ""))],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 64, "temperature": 0.0},
+        metric_names=("accuracy", "score"),
+        synthetic_docs=lambda n: [{
+            "question": f"what is shown around minute {i}",
+            "answer": f"scene {i}", "time": 60 * i,
+            "video_name": f"m{i}", "video": _synth_video(i)}
+            for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# CUVA (cuva/utils.py — anomaly description/cause/result, caption metrics)
+# ---------------------------------------------------------------------------
+
+def make_cuva(dataset_path=None) -> TaskConfig:
+    """cuva/utils.py:108-160: three fixed anomaly questions keyed by
+    doc['task'] (Description/Cause/Result); reported metrics are corpus
+    BLEU/ROUGE over pred-vs-answer (the reference's BLEURT column needs a
+    torch checkpoint — omitted, PARITY.md)."""
+    from msd_tpu.harness.task_utils import captioning as C
+
+    _Q = {
+        "Description": ("Watch the video and describe any anomaly events "
+                        "you see in the order they happen. Focus on what "
+                        "is different from normal, like who or what is "
+                        "involved and their actions."),
+        "Cause": ("Explain why the anomaly in the video are happening. Use "
+                  "what you see in the video to make logical reasoning "
+                  "about the root reasons behind these anomalies."),
+        "Result": ("Figure out what results and effect these anomalies "
+                   "have. Link the anomaly directly to their outcomes."),
+    }
+
+    def _res(d, r):
+        return {"_pred": str(r[0]) if r else "",
+                "_refs": [str(d.get("answer", ""))]}
+
+    def _synth_video(i):
+        rng = np.random.default_rng(i + 71)
+        return rng.integers(0, 255, size=(4, 32, 32, 3), dtype=np.uint8)
+
+    return TaskConfig(
+        name="cuva",
+        doc_to_text=lambda d: _Q.get(str(d.get("task", "Description")),
+                                     _Q["Description"]),
+        doc_to_visual=lambda d: [d.get("video", d.get("video_name", ""))],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 128, "temperature": 0.0},
+        metric_names=(),
+        aggregate_extra=C.caption_scores,
+        synthetic_docs=lambda n: [{
+            "task": ("Description", "Cause", "Result")[i % 3],
+            "answer": f"an anomaly involving object {i} occurs",
+            "video": _synth_video(i)} for i in range(n)])

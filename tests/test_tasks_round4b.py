@@ -262,3 +262,25 @@ def test_ifeval_strict_vs_loose():
     agg = t.aggregate_extra([r])
     assert agg["inst_level_loose_acc"] == 1.0
     assert agg["inst_level_strict_acc"] == 0.0
+
+
+def test_cvrr_moviechat_cuva():
+    from msd_tpu.harness.tasks_judge2 import (make_cuva, make_cvrr,
+                                              make_moviechat)
+    tc = make_cvrr()
+    d = tc.synthetic_docs(2)[0]
+    good = tc.process_results(d, [d["answer"]])
+    assert good["accuracy"] == 1.0 and good["score"] == 5.0
+    assert tc.aggregate_extra([good])["Partial actions"] == 1.0
+    bad = tc.process_results(d, ["unrelated"])
+    assert bad["accuracy"] == 0.0
+    tm = make_moviechat("global")
+    dm = tm.synthetic_docs(1)[0]
+    assert tm.process_results(dm, [dm["answer"]])["accuracy"] == 1.0
+    tv = make_cuva()
+    docs = tv.synthetic_docs(3)
+    rows = [tv.process_results(x, [x["answer"]]) for x in docs]
+    assert tv.aggregate_extra(rows)["coco_Bleu_4"] > 0.99
+    # the three CUVA prompts are keyed by doc['task']
+    assert "describe any anomaly" in tv.doc_to_text(docs[0])
+    assert "Explain why" in tv.doc_to_text(docs[1])
