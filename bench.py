@@ -211,6 +211,12 @@ def main():
                          "near-ties, so later rounds must move the draft "
                          "less and less)")
     ap.add_argument("--distill-prompts", type=int, default=8)
+    ap.add_argument("--distill-resume", action="store_true",
+                    help="on a draft-cache hit with rounds_done < "
+                         "--distill-iters, continue the remaining "
+                         "record->train rounds instead of measuring the "
+                         "cached draft as-is (each round costs 400-1100s "
+                         "on the chip)")
     ap.add_argument("--draft-mode", default="medusa",
                     choices=["eagle", "medusa"],
                     help="medusa: per-depth resblock heads over the depth-1 "
@@ -837,6 +843,18 @@ def main():
                 draft_ckpt_hit = True
                 log(f"distilled draft loaded from {ck_path} "
                     f"(rounds_done={it0}/{iters})")
+                if not args.distill_resume:
+                    # The cached draft IS the measured artifact: resuming
+                    # the remaining record->train rounds costs 400-1100s
+                    # per round (r4 run3: ONE record collection hit the
+                    # axon recompile duty cycle and took 1069s, starving
+                    # the calibration + noise phases). Opt in with
+                    # --distill-resume when chasing a higher alpha.
+                    if it0 < iters:
+                        log(f"draft cache hit: skipping distill rounds "
+                            f"{it0}..{iters - 1} (pass --distill-resume "
+                            "to continue training)")
+                    it0 = iters
 
             s_per_step = 0.5       # updated from the first train round
             rec_cost = 290.0       # first collection includes the MSD compile
