@@ -1267,6 +1267,27 @@ def main():
     log(f"speedup at ref alpha {args.ref_alpha}: {speedup_ref:.2f}x | "
         f"measured wall-clock: {speedup_wallclock:.2f}x")
 
+    def _resolved_ar_backend() -> str:
+        """Mirror models/llama.py:_attend's static gate for the fast-AR
+        T=1 query row at the bench alloc, so the JSON names the backend
+        that actually ran (the gate resolves at trace time)."""
+        if args.canonical_ar:
+            return "windowed-canonical"
+        cfg = gen.tcfg
+        if cfg.attn_impl == "xla":
+            return "xla"
+        try:
+            from msd_tpu.ops.pallas.decode_attention import VPU_MAX_GT
+        except Exception:
+            return "xla"
+        gt = cfg.num_attention_heads // cfg.num_key_value_heads
+        want = cfg.attn_impl == "pallas" or (
+            cfg.attn_impl == "auto" and gt <= VPU_MAX_GT
+            and max_seq >= cfg.pallas_min_s
+            and jax.default_backend() == "tpu")
+        ok = want and max_seq % 128 == 0 and cfg.head_dim == 128
+        return "pallas" if ok else "xla"
+
     print(json.dumps({
         "metric": f"msd_wallclock_speedup_vs_ar_llava{args.model}_measured",
         "value": round(speedup_wallclock, 3),
@@ -1323,6 +1344,9 @@ def main():
             "pallas_ar_probe": pallas_info,
             "ar_impl": ("windowed-canonical" if args.canonical_ar
                         else f"speed ({args.attn_impl})"),
+            # the backend _attend actually resolves for the fast-AR T=1
+            # query at the bench alloc (models/llama.py:_attend gate)
+            "ar_attn_backend": _resolved_ar_backend(),
             "tree_nodes": gen.eng.tree.num_nodes,
             "alpha_tune": alpha_tune_info,
             "draft_mode": args.draft_mode,

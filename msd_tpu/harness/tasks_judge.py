@@ -122,3 +122,13 @@ def register_judge_tasks(p) -> None:
                                    p("llava-bench-in-the-wild")))
     register_task("llava_bench_coco",
                   make_llava_bench("llava_bench_coco", p("llava-bench-coco")))
+    # multilingual-llava-bench-in-the-wild: the SAME schema, rubric, and
+    # pairwise-review pipeline per language (its utils.py is a copy of
+    # llava-in-the-wild's with per-language datasets); one registration
+    # per language yaml in the reference dir.
+    for lang in ("arabic", "bengali", "chinese", "french", "hindi",
+                 "japanese", "russian", "spanish", "urdu"):
+        register_task(
+            f"llava_in_the_wild_{lang}",
+            make_llava_bench(f"llava_in_the_wild_{lang}",
+                             p(f"multilingual-llava-bench/{lang}")))
