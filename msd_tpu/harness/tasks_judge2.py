@@ -222,6 +222,8 @@ def register_judge2_tasks(p) -> None:
     register_task("moviechat_breakpoint",
                   make_moviechat("breakpoint", p("MovieChat")))
     register_task("cuva", make_cuva(p("CUVA")))
+    register_task("llava_interleave_bench",
+                  make_llava_interleave(p("LLaVA-Interleave")))
 
 
 # ---------------------------------------------------------------------------
@@ -387,3 +389,91 @@ def make_cuva(dataset_path=None) -> TaskConfig:
             "task": ("Description", "Cause", "Result")[i % 3],
             "answer": f"an anomaly involving object {i} occurs",
             "video": _synth_video(i)} for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# LLaVA-Interleave Bench (llava_interleave_bench/utils.py)
+# ---------------------------------------------------------------------------
+
+def interleave_mcq_acc(answer: str, pred: str) -> float:
+    """llava_interleave_bench/utils.py:122-171 mcq_acc: option-prefix or
+    standalone-letter extraction after punctuation stripping, exact match
+    on the processed forms."""
+    period = re.compile(r"(?!<=\d)(\.)(?!\d)")
+    comma = re.compile(r"(\d)(\,)(\d)")
+    punct = [";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\",
+             "_", "-", ">", "<", "@", "`", ",", "?", "!"]
+
+    def process(a: str) -> str:
+        m = re.match(r"^([A-E])\.\s*(.+)$", a.strip(), re.IGNORECASE)
+        if m:
+            return m.group(1).upper()
+        a = a.replace("\n", " ").replace("\t", " ").strip()
+        out = a
+        for p in punct:
+            if (p + " " in a or " " + p in a) or comma.search(a):
+                out = out.replace(p, "")
+            else:
+                out = out.replace(p, " ")
+        out = period.sub("", out)
+        out = out.strip("'").strip('"').strip(")").strip("(").strip().lower()
+        lm = re.search(r"\b([A-E])\b", out, re.IGNORECASE)
+        return lm.group(1).upper() if lm else out
+
+    return 1.0 if process(pred) == process(answer) else 0.0
+
+
+def make_llava_interleave(dataset_path=None) -> TaskConfig:
+    """llava_interleave_bench/utils.py:104-235: multi-choice scored by
+    mcq_acc, open-ended by ROUGE-L F (per-prediction vs answer); the
+    overall score averages per-category means (:186-233). Images arrive as
+    image_0..image_15 columns."""
+    from msd_tpu.harness.task_utils.captioning import rouge_l
+
+    def _vis(d):
+        out = []
+        for i in range(16):
+            v = d.get(f"image_{i}")
+            if v is not None:
+                out.append(v)
+        return out or [v for k, v in d.items()
+                       if k.startswith("image") and v is not None][:1]
+
+    def _res(d, r):
+        pred = str(r[0]) if r else ""
+        if d.get("question_type") == "multi-choice":
+            score = interleave_mcq_acc(str(d.get("answer", "")), pred)
+        else:
+            score = rouge_l([pred[:512]] if pred else [""],
+                            [[str(d.get("answer", ""))]])
+        return {"overall_score": float(score),
+                "_sub": str(d.get("sub_task", ""))}
+
+    def _agg(rows):
+        per: Dict[str, List[float]] = {}
+        for row in rows:
+            per.setdefault(row["_sub"], []).append(row["overall_score"])
+        out = {f"sub_{k}": float(np.mean(v)) for k, v in sorted(per.items())
+               if k}
+        if out:
+            out["category_mean"] = float(np.mean(list(out.values())))
+        return out
+
+    return TaskConfig(
+        name="llava_interleave_bench",
+        doc_to_text=lambda d: str(d.get("question", "")),
+        doc_to_visual=_vis,
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 256, "temperature": 0.0},
+        metric_names=("overall_score",),
+        aggregate_extra=_agg,
+        synthetic_docs=lambda n: [{
+            "sample_id": i,
+            "question": f"Which option matches image pair {i}?\n"
+                        "A. first\nB. second\nYour answer is:",
+            "answer": "AB"[i % 2],
+            "question_type": ("multi-choice", "open-ended")[i % 2],
+            "sub_task": ("Spot-the-Diff", "Multi-Image-VQA")[i % 2],
+            "image_0": _synth_image(i), "image_1": _synth_image(i + 1)}
+            for i in range(n)])

@@ -284,3 +284,19 @@ def test_cvrr_moviechat_cuva():
     # the three CUVA prompts are keyed by doc['task']
     assert "describe any anomaly" in tv.doc_to_text(docs[0])
     assert "Explain why" in tv.doc_to_text(docs[1])
+
+
+def test_llava_interleave_mcq_and_rouge():
+    from msd_tpu.harness.tasks_judge2 import (interleave_mcq_acc,
+                                              make_llava_interleave)
+    # option-prefix form and standalone letter both extract
+    assert interleave_mcq_acc("A", "A. the first one") == 1.0
+    assert interleave_mcq_acc("B", "the answer is (B)") == 1.0
+    assert interleave_mcq_acc("A", "B. wrong") == 0.0
+    # processed-text fallback: full-text match without letters
+    assert interleave_mcq_acc("the red cube", "The red cube!") == 1.0
+    t = make_llava_interleave()
+    docs = t.synthetic_docs(4)
+    rows = [t.process_results(d, [d["answer"]]) for d in docs]
+    agg = t.aggregate_extra(rows)
+    assert agg["category_mean"] == 1.0 and "sub_Spot-the-Diff" in agg
