@@ -69,6 +69,12 @@ def main():
     ap.add_argument("--n-prompts", type=int, default=6)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--seq-len", type=int, default=96)
+    ap.add_argument("--draft-mode", default="medusa",
+                    choices=["medusa", "eagle"],
+                    help="eagle = EAGLE-style recursion (no medusa heads): "
+                         "tests whether recursive drafting recovers on a "
+                         "TRAINED target (it collapses at depth 2 on the "
+                         "random-weight 7B, artifacts/bench_eagle_r4.log)")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +98,8 @@ def main():
     cfg = LlamaConfig.tiny(vocab_size=256, hidden_size=256, layers=4,
                            heads=4, intermediate_size=688, max_pos=2048)
     m_widths = (6, 4, 2, 1)
-    dcfg = DraftConfig(text=cfg, medusa_heads=len(m_widths) - 1)
+    n_heads = (len(m_widths) - 1) if args.draft_mode == "medusa" else 0
+    dcfg = DraftConfig(text=cfg, medusa_heads=n_heads)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     tp = L.init_llama_params_stacked(k1, cfg, jnp.float32)
     cos_t, sin_t = L.make_rope(cfg, 2048)
@@ -136,14 +143,17 @@ def main():
 
     # ---- 2) distill a draft on engine trajectories -------------------------
     dp = draft_mod.init_draft_params(k2, dcfg, jnp.float32)
-    dp["medusa"] = draft_mod.init_medusa_params(jax.random.PRNGKey(7), dcfg,
-                                                jnp.float32)
+    if args.draft_mode == "medusa":
+        dp["medusa"] = draft_mod.init_medusa_params(jax.random.PRNGKey(7),
+                                                    dcfg, jnp.float32)
     dp["embed_tokens"] = tp["embed_tokens"]
     eng = EngineConfig(max_seq_len=512, prompt_pad_multiple=64,
                        tree=TreeConfig(top_k=m_widths[0],
                                        max_depth=len(m_widths),
                                        num_nodes=1 + sum(m_widths),
-                                       medusa_widths=m_widths))
+                                       medusa_widths=(m_widths if
+                                                      args.draft_mode ==
+                                                      "medusa" else None)))
     sp = SamplingParams(greedy_round_bits=6)
     gen = MSDGenerator(tp, dp, cfg, dcfg, eng, n_img=0, eos_id=-1, sp=sp)
 
@@ -174,7 +184,9 @@ def main():
             train=TrainConfig(lr=1e-3 / (3.0 ** rd), warmup_steps=10,
                               total_steps=max(args.distill_steps, 21),
                               noise_std=0.0, noise_rel=0.01, p_w=0.1,
-                              v_norm=True, medusa_w=1.0),
+                              v_norm=True,
+                              medusa_w=(1.0 if args.draft_mode == "medusa"
+                                        else 0.0)),
             batch_size=2, max_len=pad_rec, num_epochs=1, log_every=10 ** 9)
         trainer = DraftTrainer(dcfg, dp32, tp["lm_head"], tc)
         last = {}
@@ -204,6 +216,7 @@ def main():
     a_held = alpha_over(heldout_prompts, "held-out")
     out = {
         "metric": "generalization_alpha",
+        "draft_mode": args.draft_mode,
         "alpha_on_distill_prompts": round(a_train, 3),
         "alpha_heldout_prompts": round(a_held, 3),
         "generalization_ratio": round(a_held / max(a_train, 1e-9), 3),
@@ -215,7 +228,8 @@ def main():
         "wall_s": round(time.time() - t_start, 1),
     }
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/generalization_r4.json", "w") as f:
+    suffix = "" if args.draft_mode == "medusa" else "_eagle"
+    with open(f"artifacts/generalization_r4{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
