@@ -242,5 +242,28 @@ def arrival_sim(gen, feats, mk_prompt, args):
     return 0
 
 
+def _run_with_flap_retries(max_retries: int = 2):
+    """Same transient classification as bench.py: an axon tunnel flap or a
+    chip-lease teardown race (a previous holder exited <60s ago) surfaces
+    as UNAVAILABLE / ABORTED / ResourceExhausted; re-exec so the fresh
+    process re-probes the backend."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        transient = ("UNAVAILABLE" in msg or "worker process crashed" in msg
+                     or "not in the list of known backends" in msg
+                     or "ABORTED" in msg or "TPU backend error" in msg)
+        tries = int(os.environ.get("SERVE_FLAP_RETRY", "0"))
+        if not transient or tries >= max_retries:
+            raise
+        print(f"TPU backend lost ({msg.splitlines()[0][:100]}); re-exec "
+              f"{tries + 1}/{max_retries} after 60s lease wait",
+              file=sys.stderr, flush=True)
+        os.environ["SERVE_FLAP_RETRY"] = str(tries + 1)
+        time.sleep(60.0)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_run_with_flap_retries())
