@@ -68,6 +68,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the 7B while-loop programs here take 6-17
+    # min cold on the remote compiler; cache them like bench.py does
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "artifacts/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          10.0)
+    except Exception:
+        pass
+
     from msd_tpu.configs import (IMAGE_TOKEN_INDEX, DraftConfig, EngineConfig,
                                  LlamaConfig, TreeConfig)
     from msd_tpu.engine.generator import MSDGenerator
