@@ -224,6 +224,14 @@ def register_judge2_tasks(p) -> None:
     register_task("cuva", make_cuva(p("CUVA")))
     register_task("llava_interleave_bench",
                   make_llava_interleave(p("LLaVA-Interleave")))
+    for kind in ("mc", "freeform"):
+        register_task(f"mix_evals_video2text_{kind}",
+                      make_mix_evals_video2text(kind, p("MixEvals")))
+        register_task(
+            f"mix_evals_video2text_{kind}_hard",
+            make_mix_evals_video2text(
+                kind, p("MixEvals-hard"),
+                name=f"mix_evals_video2text_{kind}_hard"))
 
 
 # ---------------------------------------------------------------------------
@@ -477,3 +485,105 @@ def make_llava_interleave(dataset_path=None) -> TaskConfig:
             "sub_task": ("Spot-the-Diff", "Multi-Image-VQA")[i % 2],
             "image_0": _synth_image(i), "image_1": _synth_image(i + 1)}
             for i in range(n)])
+
+
+# ---------------------------------------------------------------------------
+# MixEvals video2text (mix_evals/video2text/utils.py)
+# ---------------------------------------------------------------------------
+
+def make_mix_evals_video2text(kind: str = "mc", dataset_path=None,
+                              name: str = None) -> TaskConfig:
+    """mix_evals/video2text: `mc` lettered options appended to the query
+    (utils.py:176-204) scored by regex-filtered exact match
+    (mix_evals_video2text_mc.yaml metric_list); `freeform` judged with the
+    [[score]] 0.0-1.0 correctness rubric (utils.py:49-101), offline
+    tokenF1 proxy. `hard` variants are the same pipeline on harder
+    datasets."""
+    def _text(d):
+        q = str(d.get("query", ""))
+        opts = d.get("options") or []
+        if len(opts) > 1:
+            lines = "\n".join(f"{chr(ord('A') + i)}. {str(o).strip()}"
+                              for i, o in enumerate(opts))
+            q = f"{q}\nHere are the options:\n{lines}"
+        if kind == "mc":
+            q += ("\nAnswer the question with the letter of the correct "
+                  "option.")
+        return q
+
+    def _res_mc(d, r):
+        pred = str(r[0]) if r else ""
+        m = re.search(r"\b([A-J])\b", pred.strip().upper())
+        letter = m.group(1) if m else ""
+        gold = str(d.get("answer", d.get("target", ""))).strip().upper()
+        if gold and gold not in "ABCDEFGHIJ":
+            # gold as option text: map to its letter
+            for i, o in enumerate(d.get("options") or []):
+                if str(o).strip().lower() == gold.lower():
+                    gold = chr(ord("A") + i)
+                    break
+        return {"exact_match": 1.0 if letter and letter == gold else 0.0}
+
+    def _res_ff(d, r):
+        pred = str(r[0]) if r else ""
+        refs = d.get("reference_answer") or []
+        if isinstance(refs, str):
+            refs = [refs]
+        j = J.get_judge()
+        score = None
+        if j is not None:
+            gold = "[" + ", ".join(f'"{g}"' for g in refs) + "]"
+            user = (
+                "You will be provided with a question, its golden "
+                "answer(s), and the model's answer, while the context of "
+                "the question, which is one or more videos, is not given "
+                "here. Your task is to judge how correct the model's "
+                "answer is based on the golden answer(s), without seeing "
+                "the input videos of the question, and then give a "
+                "correctness score. The correctness score should be one "
+                "of the below numbers: 0.0 (totally wrong), 0.1, 0.2, "
+                "0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, or 1.0 (totally "
+                "right). The correctness score must strictly follow this "
+                'format: "[[score]]", e.g., "The correctness score: '
+                '[[0.5]]".\n\n'
+                f"Question: {d.get('query', '')}\n"
+                f"Golden Answer(s): {gold}\n"
+                f"Model's Answer: {pred}")
+            out = j.complete(user, max_tokens=256,
+                             system="In this task, I want you to act as "
+                                    "a judge.")
+            if out:
+                m = re.search(r"\[\[([01](?:\.\d+)?)\]\]", out)
+                if m:
+                    score = min(1.0, float(m.group(1)))
+        if score is None:
+            score = max((_token_f1(pred, str(g)) for g in refs),
+                        default=0.0)
+        return {"gpt_eval": score}
+
+    def _synth_video(i):
+        rng = np.random.default_rng(i + 83)
+        return rng.integers(0, 255, size=(4, 32, 32, 3), dtype=np.uint8)
+
+    if kind == "mc":
+        synth = lambda n: [{
+            "query": f"Which option is number {i % 3}?",
+            "options": [f"option {j}" for j in range(3)],
+            "answer": "ABC"[i % 3],
+            "video": _synth_video(i)} for i in range(n)]
+    else:
+        synth = lambda n: [{
+            "id": i, "query": f"what happens in clip {i}",
+            "reference_answer": [f"pattern {i} appears"],
+            "video": _synth_video(i)} for i in range(n)]
+
+    return TaskConfig(
+        name=name or f"mix_evals_video2text_{kind}",
+        doc_to_text=_text,
+        doc_to_visual=lambda d: [d.get("video", d.get("video_path", ""))],
+        process_results=_res_mc if kind == "mc" else _res_ff,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 16 if kind == "mc" else 128,
+                    "temperature": 0.0},
+        metric_names=("exact_match",) if kind == "mc" else ("gpt_eval",),
+        synthetic_docs=synth)

@@ -300,3 +300,21 @@ def test_llava_interleave_mcq_and_rouge():
     rows = [t.process_results(d, [d["answer"]]) for d in docs]
     agg = t.aggregate_extra(rows)
     assert agg["category_mean"] == 1.0 and "sub_Spot-the-Diff" in agg
+
+
+def test_mix_evals_video2text():
+    from msd_tpu.harness.tasks_judge2 import make_mix_evals_video2text
+    t = make_mix_evals_video2text("mc")
+    d = t.synthetic_docs(3)[2]
+    assert t.process_results(d, [d["answer"]])["exact_match"] == 1.0
+    assert t.process_results(d, ["no letter here at all"])[
+        "exact_match"] == 0.0
+    # gold given as option text maps back to its letter
+    d2 = dict(d, answer=d["options"][ord(d["answer"]) - ord("A")])
+    assert t.process_results(d2, [d["answer"]])["exact_match"] == 1.0
+    tf = make_mix_evals_video2text("freeform")
+    df = tf.synthetic_docs(2)[1]
+    good = tf.process_results(df, [df["reference_answer"][0]])
+    assert good["gpt_eval"] == 1.0
+    assert tf.process_results(df, ["zzz"])["gpt_eval"] < 1.0
+    assert "Here are the options" in t.doc_to_text(d)
