@@ -318,3 +318,46 @@ def test_mix_evals_video2text():
     assert good["gpt_eval"] == 1.0
     assert tf.process_results(df, ["zzz"])["gpt_eval"] < 1.0
     assert "Here are the options" in t.doc_to_text(d)
+
+
+def test_audio_wer_and_tasks():
+    from msd_tpu.harness.tasks_audio import (make_air_bench,
+                                             make_asr_task,
+                                             make_muchomusic,
+                                             make_vocalsound, wer)
+    # WER semantics: punctuation/case-insensitive, word-level edits
+    assert wer("Hello, World!", "hello world") == 0.0
+    assert wer("hello there world", "hello world") == 0.5  # 1 ins / 2 ref
+    assert wer("", "a b") == 1.0
+    assert wer("<|en|> 你好 世界", "你好世界", language="zh") == 0.0
+    t = make_asr_task("librispeech_test_clean")
+    d = t.synthetic_docs(2)[0]
+    assert t.process_results(d, [d["gt"]])["wer"] == 0.0
+    tv = make_vocalsound()
+    dv = tv.synthetic_docs(6)[0]
+    assert tv.process_results(dv, [dv["answer"]])["accuracy"] == 1.0
+    rows = [tv.process_results(x, [x["answer"]])
+            for x in tv.synthetic_docs(6)]
+    agg = tv.aggregate_extra(rows)
+    assert agg["female"] == 1.0 and agg["male"] == 1.0
+    tm = make_muchomusic()
+    dm = tm.synthetic_docs(3)[1]
+    gold = dm["answer"][1]
+    assert tm.process_results(dm, [gold])["accuracy"] == 1.0
+    tf = make_air_bench("foundation")
+    df = tf.synthetic_docs(4)[2]
+    assert tf.process_results(df, ["C"])["accuracy"] == 1.0
+    assert tf.process_results(df, ["A"])["accuracy"] == 0.0
+
+
+def test_audio_registry():
+    from msd_tpu.harness.registry import TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for name in ("librispeech_test_clean", "vocalsound_test", "muchomusic",
+                 "clotho_aqa_test", "air_bench_foundation",
+                 "air_bench_chat", "alpaca_audio_test", "wavcaps_val",
+                 "gigaspeech_test", "tedlium_dev_test",
+                 "common_voice_15_en", "people_speech_val"):
+        assert name in TASK_REGISTRY, name
+    print("total:", len(TASK_REGISTRY))
