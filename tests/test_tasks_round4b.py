@@ -361,3 +361,46 @@ def test_audio_registry():
                  "common_voice_15_en", "people_speech_val"):
         assert name in TASK_REGISTRY, name
     print("total:", len(TASK_REGISTRY))
+
+
+def test_ext4_tasks():
+    from msd_tpu.harness.tasks_ext4 import (make_av_odyssey, make_ferret,
+                                            make_live_bench,
+                                            make_vinoground)
+    t = make_av_odyssey()
+    docs = t.synthetic_docs(8)
+    rows = [t.process_results(d, [d["answer"]]) for d in docs]
+    assert all(r["accuracy"] == 1.0 for r in rows)
+    agg = t.aggregate_extra(rows)
+    assert agg.get("timbre") == 1.0 and agg.get("tone") == 1.0
+    # vinoground: group score needs all four cells of an index right
+    tv = make_vinoground()
+    docs = tv.synthetic_docs(8)   # 2 base indices x 4 cells
+    rows = [tv.process_results(d, [d["GT"]]) for d in docs]
+    agg = tv.aggregate_extra(rows)
+    assert agg["text_score"] == 1.0 and agg["group_score"] == 1.0
+    # one wrong neg-text cell kills that index's text + group scores
+    rows[1] = tv.process_results(docs[1], ["B" if docs[1]["GT"] == "A"
+                                           else "A"])
+    agg = tv.aggregate_extra(rows)
+    assert agg["text_score"] == 0.5 and agg["group_score"] == 0.5
+    assert agg["video_score"] == 1.0
+    tl = make_live_bench()
+    d = tl.synthetic_docs(2)[0]
+    assert tl.process_results(d, [""])["gpt4_eval_score"] == 0.0
+    good = tl.process_results(d, [d["answer"]])
+    assert good["gpt4_eval_score"] == 10.0
+    tf = make_ferret()
+    df = tf.synthetic_docs(3)[0]
+    rows = [tf.process_results(df, [df["gpt_answer"]])]
+    agg = tf.aggregate_extra(rows)
+    assert agg["gpt_eval_ferret_all"] == 100.0
+
+
+def test_ext4_registry():
+    from msd_tpu.harness.registry import TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for name in ("av_odyssey", "vinoground", "openhermes", "funqa",
+                 "live_bench", "ferret"):
+        assert name in TASK_REGISTRY, name
