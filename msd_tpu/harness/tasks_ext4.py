@@ -1,6 +1,6 @@
 """Final round-4 tier: av_odyssey, vinoground, openhermes, funqa,
-live_bench, ferret — the last reference task dirs outside the
-agentic/LLM-generated pipelines (mmsearch, vdc; documented in PARITY.md).
+live_bench, ferret, vdc x5 — the last reference task dirs outside the
+agentic mmsearch pipeline (documented in PARITY.md).
 """
 
 from __future__ import annotations
@@ -358,3 +358,73 @@ def register_ext4_tasks(p) -> None:
     register_task("funqa", make_funqa(p("FunQA")))
     register_task("live_bench", make_live_bench(p("LiveBench")))
     register_task("ferret", make_ferret(p("Ferret")))
+    for kind in ("detailed", "camera", "background", "main_object",
+                 "short"):
+        register_task(f"vdc_{kind}_test", make_vdc(kind, p("VDC")))
+
+
+# ---------------------------------------------------------------------------
+# VDC — Video Detailed Captioning (vdc/utils.py)
+# ---------------------------------------------------------------------------
+
+_VDC_PROMPTS = {
+    "detailed": ("Please imagine the video based on the sequence of "
+                 "frames, and provide a faithfully detailed description "
+                 "of this video in more than three sentences."),
+    "camera": ("Describe the camera movements, angles and shot "
+               "transitions used in this video."),
+    "background": ("Describe the background and setting of this video in "
+                   "detail."),
+    "main_object": ("Describe the main object or subject of this video "
+                    "in detail, including its appearance and actions."),
+    "short": "Write a one-sentence summary of the video.",
+}
+
+
+def make_vdc(kind: str = "detailed", dataset_path=None) -> TaskConfig:
+    """vdc/utils.py:52-280: the reference scores by LLM-GENERATING QA
+    pairs from the gold caption and grading the model caption against each
+    with the yes/no + 0-5 rubric (gener_pred_score, :229-260) — that
+    decomposition needs a generation endpoint. With a judge installed the
+    caption is graded directly with the same rubric (one pair, the full
+    caption); offline the corpus caption metrics are reported instead
+    (documented deviation, PARITY.md). Metrics: accuracy (pred=='yes')
+    and mean score, the reference's reported pair."""
+    from msd_tpu.harness.judge import videoqa_judge_score
+    from msd_tpu.harness.task_utils import captioning as C
+
+    def _res(d, r):
+        pred = str(r[0]) if r else ""
+        gold = str(d.get("caption", d.get("answer", "")))
+        js = videoqa_judge_score(
+            _VDC_PROMPTS[kind], gold, pred)
+        row = {"_pred": pred, "_refs": [gold]}
+        if js is not None:
+            row["accuracy"] = 1.0 if js[0] == "yes" else 0.0
+            row["score"] = float(js[1])
+        return row
+
+    def _agg(rows):
+        out = C.caption_scores(rows)
+        accs = [r["accuracy"] for r in rows if "accuracy" in r]
+        if accs:
+            out["accuracy"] = float(np.mean(accs))
+            out["score"] = float(np.mean([r["score"] for r in rows
+                                          if "score" in r]))
+        return out
+
+    return TaskConfig(
+        name=f"vdc_{kind}_test",
+        doc_to_text=lambda d: _VDC_PROMPTS[kind],
+        doc_to_visual=lambda d: [d.get("video", d.get("video_name", ""))],
+        process_results=_res,
+        dataset_path=dataset_path,
+        gen_kwargs={"max_new_tokens": 64 if kind == "short" else 256,
+                    "temperature": 0.0},
+        metric_names=(),
+        aggregate_extra=_agg,
+        synthetic_docs=lambda n: [{
+            "caption": f"a person assembles device {i} on a wooden desk "
+                       "while the camera pans slowly",
+            "video_name": f"v{i}", "video": _synth_video(i)}
+            for i in range(n)])

@@ -404,3 +404,19 @@ def test_ext4_registry():
     for name in ("av_odyssey", "vinoground", "openhermes", "funqa",
                  "live_bench", "ferret"):
         assert name in TASK_REGISTRY, name
+
+
+def test_vdc_offline_caption_scores():
+    from msd_tpu.harness.tasks_ext4 import make_vdc
+    t = make_vdc("detailed")
+    docs = t.synthetic_docs(3)
+    rows = [t.process_results(d, [d["caption"]]) for d in docs]
+    agg = t.aggregate_extra(rows)
+    assert agg["coco_Bleu_4"] > 0.99
+    assert "accuracy" not in agg   # judge-only metric stays absent offline
+    from msd_tpu.harness.registry import TASK_REGISTRY
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    register_builtin_tasks()
+    for kind in ("detailed", "camera", "background", "main_object",
+                 "short"):
+        assert f"vdc_{kind}_test" in TASK_REGISTRY
