@@ -1124,6 +1124,8 @@ def register_builtin_tasks(dataset_root: Optional[str] = None) -> None:
     register_audio_tasks(p)
     from msd_tpu.harness.tasks_ext4 import register_ext4_tasks
     register_ext4_tasks(p)
+    from msd_tpu.harness.tasks_mmsearch import register_mmsearch_tasks
+    register_mmsearch_tasks(p)
     register_task("gsm8k", make_gsm8k(p("GSM8K")))
     register_task("arc_easy", make_text_ppl_choice("arc_easy", p("ARC-Easy")))
     register_task("arc_challenge",

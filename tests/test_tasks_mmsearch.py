@@ -1,0 +1,133 @@
+"""MMSearch task family: rerank rek_score, summarization/end2end F1,
+requery BLEU/ROUGE, and the 3-round end2end protocol
+(reference: lmms-eval/lmms_eval/tasks/mmsearch/)."""
+
+import math
+
+import pytest
+
+pytestmark = pytest.mark.quick
+
+from msd_tpu.harness.models.llava_msd import run_multi_round
+from msd_tpu.harness.instance import Instance
+from msd_tpu.harness.tasks_mmsearch import (get_f1_score,
+                                            get_requery_score,
+                                            make_mmsearch_end2end,
+                                            make_mmsearch_rerank,
+                                            make_mmsearch_summarization,
+                                            postprocess_rerank)
+
+
+def test_f1_score_reference_semantics():
+    """score/f1_score.py:26-47: normalization strips articles/punctuation;
+    empty-vs-empty agreement scores 1; disjoint scores 0."""
+    assert get_f1_score("The Eiffel Tower!", "eiffel tower") == 1.0
+    assert get_f1_score("", "") == 1.0
+    assert get_f1_score("something", "") == 0.0
+    assert get_f1_score("apple", "banana") == 0.0
+    # one-of-two overlap: p=1/2? pred 'red apple' vs gold 'green apple'
+    f1 = get_f1_score("red apple", "green apple")
+    assert abs(f1 - 0.5) < 1e-9
+
+
+def test_requery_score_components():
+    """score/req_score.py:5-23: identical strings -> BLEU-1 = ROUGE-L = 1;
+    disjoint strings get only the method1 smoothing epsilon."""
+    s = get_requery_score("iphone 16 release date", "iphone 16 release date")
+    assert abs(s["bleu"] - 1.0) < 1e-9 and abs(s["rouge_l"] - 1.0) < 1e-9
+    assert abs(s["score"] - 1.0) < 1e-9
+    d = get_requery_score("aa bb", "cc dd ee")
+    # bleu = bp * (0.1/2); bp = exp(1 - 3/2)
+    assert abs(d["bleu"] - math.exp(1 - 1.5) * 0.05) < 1e-9
+    assert d["rouge_l"] == 0.0
+
+
+def test_postprocess_rerank_parse_and_fallback():
+    """utils/prompt_utils.py:70-92: 1-based text -> 0-based index; wrong
+    counts fall back to [0..n) and are invalid."""
+    assert postprocess_rerank("<Website 3>", 1) == ([2], True)
+    assert postprocess_rerank("I pick <Website 1>, <Website 2>", 1) \
+        == ([0], False)
+    assert postprocess_rerank("no tags here", 1) == ([0], False)
+
+
+def test_rerank_task_scoring():
+    """lmms_eval_utils.py:394-430: 1 for valid, 0.5 for not_sure, 0 else;
+    unparseable output scores 0 even if the fallback index is valid."""
+    t = make_mmsearch_rerank()
+    docs = t.synthetic_docs(8)
+    d = docs[3]
+    good = d["valid"][0] + 1
+    near = d["not_sure"][0] + 1
+    bad = d["invalid"][0] + 1
+    assert t.process_results(d, [f"<Website {good}>"])["rek_score"] == 1.0
+    assert t.process_results(d, [f"<Website {near}>"])["rek_score"] == 0.5
+    assert t.process_results(d, [f"<Website {bad}>"])["rek_score"] == 0.0
+    assert t.process_results(d, ["Website one"])["rek_score"] == 0.0
+    # prompt carries all 8 briefs + the bracketed-output instruction
+    txt = t.doc_to_text(d)
+    assert "Website 8 Title:" in txt and "<Website Index>" in txt
+    assert len(t.doc_to_visual(d)) == 8
+
+
+def test_summarization_task_alternatives_and_prompt():
+    """lmms_eval_utils.py:338-364: best F1 over gt + alternatives."""
+    t = make_mmsearch_summarization()
+    d = t.synthetic_docs(3)[1]
+    assert t.process_results(d, [d["gt_answer"]])[
+        "summarization_f1_score"] == 1.0
+    assert t.process_results(d, [d["alternative_gt_answers"][0]])[
+        "summarization_f1_score"] == 1.0
+    txt = t.doc_to_text(d)
+    assert "invalid question" in txt and d["website_title"] in txt
+
+
+def test_end2end_three_round_protocol():
+    """lmms_eval_utils.py:40-162 via the shared run_multi_round driver:
+    requery -> rerank -> answer, terminal at round 3."""
+    t = make_mmsearch_end2end()
+    d = t.synthetic_docs(2)[0]
+    calls = []
+
+    hit = sum(ord(c) for c in d["query"]) % 8  # _doc_briefs stub plant
+
+    def fake_generate(context, visuals, gen_kwargs):
+        calls.append(context)
+        if "Query to the search engine" in context:
+            return d["gt_requery"]
+        if "<Website Index>" in context:
+            return f"<Website {hit + 1}>"
+        return d["gt_answer"]
+
+    req = Instance(request_type="generate_until_multi_round", doc=d,
+                   arguments=("ctx", dict(t.gen_kwargs), t.doc_to_visual,
+                              t.doc_to_text, 0, t.name, t.split),
+                   idx=0, task_name=t.name, doc_id=0)
+    # round 1 context comes from doc_to_text(doc) like single-round tasks
+    req.arguments = (t.doc_to_text(d),) + req.arguments[1:]
+    rr = run_multi_round(fake_generate, [req])[0]
+    assert len(rr) == 3 and rr[0] == d["gt_requery"]
+    assert rr[2] == d["gt_answer"]
+    res = t.process_results(d, [rr])
+    assert res["end2end_f1_score"] == 1.0
+    assert res["requery_score"] == 1.0
+    # the stub retriever plants the gt answer in exactly one brief
+    assert any(d["gt_answer"] in c for c in calls[2:])
+
+
+def test_end2end_scores_degrade_gracefully():
+    t = make_mmsearch_end2end()
+    d = t.synthetic_docs(2)[1]
+    res = t.process_results(d, [["totally different words", "<Website 9>",
+                                 "wrong answer"]])
+    assert res["end2end_f1_score"] == 0.0
+    assert 0.0 <= res["requery_score"] < 0.5
+
+
+def test_registered():
+    from msd_tpu.harness.tasks import register_builtin_tasks
+    from msd_tpu.harness.registry import get_task
+    register_builtin_tasks()
+    for name in ("mmsearch_rerank", "mmsearch_summarization",
+                 "mmsearch_end2end"):
+        assert get_task(name) is not None
