@@ -108,6 +108,17 @@ class MSDGenerator:
         self.params = dict(self.params)
         self.params["calib"] = tables
 
+    @property
+    def max_prompt_tokens(self) -> int:
+        """Longest raw (pre image-expansion) prompt generate() /
+        naive_generate() accept under the compiled engine budget — the
+        _pad limit minus the image-expansion overhead. Adapters use this
+        to truncate oversized eval prompts instead of crashing."""
+        limit = (self.eng.max_seq_len - self.eng.tree.num_nodes
+                 - self.eng.tree.max_path_len - 2)
+        exp = max(self.n_img - 1, 0) if self.image_mode == "expand" else 0
+        return limit - 1 - exp
+
     def _pad(self, ids: np.ndarray) -> np.ndarray:
         m = self.eng.prompt_pad_multiple
         p = ((len(ids) + m - 1) // m) * m

@@ -254,6 +254,19 @@ class LlavaMSD:
         with_image = bool(visuals) and self.gen.n_img > 0
         prompt = build_msd_prompt(context, with_image=with_image)
         ids = tokenizer_image_token(prompt, self.tokenizer)
+        cap = self.gen.max_prompt_tokens
+        if len(ids) > cap:
+            # Middle-truncate rather than crash (the engine budget is a
+            # compile-time constant): keep the system+<image> head and the
+            # question/answer-cue tail, like HF tokenizer truncation in the
+            # reference eval stack.
+            from msd_tpu.configs import IMAGE_TOKEN_INDEX
+            img = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
+            head = min((int(img[0]) + 9) if len(img) else cap // 2, cap // 2)
+            ids = np.concatenate([ids[:head], ids[-(cap - head):]])
+            import sys
+            print(f"WARNING: prompt truncated to {cap} tokens "
+                  "(engine budget)", file=sys.stderr)
         feats = None
         if with_image:
             px = process_image(self._as_image(visuals[0]),

@@ -45,7 +45,13 @@ from msd_tpu.harness.task_utils.captioning import rouge_l
 
 BRIEF_RESULT_NUM = 8   # lmms_eval_utils.py:36
 FULLPAGE_NUM = 1       # lmms_eval_utils.py:37
-IMG = "<image>"
+# The reference embeds a literal <image> per screenshot in the prompt text
+# (prompt_utils.py:18). This harness's convention (muirbench, mirb, ...)
+# keeps image placeholders OUT of doc_to_text — screenshots ride
+# doc_to_visual and the single-image LLaVA adapter consumes visuals[0]
+# while interleave-capable adapters may consume all — so the text carries a
+# plain label instead of an expanding token.
+IMG = "[screenshot]"
 
 
 # ---------------------------------------------------------------------------
