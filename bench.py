@@ -163,6 +163,61 @@ def load_draft_cache(path: str):
         return None
 
 
+def save_records_cache(path: str, recs: list, round_idx: int,
+                       trajs) -> None:
+    """Persist one round's collected records (engine hiddens) + committed
+    trajectories. A run that dies AFTER collection but BEFORE its train
+    round finishes can then resume the SAME round without re-paying the
+    collection (~290-1100s on the chip, round-4 VERDICT weak #2). The file
+    is overwritten every round; staleness is detected by meta['round']."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"__meta__": np.frombuffer(
+        json.dumps({"round": round_idx}).encode(), dtype=np.uint8)}
+    for i, rec in enumerate(recs):
+        for k, v in rec.items():
+            payload[f"r{i}/{k}"] = np.asarray(v)
+    if trajs is not None:
+        for i, t in enumerate(trajs):
+            payload[f"__traj__/{i}"] = np.asarray(t, np.int32)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_records_cache(path: str, expect_round: int):
+    """-> (recs list, trajs list) if the cache holds records collected for
+    exactly ``expect_round`` (i.e. the previous run died mid-training of
+    that round), else None."""
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if int(meta.get("round", -1)) != expect_round:
+            return None
+        recs: dict = {}
+        trajs: dict = {}
+        for k in z.files:
+            if k == "__meta__":
+                continue
+            if k.startswith("__traj__/"):
+                trajs[int(k.split("/")[1])] = z[k]
+                continue
+            i, name = k.split("/", 1)
+            recs.setdefault(int(i[1:]), {})[name] = z[k]
+        rec_list = []
+        for i in sorted(recs):
+            r = recs[i]
+            if "attn_len" in r:
+                r["attn_len"] = np.int32(r["attn_len"])
+            rec_list.append(r)
+        traj_list = [trajs[i] for i in sorted(trajs)] if trajs else None
+        return rec_list, traj_list
+    except Exception as e:
+        log(f"WARNING: records cache {path} unreadable ({e!r}); ignoring")
+        return None
+
+
 def draft_cache_key(args) -> str:
     """Distillation is deterministic in these inputs (PRNG seeds are fixed),
     so the cache key is a hash of everything that shapes the trained draft."""
@@ -212,11 +267,12 @@ def main():
                          "less and less)")
     ap.add_argument("--distill-prompts", type=int, default=8)
     ap.add_argument("--distill-resume", action="store_true",
-                    help="on a draft-cache hit with rounds_done < "
-                         "--distill-iters, continue the remaining "
-                         "record->train rounds instead of measuring the "
-                         "cached draft as-is (each round costs 400-1100s "
-                         "on the chip)")
+                    help="DEPRECATED no-op: an incomplete draft cache "
+                         "(rounds_done < --distill-iters or meta truncated) "
+                         "now ALWAYS auto-resumes the remaining rounds "
+                         "within budget — the round-4 driver run cached a "
+                         "1-of-5-rounds draft and the old opt-in default "
+                         "locked its alpha ~1.9 in forever")
     ap.add_argument("--draft-mode", default="medusa",
                     choices=["eagle", "medusa"],
                     help="medusa: per-depth resblock heads over the depth-1 "
@@ -382,6 +438,23 @@ def main():
                          "disables. Distillation is deterministic in the "
                          "hashed args, so a warm run reproduces the cold "
                          "run's draft exactly")
+    ap.add_argument("--heldout-prompts", type=int, default=4,
+                    help="extra prompts NEVER seen by the distiller, timed "
+                         "after the main phase (AR vs MSD, plus a null-"
+                         "draft canonical identity check). Separates "
+                         "memorized on-trajectory alpha from what the "
+                         "draft earns on unseen inputs "
+                         "(measured_*_heldout in the JSON). 0 disables")
+    ap.add_argument("--temp-probe", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="also measure sampled decoding (temperature>0: "
+                         "evaluate_sampling acceptance, the T=1 half of "
+                         "the reference's published tables) on the first "
+                         "prompts: reports sampled alpha + ms/step and an "
+                         "estimated speedup against the greedy AR "
+                         "step cost. auto = run if the budget allows")
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="temperature for --temp-probe")
     ap.add_argument("--use-calibration", default="auto",
                     choices=["auto", "on", "off"],
                     help="measure the GroupedIsotonicCalibrator end-to-end "
@@ -578,6 +651,12 @@ def main():
         return q
 
     prompts = [ids] + [mk_prompt() for _ in range(args.distill_prompts - 1)]
+    # held-out prompts are drawn AFTER the distillation prompts from the
+    # same stream: the distill set (and hence the cached draft) is unchanged
+    # by --heldout-prompts, and the held-out set never enters
+    # collect_records()
+    heldout_prompts = [mk_prompt() for _ in range(max(args.heldout_prompts,
+                                                      0))]
 
     # ---- AR baseline ----
     # share_prefill: the AR loop consumes the SAME compiled prefill program
@@ -842,22 +921,25 @@ def main():
                 distilled_ok = True
                 draft_ckpt_hit = True
                 log(f"distilled draft loaded from {ck_path} "
-                    f"(rounds_done={it0}/{iters})")
-                if not args.distill_resume:
-                    # The cached draft IS the measured artifact: resuming
-                    # the remaining record->train rounds costs 400-1100s
-                    # per round (r4 run3: ONE record collection hit the
-                    # axon recompile duty cycle and took 1069s, starving
-                    # the calibration + noise phases). Opt in with
-                    # --distill-resume when chasing a higher alpha.
-                    if it0 < iters:
-                        log(f"draft cache hit: skipping distill rounds "
-                            f"{it0}..{iters - 1} (pass --distill-resume "
-                            "to continue training)")
-                    it0 = iters
+                    f"(rounds_done={it0}/{iters}, "
+                    f"truncated={ck_meta.get('truncated')})")
+                # NEVER lock in an incomplete draft. Round 4's driver run
+                # could only afford 1 of 5 rounds, cached that draft (meta
+                # truncated: true), and the old opt-in resume would have
+                # measured its alpha ~1.9 on every later run — permanently
+                # (round-4 VERDICT weak #1). A complete cache
+                # (rounds_done >= iters) IS the measured artifact and is
+                # used as-is; an incomplete one auto-resumes the remaining
+                # record->train rounds within budget, and each round is
+                # re-persisted, so successive driver runs CONVERGE on the
+                # fully-trained draft (run N resumes at round N).
+                if it0 < iters:
+                    log(f"draft cache is incomplete: auto-resuming distill "
+                        f"rounds {it0}..{iters - 1} within budget")
 
             s_per_step = 0.5       # updated from the first train round
             rec_cost = 290.0       # first collection includes the MSD compile
+            rx_path = (ck_path + ".recs.npz") if ck_path else None
             for it in range(it0, iters):
                 if not budget.allow(rec_cost + 50 * s_per_step + 20.0,
                                     reserve_s()):
@@ -866,9 +948,27 @@ def main():
                         f"(remaining {budget.remaining():.0f}s, reserve "
                         f"{reserve_s():.0f}s)")
                     break
-                t_r = time.time()
-                recs, rec_trajs = collect_records()
-                rec_cost = time.time() - t_r
+                # first resumed round: if the previous run died after
+                # collecting round-it records but before finishing its
+                # training, reuse them instead of re-collecting (the draft
+                # in ck_path is exactly the one they were collected with)
+                # (round 0's collecting draft is the deterministic seed
+                # init, so its records are reusable even with no draft
+                # cache — covers a run killed mid-round-0-training)
+                cached_recs = (load_records_cache(rx_path, it)
+                               if (rx_path and it == it0
+                                   and (draft_ckpt_hit or it == 0))
+                               else None)
+                if cached_recs is not None:
+                    recs, rec_trajs = cached_recs
+                    log(f"round {it}: {len(recs)} records reused from "
+                        f"{rx_path} (collection skipped)")
+                else:
+                    t_r = time.time()
+                    recs, rec_trajs = collect_records()
+                    rec_cost = time.time() - t_r
+                    if rx_path:
+                        save_records_cache(rx_path, recs, it, rec_trajs)
                 steps_aff = int((budget.remaining() - reserve_s() - 20.0)
                                 / s_per_step)
                 steps_run = min(steps_it[it], max(steps_aff, 0))
@@ -1176,6 +1276,87 @@ def main():
                 raise
             log(f"WARNING: calibration phase failed ({e!r}); continuing")
 
+    # (a2) held-out prompts: the timed phase above runs the SAME prompts the
+    # draft was distilled on (on-trajectory alpha — with real checkpoints
+    # the published draft heads play that role). These prompts were never
+    # seen by the distiller, so their alpha/speedup is what the draft EARNS
+    # on unseen inputs (round-4 VERDICT item 4). Same compiled programs
+    # (identical shapes) — no extra compile cost, ~20s per prompt warm.
+    heldout_info = None
+    if heldout_prompts:
+        ar_p = min(ar_times)
+        h_rep = min(args.repeats, 2)
+        h_cost = len(heldout_prompts) * (h_rep * (ar_p + max(ar_p, 2.0))
+                                         + ar_p * 1.9) + 20.0
+        if budget.allow(h_cost, 75.0):
+            try:
+                h_feats = feats  # mk_prompt always carries the image token
+                h_ar = h_msd = 0.0
+                h_steps = h_tokens = 0
+                h_canon, h_n = [], []
+                h_toks = []
+                for q in heldout_prompts:
+                    best = float("inf")
+                    for _ in range(h_rep):
+                        t0 = time.time()
+                        r_h = gen.naive_generate(q, img_feats=h_feats,
+                                                 max_new_tokens=args.max_new,
+                                                 **ar_kw)
+                        best = min(best, time.time() - t0)
+                    h_ar += best
+                    best = float("inf")
+                    for _ in range(h_rep):
+                        t0 = time.time()
+                        m_h = gen.generate(q, img_feats=h_feats,
+                                           max_new_tokens=args.max_new,
+                                           **msd_kw)
+                        best = min(best, time.time() - t0)
+                    h_msd += best
+                    h_steps += m_h.accept_steps
+                    h_tokens += m_h.accept_len_sum
+                    h_toks.append(np.asarray(m_h.tokens))
+                    h_n.append(len(m_h.tokens))
+                # null-draft canonical identity on the held-out set: the
+                # committed greedy trajectory must be draft-invariant on
+                # prompts the draft never trained on, too
+                if (args.canonical_check and args.canonical_attn
+                        and canon_div is not None):
+                    saved_params = gen.params
+                    gen.params = dict(gen.params)
+                    gen.params["draft"] = dp_null
+                    for qi, q in enumerate(heldout_prompts):
+                        c = gen.generate(q, img_feats=h_feats,
+                                         max_new_tokens=args.max_new,
+                                         **msd_kw)
+                        a, b = h_toks[qi], np.asarray(c.tokens)
+                        nn = min(len(a), len(b))
+                        h_canon.append(
+                            nn if np.array_equal(a[:nn], b[:nn])
+                            else int(np.argmax(a[:nn] != b[:nn])))
+                    gen.params = saved_params
+                h_alpha = h_tokens / max(h_steps, 1)
+                heldout_info = {
+                    "n_prompts": len(heldout_prompts),
+                    "ar_total_s": round(h_ar, 3),
+                    "msd_total_s": round(h_msd, 3),
+                    "speedup": round(h_ar / max(h_msd, 1e-9), 3),
+                    "alpha": round(h_alpha, 3),
+                    "lossless_vs_canonical_ar_tokens": h_canon or None,
+                    "n_tokens": h_n,
+                }
+                log(f"HELD-OUT ({len(heldout_prompts)} unseen prompts): "
+                    f"alpha {h_alpha:.3f}, AR {h_ar:.2f}s vs MSD "
+                    f"{h_msd:.2f}s -> {h_ar / max(h_msd, 1e-9):.3f}x "
+                    f"(canonical match {h_canon})")
+            except Exception as e:
+                if ("UNAVAILABLE" in str(e)
+                        or "worker process crashed" in str(e)):
+                    raise
+                log(f"WARNING: held-out phase failed ({e!r}); continuing")
+        else:
+            log(f"budget: skipping held-out phase (cost ~{h_cost:.0f}s, "
+                f"remaining {budget.remaining():.0f}s)")
+
     # (b) cross-program AR noise: two PURE-AR programs at different compiled
     # shapes bound what any cross-program token identity can promise
     ar_noise_tokens = None
@@ -1232,6 +1413,61 @@ def main():
             if "UNAVAILABLE" in str(e) or "worker process crashed" in str(e):
                 raise
             log(f"WARNING: pallas-AR probe failed ({e!r}); continuing")
+    # (d) temperature>0 probe: evaluate_sampling acceptance on chip (the
+    # T=1 half of the reference's published tables, figs/result1/2.png).
+    # The sampled verify is a DIFFERENT executable (stochastic
+    # accept/resample scan instead of argmax), so this costs one compile
+    # when cold; the persistent jax_cache makes driver reruns warm. The
+    # greedy AR step cost is the denominator (sampled AR differs only by
+    # one [V] sampling op per step), reported as an estimate.
+    sampling_info = None
+    if args.temp_probe == "on" or (
+            args.temp_probe == "auto" and budget.allow(330.0, 80.0)):
+        try:
+            t_tp = time.time()
+            sp_t = SamplingParams(
+                temperature=args.temperature,
+                greedy_round_bits=args.greedy_round_bits)
+            n_tp = min(2, len(prompts))
+            s_steps = s_tokens = 0
+            s_total = 0.0
+            for pi in range(n_tp):
+                best = float("inf")
+                for rep in range(max(args.repeats - 1, 1)):
+                    t0 = time.time()
+                    m_s = gen.generate(prompts[pi],
+                                       img_feats=p_feats_all[pi],
+                                       max_new_tokens=args.max_new,
+                                       sp=sp_t, seed=17 + pi, **msd_kw)
+                    best = min(best, time.time() - t0)
+                s_total += best
+                s_steps += m_s.accept_steps
+                s_tokens += m_s.accept_len_sum
+            alpha_s = s_tokens / max(s_steps, 1)
+            t_step_s = s_total / max(s_steps, 1)
+            sampling_info = {
+                "temperature": args.temperature,
+                "alpha_sampled": round(alpha_s, 3),
+                "msd_ms_per_step": round(t_step_s * 1e3, 3),
+                "speedup_estimate": round(
+                    alpha_s * t_ar / max(t_step_s, 1e-9), 3),
+                "note": "denominator = greedy AR ms/tok (sampled AR adds "
+                        "only a per-step [V] sampling op); "
+                        "distribution preservation is pinned by "
+                        "tests/test_spec_engine.py::test_speculative_"
+                        "sampling_preserves_distribution",
+                "n_prompts": n_tp,
+                "phase_s": round(time.time() - t_tp, 1),
+            }
+            log(f"T={args.temperature} sampled MSD: alpha {alpha_s:.3f}, "
+                f"{t_step_s * 1e3:.2f} ms/step -> est. "
+                f"{alpha_s * t_ar / max(t_step_s, 1e-9):.2f}x "
+                f"(phase {time.time() - t_tp:.1f}s)")
+        except Exception as e:
+            if "UNAVAILABLE" in str(e) or "worker process crashed" in str(e):
+                raise
+            log(f"WARNING: temperature probe failed ({e!r}); continuing")
+
     tie_gap = None
     if div_info[0] < n_cmp:
         # diagnose: at the first divergence, how far apart are the two
@@ -1340,6 +1576,12 @@ def main():
             "draft_ckpt_hit": draft_ckpt_hit,
             "budget_s": args.budget_s,
             "budget_spent_s": round(budget.spent(), 1),
+            "heldout": heldout_info,
+            "measured_speedup_heldout": (heldout_info["speedup"]
+                                         if heldout_info else None),
+            "measured_alpha_heldout": (heldout_info["alpha"]
+                                       if heldout_info else None),
+            "sampling": sampling_info,
             "calibration": calib_info,
             "pallas_ar_probe": pallas_info,
             "ar_impl": ("windowed-canonical" if args.canonical_ar

@@ -263,7 +263,18 @@ class LlavaMSD:
             from msd_tpu.configs import IMAGE_TOKEN_INDEX
             img = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
             head = min((int(img[0]) + 9) if len(img) else cap // 2, cap // 2)
-            ids = np.concatenate([ids[:head], ids[-(cap - head):]])
+            if len(img):
+                # the <image> token MUST survive truncation (fusion would
+                # otherwise see a token/feature mismatch): grow the head
+                # past a mid-prompt image token, and drop any stray later
+                # image tokens from the tail (a context embedding a literal
+                # '<image>') so exactly one remains
+                head = min(max(head, int(img[0]) + 1), cap - 1)
+                tail_src = ids[head:]
+                tail_src = tail_src[tail_src != IMAGE_TOKEN_INDEX]
+                ids = np.concatenate([ids[:head], tail_src[-(cap - head):]])
+            else:
+                ids = np.concatenate([ids[:head], ids[-(cap - head):]])
             import sys
             print(f"WARNING: prompt truncated to {cap} tokens "
                   "(engine budget)", file=sys.stderr)

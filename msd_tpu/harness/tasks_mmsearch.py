@@ -41,8 +41,6 @@ import numpy as np
 
 from msd_tpu.harness.tasks import TaskConfig, _synth_image
 from msd_tpu.harness.registry import register_task
-from msd_tpu.harness.task_utils.captioning import rouge_l
-
 BRIEF_RESULT_NUM = 8   # lmms_eval_utils.py:36
 FULLPAGE_NUM = 1       # lmms_eval_utils.py:37
 # The reference embeds a literal <image> per screenshot in the prompt text
@@ -97,22 +95,85 @@ def _bleu1_smoothed(pred: str, gt: str) -> float:
     return bp * p1
 
 
+def _lcs_word_set(ref: List[str], hyp: List[str]) -> set:
+    """Unique words on the standard LCS backtrack between two token lists
+    (up-move preferred on ties, matching the `rouge` package's _recon_lcs
+    so rare same-length-different-words backtracks agree)."""
+    n, m = len(ref), len(hyp)
+    t = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        ri = ref[i - 1]
+        ti, tp = t[i], t[i - 1]
+        for j in range(1, m + 1):
+            ti[j] = (tp[j - 1] + 1 if ri == hyp[j - 1]
+                     else (tp[j] if tp[j] > ti[j - 1] else ti[j - 1]))
+    out: set = set()
+    i, j = n, m
+    while i and j:
+        if ref[i - 1] == hyp[j - 1]:
+            out.add(ref[i - 1])
+            i -= 1
+            j -= 1
+        elif t[i - 1][j] > t[i][j - 1]:
+            i -= 1
+        else:
+            j -= 1
+    return out
+
+
+def rouge_l_raw(pred: str, gt: str) -> float:
+    """ROUGE-L summary-level f-score with the `rouge` pip package's exact
+    semantics (the package req_score.py:15-17 instantiates): sentences split
+    on '.', RAW whitespace tokens (case- and punctuation-SENSITIVE — unlike
+    the casefolded corpus ROUGE-L in task_utils/captioning.py), exclusive
+    (unique-word) counting, union-LCS across sentences, and the package's
+    f = 2pr/(p+r+1e-8). Verified token-for-token against `rouge.Rouge` in
+    tests/test_mmsearch.py. Empty either side scores 0.0 (the package
+    raises ValueError; the reference never feeds it empties)."""
+    hyp_sents = [" ".join(seg.split()) for seg in str(pred).split(".")
+                 if len(seg) > 0]
+    ref_sents = [" ".join(seg.split()) for seg in str(gt).split(".")
+                 if len(seg) > 0]
+    if not hyp_sents or not ref_sents:
+        return 0.0
+    hyp_words = [s.split(" ") for s in hyp_sents]
+    m = len({w for s in ref_sents for w in s.split(" ")})
+    n = len({w for s in hyp_words for w in s})
+    union: set = set()
+    llcs = 0
+    for ref_s in ref_sents:
+        rw = ref_s.split(" ")
+        cur: set = set()
+        for hw in hyp_words:
+            cur |= _lcs_word_set(rw, hw)
+        llcs += len(union | cur) - len(union)
+        union |= cur
+    r = llcs / m
+    p = llcs / n
+    return 2.0 * p * r / (p + r + 1e-8)
+
+
 def get_requery_score(prediction: str, gt: str) -> Dict[str, float]:
-    """(BLEU-1 + ROUGE-L f) / 2 (score/req_score.py:5-23)."""
+    """(BLEU-1 + ROUGE-L f) / 2 (score/req_score.py:5-23). ROUGE-L is the
+    `rouge` package's raw-token summary-level score (see rouge_l_raw) —
+    round-4 ADVICE: the captioning tokenizer's casefolded whole-string LCS
+    inflated requery_score (e.g. 'iPhone 16 release date' vs 'iphone 16
+    release date?' scored 1.0 instead of the reference's 0.5)."""
     bleu = _bleu1_smoothed(prediction, gt)
-    rl = rouge_l([str(prediction)], [[str(gt)]], beta=1.0)
+    rl = rouge_l_raw(prediction, gt)
     return {"bleu": bleu, "rouge_l": rl, "score": (bleu + rl) / 2}
 
 
 def postprocess_rerank(rerank: str, rerank_num: int = FULLPAGE_NUM):
     """Parse ``<Website N>`` picks, 1-based in text, 0-based out
-    (utils/prompt_utils.py:70-92). Wrong-count parses fall back to
-    [0..rerank_num) and are marked invalid."""
+    (utils/prompt_utils.py:70-92). Over-count parses truncate; a PARTIAL
+    parse (0 < len < rerank_num) keeps the parsed indices; only a zero
+    parse substitutes [0..rerank_num). All three are marked invalid."""
     idx = [int(x) - 1 for x in re.findall(r"<Website (\d+)>", str(rerank))]
     if len(idx) > rerank_num:
         return idx[:rerank_num], False
     if len(idx) < rerank_num:
-        return list(range(rerank_num)), False
+        return (idx if idx else list(range(rerank_num))), False
     return idx, True
 
 
@@ -218,8 +279,11 @@ def make_mmsearch_rerank(dataset_path=None) -> TaskConfig:
     185-211 (prompt), 299-318 + 394-430 (rek_score)."""
     def _text(doc):
         briefs = _doc_briefs(doc)
+        # len(briefs), not the constant: a doc carrying fewer than 8
+        # websites must not have its prompt overstate the count (the
+        # end2end round-2 path already does this)
         return _STAGE2.format(
-            brief_result_num=BRIEF_RESULT_NUM, rerank_num=FULLPAGE_NUM,
+            brief_result_num=len(briefs), rerank_num=FULLPAGE_NUM,
             question=str(doc["query"]),
             website_information=_website_information(briefs),
             incontext_example=_rerank_incontext(FULLPAGE_NUM))

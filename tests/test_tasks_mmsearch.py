@@ -31,24 +31,63 @@ def test_f1_score_reference_semantics():
 
 
 def test_requery_score_components():
-    """score/req_score.py:5-23: identical strings -> BLEU-1 = ROUGE-L = 1;
-    disjoint strings get only the method1 smoothing epsilon."""
+    """score/req_score.py:5-23: identical strings -> BLEU-1 = 1, ROUGE-L =
+    the rouge package's 2pr/(p+r+1e-8) (0.999999995 at p=r=1); disjoint
+    strings get only the method1 smoothing epsilon."""
     s = get_requery_score("iphone 16 release date", "iphone 16 release date")
-    assert abs(s["bleu"] - 1.0) < 1e-9 and abs(s["rouge_l"] - 1.0) < 1e-9
-    assert abs(s["score"] - 1.0) < 1e-9
+    assert abs(s["bleu"] - 1.0) < 1e-9 and abs(s["rouge_l"] - 1.0) < 1e-7
+    assert abs(s["score"] - 1.0) < 1e-7
     d = get_requery_score("aa bb", "cc dd ee")
     # bleu = bp * (0.1/2); bp = exp(1 - 3/2)
     assert abs(d["bleu"] - math.exp(1 - 1.5) * 0.05) < 1e-9
     assert d["rouge_l"] == 0.0
 
 
+def test_requery_rouge_is_case_and_punct_sensitive():
+    """Round-4 ADVICE (medium): the reference's rouge package scores raw
+    tokens — 'iPhone 16 release date' vs 'iphone 16 release date?' is
+    f=0.5, not the 1.0 a casefolded/punct-stripped tokenizer gives."""
+    s = get_requery_score("iPhone 16 release date",
+                          "iphone 16 release date?")
+    assert abs(s["rouge_l"] - 0.5) < 1e-7
+
+
+def test_requery_rouge_matches_rouge_package():
+    """rouge_l_raw reimplements `rouge.Rouge` (sentence split on '.',
+    exclusive unique-word union-LCS): verify value-for-value against the
+    real package on representative pairs, including sentence splits,
+    repeated tokens and empty-segment edge cases."""
+    rouge_pkg = pytest.importorskip("rouge")
+    from msd_tpu.harness.tasks_mmsearch import rouge_l_raw
+    R = rouge_pkg.Rouge(metrics=["rouge-l"])
+    pairs = [
+        ("iPhone 16 release date", "iphone 16 release date?"),
+        ("when was the Eiffel tower built", "Eiffel tower build year"),
+        ("a b. c d", "a b c d"),
+        ("a a b b", "a b a b"),
+        ("one two three. four five", "four five. one two six"),
+        ("word", "word"),
+        ("x . y", "x. y."),
+        ("the quick brown fox", "quick brown fox jumps over"),
+    ]
+    for pred, gt in pairs:
+        want = R.get_scores(pred, gt)[0]["rouge-l"]["f"]
+        got = rouge_l_raw(pred, gt)
+        assert abs(got - want) < 1e-9, (pred, gt, got, want)
+
+
 def test_postprocess_rerank_parse_and_fallback():
-    """utils/prompt_utils.py:70-92: 1-based text -> 0-based index; wrong
-    counts fall back to [0..n) and are invalid."""
+    """utils/prompt_utils.py:70-92: 1-based text -> 0-based index;
+    over-counts truncate, zero parses fall back to [0..n), and PARTIAL
+    parses keep the parsed indices — all marked invalid."""
     assert postprocess_rerank("<Website 3>", 1) == ([2], True)
     assert postprocess_rerank("I pick <Website 1>, <Website 2>", 1) \
         == ([0], False)
     assert postprocess_rerank("no tags here", 1) == ([0], False)
+    # partial parse at rerank_num=2 keeps the parsed index (reference
+    # substitutes range() only when NOTHING parses)
+    assert postprocess_rerank("<Website 3>", 2) == ([2], False)
+    assert postprocess_rerank("nothing", 2) == ([0, 1], False)
 
 
 def test_rerank_task_scoring():
@@ -110,7 +149,8 @@ def test_end2end_three_round_protocol():
     assert rr[2] == d["gt_answer"]
     res = t.process_results(d, [rr])
     assert res["end2end_f1_score"] == 1.0
-    assert res["requery_score"] == 1.0
+    # rouge package f = 2pr/(p+r+1e-8): exact match is 0.999999995, not 1
+    assert abs(res["requery_score"] - 1.0) < 1e-7
     # the stub retriever plants the gt answer in exactly one brief
     assert any(d["gt_answer"] in c for c in calls[2:])
 

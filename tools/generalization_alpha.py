@@ -200,10 +200,11 @@ def main():
                            sp=sp)
 
     # ---- 3) measure alpha on distill vs held-out prompts -------------------
-    def alpha_over(prompts, label):
+    def alpha_over(prompts, label, use_calibration=False):
         steps = toks = 0
         for p_ids in prompts:
-            m = gen.generate(p_ids, max_new_tokens=args.max_new)
+            m = gen.generate(p_ids, max_new_tokens=args.max_new,
+                             use_calibration=use_calibration)
             a = gen.naive_generate(p_ids, max_new_tokens=args.max_new)
             n = min(len(m.tokens), len(a.tokens))
             assert np.array_equal(m.tokens[:n], a.tokens[:n]), \
@@ -214,12 +215,71 @@ def main():
 
     a_train = alpha_over(distill_prompts, "distill")
     a_held = alpha_over(heldout_prompts, "held-out")
+
+    # ---- 4) calibration arm (round-4 VERDICT item 3) -----------------------
+    # The reference's +0.3-0.7 alpha (figs/result2.png "+Calibrator") lives
+    # in the train-once/eval-everywhere regime: the calibrator is fitted on
+    # data the draft was trained on, then applied to UNSEEN benchmark
+    # prompts. Reproduce exactly that: collect tree-node features on the
+    # DISTILL prompts, fit GroupedIsotonicCalibrator, and measure held-out
+    # alpha with the calibrated rerank vs without. Committed greedy tokens
+    # stay lossless either way (acceptance is target-decided; asserted).
+    a_train_cal = a_held_cal = None
+    calib_fit_samples = 0
+    try:
+        from msd_tpu.calib.device import CalibTables
+        from msd_tpu.calib.grouped import (GroupedIsotonicCalibrator,
+                                           soft_labels_from)
+        rows = []
+        for p_ids in distill_prompts:
+            r_c = gen.generate(p_ids, max_new_tokens=args.max_new,
+                               collect_calibration=True)
+            d = r_c.calib_data
+            valid = d["valid"].astype(bool)
+            rows.append({k: v[valid] for k, v in d.items()})
+        feats_cal = {k: np.concatenate([r[k] for r in rows])
+                     for k in rows[0]}
+        soft = soft_labels_from(
+            feats_cal["base_conf"].astype(np.float64),
+            np.maximum(feats_cal["draft_conf"].astype(np.float64), 1e-6))
+        hard = feats_cal["base_top1"].astype(float)
+        fit_feats = {
+            "token_category": np.asarray(["content"] * len(soft)),
+            "avg_visual_attention_intensity": feats_cal["attn"],
+            "tree_depth": feats_cal["depth"].astype(float),
+            "draft_margin": feats_cal["margin"],
+            "draft_confidence": feats_cal["draft_conf"],
+        }
+        cal = GroupedIsotonicCalibrator(
+            min_samples_per_group=100, max_grouping_level=2,
+            target="soft").fit(fit_feats, soft, hard)
+        vc = np.zeros((cfg.vocab_size,), np.int8)
+        gen.set_calibrator(CalibTables.from_host(cal.export_tables(), vc))
+        calib_fit_samples = int(len(soft))
+        log(f"calibrator fitted on {calib_fit_samples} tree-node samples "
+            "from the distill prompts")
+        a_train_cal = alpha_over(distill_prompts, "distill+cal",
+                                 use_calibration=True)
+        a_held_cal = alpha_over(heldout_prompts, "held-out+cal",
+                                use_calibration=True)
+        log(f"calibration: distill alpha {a_train:.3f} -> {a_train_cal:.3f}"
+            f", HELD-OUT alpha {a_held:.3f} -> {a_held_cal:.3f}")
+    except Exception as e:  # keep the uncalibrated study alive
+        log(f"WARNING: calibration arm failed ({e!r})")
     out = {
         "metric": "generalization_alpha",
         "draft_mode": args.draft_mode,
         "alpha_on_distill_prompts": round(a_train, 3),
         "alpha_heldout_prompts": round(a_held, 3),
         "generalization_ratio": round(a_held / max(a_train, 1e-9), 3),
+        "alpha_on_distill_prompts_calibrated": (
+            round(a_train_cal, 3) if a_train_cal is not None else None),
+        "alpha_heldout_prompts_calibrated": (
+            round(a_held_cal, 3) if a_held_cal is not None else None),
+        "calibration_heldout_alpha_gain": (
+            round(a_held_cal - a_held, 3) if a_held_cal is not None
+            else None),
+        "calibration_fit_samples": calib_fit_samples,
         "target_next_token_agreement": round(target_agree, 3),
         "n_distill_prompts": len(distill_prompts),
         "n_heldout_prompts": len(heldout_prompts),
@@ -229,7 +289,7 @@ def main():
     }
     os.makedirs("artifacts", exist_ok=True)
     suffix = "" if args.draft_mode == "medusa" else "_eagle"
-    with open(f"artifacts/generalization_r4{suffix}.json", "w") as f:
+    with open(f"artifacts/generalization_r5{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -55,6 +55,18 @@ def main():
     ap.add_argument("--image", action="store_true", default=True)
     ap.add_argument("--no-image", dest="image", action="store_false")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--draft-ckpt", default="",
+                    help="bench draft-cache npz: serve the TRAINED draft "
+                         "(bench.py save_draft_cache format) instead of "
+                         "random init; adopts the bench's 14-deep medusa "
+                         "geometry")
+    ap.add_argument("--widths", default="",
+                    help="override medusa width plan (comma list) when "
+                         "--draft-ckpt is set")
+    ap.add_argument("--head-sharpen", type=float, default=1.0,
+                    help="lm_head scale — MUST match the bench run that "
+                         "trained the draft (bench default 6.0) or the "
+                         "draft is off-policy")
     ap.add_argument("--arrival-sim", action="store_true",
                     help="timed arrival stream: static micro-batch vs "
                          "continuous batching, per-request latency")
@@ -93,20 +105,41 @@ def main():
         tcfg = LlamaConfig.tiny(vocab_size=512, hidden_size=64, layers=2,
                                 heads=4, intermediate_size=128, max_pos=2048)
         dtype = jnp.float32
-    dcfg = DraftConfig(text=tcfg, medusa_heads=7)
+    # a bench-distilled draft cache (artifacts/draft_cache/*.npz) carries
+    # 13 medusa heads for the bench's 14-deep width plan — adopt that
+    # geometry when loading one, so serving throughput reflects a TRAINED
+    # draft (alpha > 1) instead of the random-init machine-cost floor
+    ck = None
+    widths = (8, 6, 4, 3, 2, 2, 1, 1)
+    if args.draft_ckpt:
+        import bench as bench_mod
+        loaded = bench_mod.load_draft_cache(args.draft_ckpt)
+        if loaded is None:
+            raise FileNotFoundError(args.draft_ckpt)
+        ck = loaded[0]
+        n_heads = int(np.asarray(ck["medusa"]["mw"]).shape[0])
+        widths = tuple(int(x) for x in args.widths.split(",")) if \
+            args.widths else (10, 8, 6, 5, 4, 3, 2, 2, 2, 1, 1, 1, 1, 1)
+        assert len(widths) == n_heads + 1, (len(widths), n_heads)
+        dcfg = DraftConfig(text=tcfg, medusa_heads=n_heads)
+    else:
+        dcfg = DraftConfig(text=tcfg, medusa_heads=len(widths) - 1)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     tp = L.init_llama_params_stacked(k1, tcfg, dtype)
+    if args.head_sharpen != 1.0:
+        tp["lm_head"] = tp["lm_head"] * dtype(args.head_sharpen)
     dp = draft_mod.init_draft_params(k2, dcfg, dtype)
     dp["medusa"] = draft_mod.init_medusa_params(jax.random.PRNGKey(7), dcfg,
                                                 dtype)
+    if ck is not None:
+        dp = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), dtype), ck)
     dp["embed_tokens"] = tp["embed_tokens"]
 
     n_img = 576 if args.image else 0
     # the arrival sim serves heterogeneous limits up to 2x max_new
     new_budget = 2 * args.max_new if args.arrival_sim else args.max_new
     max_seq = args.prompt_tokens + n_img + new_budget + 64
-    widths = (8, 6, 4, 3, 2, 2, 1, 1)
     eng = EngineConfig(
         max_seq_len=max_seq, prompt_pad_multiple=64,
         max_new_tokens=new_budget, canonical_attn=True,
