@@ -225,6 +225,7 @@ def main():
     # alpha with the calibrated rerank vs without. Committed greedy tokens
     # stay lossless either way (acceptance is target-decided; asserted).
     a_train_cal = a_held_cal = None
+    calib_analysis = None
     calib_fit_samples = 0
     try:
         from msd_tpu.calib.device import CalibTables
@@ -250,8 +251,14 @@ def main():
             "draft_margin": feats_cal["margin"],
             "draft_confidence": feats_cal["draft_conf"],
         }
+        # level 4 (token x attn x depth x margin): the grammar target has
+        # no image, so the attention feature is constant and a level-2 fit
+        # degenerates to ONE isotonic map — a monotone transform of
+        # draft_conf that cannot change the rerank order (measured: gain
+        # exactly 0.0). Depth- and margin-grouped tables (L3/L4) are what
+        # can move candidates across each other in this regime.
         cal = GroupedIsotonicCalibrator(
-            min_samples_per_group=100, max_grouping_level=2,
+            min_samples_per_group=50, max_grouping_level=4,
             target="soft").fit(fit_feats, soft, hard)
         vc = np.zeros((cfg.vocab_size,), np.int8)
         gen.set_calibrator(CalibTables.from_host(cal.export_tables(), vc))
@@ -264,6 +271,33 @@ def main():
                                 use_calibration=True)
         log(f"calibration: distill alpha {a_train:.3f} -> {a_train_cal:.3f}"
             f", HELD-OUT alpha {a_held:.3f} -> {a_held_cal:.3f}")
+        # ---- null-analysis: did the rerank change ANY tree? ----
+        # A zero gain can mean (a) the rerank reorders candidates but never
+        # across a per-depth width cut, or (b) no headroom: acceptance is
+        # near-binary (soft labels ~0/1) so no rerank can help. Quantify
+        # both so the artifact carries the analysis, not just the null.
+        diff_nodes = 0
+        tot_nodes = 0
+        for p_ids in heldout_prompts[:3]:
+            r0 = gen.generate(p_ids, max_new_tokens=args.max_new)
+            r1 = gen.generate(p_ids, max_new_tokens=args.max_new,
+                              use_calibration=True)
+            n = min(len(r0.exp_ids), len(r1.exp_ids))
+            diff_nodes += int(np.sum(np.asarray(r0.exp_ids[:n])
+                                     != np.asarray(r1.exp_ids[:n])))
+            tot_nodes += n
+        calib_analysis = {
+            "rerank_changed_tree_nodes": diff_nodes,
+            "tree_nodes_compared": tot_nodes,
+            "soft_label_mean": round(float(np.mean(soft)), 4),
+            "soft_label_frac_above_0.99": round(
+                float(np.mean(soft > 0.99)), 4),
+            "soft_label_frac_below_0.01": round(
+                float(np.mean(soft < 0.01)), 4),
+            "draft_conf_p50": round(float(np.median(
+                feats_cal["draft_conf"])), 4),
+        }
+        log(f"calibration null-analysis: {calib_analysis}")
     except Exception as e:  # keep the uncalibrated study alive
         log(f"WARNING: calibration arm failed ({e!r})")
     out = {
@@ -280,6 +314,7 @@ def main():
             round(a_held_cal - a_held, 3) if a_held_cal is not None
             else None),
         "calibration_fit_samples": calib_fit_samples,
+        "calibration_null_analysis": calib_analysis,
         "target_next_token_agreement": round(target_agree, 3),
         "n_distill_prompts": len(distill_prompts),
         "n_heldout_prompts": len(heldout_prompts),
