@@ -279,9 +279,12 @@ def main():
         diff_nodes = 0
         tot_nodes = 0
         for p_ids in heldout_prompts[:3]:
-            r0 = gen.generate(p_ids, max_new_tokens=args.max_new)
+            # collect_hiddens populates exp_ids (the committed expanded row
+            # ids) — the tree-identity probe needs them
+            r0 = gen.generate(p_ids, max_new_tokens=args.max_new,
+                              collect_hiddens=True)
             r1 = gen.generate(p_ids, max_new_tokens=args.max_new,
-                              use_calibration=True)
+                              collect_hiddens=True, use_calibration=True)
             n = min(len(r0.exp_ids), len(r1.exp_ids))
             diff_nodes += int(np.sum(np.asarray(r0.exp_ids[:n])
                                      != np.asarray(r1.exp_ids[:n])))

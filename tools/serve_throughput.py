@@ -67,6 +67,10 @@ def main():
                     help="lm_head scale — MUST match the bench run that "
                          "trained the draft (bench default 6.0) or the "
                          "draft is off-policy")
+    ap.add_argument("--bench-prompts", action="store_true",
+                    help="use bench.py's exact prompt stream (the prompts "
+                         "a --draft-ckpt draft was distilled on) so "
+                         "serving shows real speculative alphas")
     ap.add_argument("--arrival-sim", action="store_true",
                     help="timed arrival stream: static micro-batch vs "
                          "continuous batching, per-request latency")
@@ -148,15 +152,37 @@ def main():
     gen = MSDGenerator(tp, dp, tcfg, dcfg, eng, eos_id=-1, n_img=n_img)
 
     rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.normal(size=(n_img, tcfg.hidden_size)) * 0.02,
-                        dtype) if n_img else None
-
-    def mk_prompt(i):
-        q = rng.integers(3, tcfg.vocab_size - 2,
-                         size=args.prompt_tokens).astype(np.int32)
+    if args.bench_prompts:
+        # replicate bench.py's prompt stream EXACTLY (bench.py:566-580):
+        # first prompt + feats + extras all from default_rng(0) in bench
+        # order, so a --draft-ckpt distilled draft is ON-POLICY here and
+        # serving throughput reflects real speculative alphas
+        bench_first = rng.integers(3, 31000,
+                                   size=args.prompt_tokens).astype(np.int32)
         if n_img:
-            q[1] = IMAGE_TOKEN_INDEX
-        return q
+            bench_first[1] = IMAGE_TOKEN_INDEX
+        feats = jnp.asarray(rng.normal(size=(n_img, tcfg.hidden_size)) * 0.02,
+                            dtype) if n_img else None
+        bench_pool = [bench_first]
+
+        def mk_prompt(i):
+            while len(bench_pool) <= i:
+                q = rng.integers(3, 31000,
+                                 size=args.prompt_tokens).astype(np.int32)
+                if n_img:
+                    q[1] = IMAGE_TOKEN_INDEX
+                bench_pool.append(q)
+            return bench_pool[i]
+    else:
+        feats = jnp.asarray(rng.normal(size=(n_img, tcfg.hidden_size)) * 0.02,
+                            dtype) if n_img else None
+
+        def mk_prompt(i):
+            q = rng.integers(3, tcfg.vocab_size - 2,
+                             size=args.prompt_tokens).astype(np.int32)
+            if n_img:
+                q[1] = IMAGE_TOKEN_INDEX
+            return q
 
     if args.arrival_sim:
         return arrival_sim(gen, feats, mk_prompt, args)
