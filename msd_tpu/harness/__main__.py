@@ -260,6 +260,12 @@ def _run_one(args):
         payload["msd_stats"] = out["msd_stats"]
     if "synthetic_tasks" in out:
         payload["synthetic_tasks"] = out["synthetic_tasks"]
+    # per-task comparability caveats (PARITY.md documented deviations):
+    # reported numbers carry their own "not strictly comparable" marker
+    devs = {t: v.get("scoring_deviation")
+            for t, v in out["details"].items() if v.get("scoring_deviation")}
+    if devs:
+        payload["scoring_deviations"] = devs
     if args.log_samples:
         payload["details"] = {
             t: {"samples": v["samples"]} for t, v in out["details"].items()}

@@ -81,6 +81,8 @@ def evaluate(lm, task_names: List[str], *, limit: Optional[int] = None,
             "n_docs": len(per_doc),
             "synthetic_docs": bool(getattr(task, "used_synthetic_docs",
                                            False)),
+            # per-task comparability caveat (PARITY.md deviations)
+            "scoring_deviation": getattr(task, "scoring_deviation", None),
             "duration_seconds": duration,
             "samples": [
                 {"doc_id": d,

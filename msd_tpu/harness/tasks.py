@@ -49,6 +49,11 @@ class TaskConfig:
     # optional whole-result-set aggregation (e.g. MME's acc_plus pairs):
     # receives the per-doc result dicts, returns extra aggregate metrics
     aggregate_extra: Optional[Callable[[List[Dict]], Dict[str, float]]] = None
+    # documented scoring deviation vs the reference pipeline (PARITY.md
+    # "Documented scoring deviations"): surfaced verbatim in the
+    # evaluator's per-task details so reported numbers carry their own
+    # comparability caveat (round-4 VERDICT weak #5)
+    scoring_deviation: Optional[str] = None
 
     # ------------------------------------------------------------------
     def load_docs(self, limit=None) -> List[Dict]:
