@@ -669,3 +669,21 @@ def test_videomme_end_to_end_with_video_adapter():
     res = out["results"]["videomme"]
     assert "accuracy" in res
     assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_prompt_truncation_preserves_image_token(tiny_adapter_parts):
+    """Round-4 ADVICE: middle-truncation must keep exactly ONE <image>
+    token (fusion sees a token/feature mismatch otherwise), even when the
+    context embeds a literal '<image>' that tokenizes into a second
+    image-token occurrence in the tail."""
+    from msd_tpu.configs import IMAGE_TOKEN_INDEX
+    lm = tiny_adapter_parts()
+    cap = lm.gen.max_prompt_tokens
+    # long context forcing truncation, with a literal <image> mid-text
+    ctx = ("word " * (cap * 2)) + " <image> " + ("tail " * 64) + "question?"
+    ids, feats = lm._prepare(ctx, [np.zeros((28, 28, 3), np.uint8)])
+    assert len(ids) <= cap
+    assert int(np.sum(ids == IMAGE_TOKEN_INDEX)) == 1
+    assert feats is not None
+    # the surviving image token is the PROMPT-level one (near the head)
+    assert int(np.argmax(ids == IMAGE_TOKEN_INDEX)) < cap // 2
