@@ -240,7 +240,12 @@ def draft_cache_key(args) -> str:
 
 
 
-def main():
+def build_parser() -> argparse.ArgumentParser:
+    """The bench CLI. Exposed so tests can compute draft_cache_key() on the
+    DEFAULT namespace and assert the committed warm cache (artifacts/
+    draft_cache/draft_7b_medusa_<hash>.npz) still matches — changing any
+    hash-relevant default silently orphans the committed cache and the
+    driver's run would re-distill from scratch."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=["7b", "13b", "tiny"])
     ap.add_argument("--prompt-tokens", type=int, default=64)
@@ -478,12 +483,25 @@ def main():
     ap.add_argument("--backend-wait", type=float, default=5400.0,
                     help="seconds to keep retrying backend init across "
                          "axon tunnel flaps")
-    args = ap.parse_args()
+    return ap
+
+
+def effective_args(args):
+    """Postprocess the parsed namespace the way every hash consumer sees it:
+    an explicit medusa width plan overrides tree_topk (root width) and
+    tree_depth (plan length). Shared with tests so the committed-cache
+    filename check hashes EXACTLY what a default `python bench.py` run
+    hashes. Returns (args, m_widths)."""
     m_widths = None
     if args.draft_mode == "medusa" and args.medusa_widths:
         m_widths = tuple(int(x) for x in args.medusa_widths.split(","))
         args.tree_topk = m_widths[0]
         args.tree_depth = len(m_widths)
+    return args, m_widths
+
+
+def main():
+    args, m_widths = effective_args(build_parser().parse_args())
 
     if not wait_for_backend(args.backend_wait):
         log(f"FATAL: no TPU backend after {args.backend_wait:.0f}s of "

@@ -98,3 +98,30 @@ def test_cache_key_is_stable_and_selective():
     diff = bench.draft_cache_key(
         argparse.Namespace(**{**base, "distill_steps": 1800}))
     assert diff != k0
+
+
+def test_committed_default_cache_is_present_and_complete():
+    """The driver's `python bench.py` must hit the COMMITTED warm cache:
+    build the default namespace through the real parser + the same
+    effective_args postprocessing main() runs, hash it, and assert the
+    tracked npz exists at that path with a complete (rounds_done >= 5,
+    untruncated) meta. Fails if a hash-relevant default drifts (which
+    would silently orphan the cache and send the driver into a cold
+    distill) or if the cache file is dropped from the tree."""
+    import json as _json
+    import os
+
+    args, _ = bench.effective_args(bench.build_parser().parse_args([]))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)),
+        args.draft_ckpt,
+        f"draft_{args.model}_{args.draft_mode}_"
+        f"{bench.draft_cache_key(args)}.npz")
+    assert os.path.exists(path), (
+        f"committed draft cache missing at {path} — either a bench default "
+        "changed (re-run the distillation and commit the new npz) or the "
+        "cache was deleted")
+    z = np.load(path, allow_pickle=False)          # lazy: reads only meta
+    meta = _json.loads(bytes(z["__meta__"]).decode())
+    assert int(meta.get("rounds_done", 0)) >= 5
+    assert not meta.get("truncated", False)
